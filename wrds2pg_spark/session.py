@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Defaults mirror the reference's sink-side conventions (UTC session
+timezone, cf. wrds2pg/postgres/copy.py:42-43 ``SET TimeZone TO 'UTC'``)
+and are tuned so the same code runs on ``local[N]`` for tests and on a
+real cluster unchanged: AQE on (runtime re-plan, skew-join handling),
+Arrow on (fast pandas interchange for the few Pandas-UDF operators),
+shuffle partitions sized to cores locally (override on a cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "wrds2pg_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "64g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-sane defaults.
+
+    On a real cluster, pass ``master=None`` with spark-submit providing
+    the master URL; locally defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = {
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.driver.memory": driver_memory,
+        "spark.ui.enabled": "false",
+        # Keep parquet timestamps comparable with the DuckDB oracle
+        # (driver testdata stores naive timestamps).
+        "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+        "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
