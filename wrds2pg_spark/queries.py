@@ -263,3 +263,367 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer / range / as-of joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey, s.s_suppkey, s.s_nationkey
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    FULL JOIN (SELECT * FROM supplier WHERE s_acctbal > 9000) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_custkey", "c_nationkey", "s_suppkey", "s_nationkey"
+    )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+    FROM customer c JOIN supplier s
+      ON s.s_acctbal BETWEEN c.c_acctbal - 10 AND c.c_acctbal + 10
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join via bucket banding (operators/rangejoin.py):
+    the oracle's BETWEEN is O(N*M) in Spark without an equi key; banding
+    turns it into a hash equi-join + post-filter — the 100-TB plan."""
+    from wrds2pg_spark.operators.rangejoin import band_join
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return band_join(c, s, "c_acctbal", "s_acctbal", 10.0).select(
+        "c_custkey", "s_suppkey", "c_acctbal", "s_acctbal"
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_o_orderkey,
+           o.o_orderdate AS asof_o_orderdate,
+           o.o_totalprice AS asof_o_totalprice
+    FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each event joined to the user's most recent
+    order (operators/asof.py union+window pattern — one shuffle)."""
+    from wrds2pg_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        e, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {DSUM_SQL('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {DSUM_SQL('l_extendedprice', 2)} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # non-deterministic -> rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path when exact
+    countDistinct's shuffle is too expensive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("p50_price"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           MIN(l_discount) AS min_disc, MAX(l_discount) AS max_disc,
+           {DAVG_SQL('l_discount', 2)} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(
+             SQRT(({DSUM_SQL('l_discount * l_discount', 4)} -
+                   {DSUM_SQL('l_discount', 2)} * {DSUM_SQL('l_discount', 2)}
+                     / CAST(COUNT(*) AS DOUBLE))
+                  / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS stddev_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev with a deterministic two-pass-free stddev:
+    exact decimal sums of x and x^2, combined in double — identical on
+    any partitioning and in the oracle (vs engine-specific Welford)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sx = dsum(F.col("l_discount"), 2)
+    sxx = dsum(F.col("l_discount") * F.col("l_discount"), 4)
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+        davg(F.col("l_discount"), 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6)
+        .alias("stddev_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# More windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(22,2)")).over(w)
+        .cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+             AS next_orderkey
+    FROM orders
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 9000)
+         .select(F.col("c_nationkey").alias("nationkey")))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL — keeps duplicate cardinalities."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey").alias("custkey")))
+    return o.exceptAll(c)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / array / JSON
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_date",
+    oracle="""
+    SELECT o_orderkey,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           upper(o_orderstatus) AS status_u,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           round(o_totalprice / 1000, 1) AS kprice,
+           abs(o_totalprice - 150000) AS dist_150k,
+           CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket,
+           o_orderstatus || '-' || o_orderpriority AS tag
+    FROM orders
+    """,
+)
+def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.round(F.col("o_totalprice") / 1000, 1).alias("kprice"),
+        F.abs(F.col("o_totalprice") - 150000).alias("dist_150k"),
+        F.when(F.col("o_totalprice") > 150000, "big").otherwise("small")
+        .alias("bucket"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+    )
+
+
+@register(
+    "array_embedding_norm",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def array_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array funcs (JVM codegen, no UDF) over array<float>."""
+    from wrds2pg_spark.functions.vector import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

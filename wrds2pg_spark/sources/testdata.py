@@ -22,7 +22,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet timestamp[ns], which Spark's vectorized
+        # reader rejects ([PARQUET_TYPE_ILLEGAL]); read the raw int64
+        # nanos and truncate to microseconds — the same truncation
+        # DuckDB applies when it surfaces ns as its us TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer DIV, not /1000: ns values exceed 2^53 so double
+        # division would round the microsecond
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+        )
     lowered = [c.lower() for c in df.columns]
     return df.toDF(*lowered) if lowered != list(df.columns) else df
 
