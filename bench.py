@@ -1,0 +1,92 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "headline_wall_clock", "value": <total sec>,
+     "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized via the no-op data sink (forces the
+whole plan without driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wrds2pg_spark.queries import REGISTRY  # noqa: E402
+from wrds2pg_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "ingest_q1_composite",
+    "scan_parquet",
+    "join_inner",
+    "join_left",
+    "join_asof",
+    "join_range_banded",
+    "agg_distinct",
+    "agg_rollup",
+    "window_rank",
+    "window_running_sum",
+    "sort_topk",
+    "set_except_all",
+    "scalar_string_date",
+    "array_embedding_norm",
+    "json_props_extract",
+    # north-star ops (registered in later phases; skipped if absent)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_quality_score",
+    "stream_tumbling_counts",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="wrds2pg_spark_bench")
+
+    # Warm-up pass at the smallest scale factor: every query has the
+    # same schema there, so its generated whole-stage code is identical
+    # and Janino's compile cache is hot when the timed run starts.
+    # This measures steady-state engine throughput, not JIT compile.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is not None:
+            try:
+                materialize(spec.fn(spark, warm_dir))
+            except Exception:
+                pass
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
