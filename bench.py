@@ -37,12 +37,19 @@ HEADLINE = [
     "scalar_string_date",
     "array_embedding_norm",
     "json_props_extract",
-    # north-star ops (registered in later phases; skipped if absent)
+    # north-star ops
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "similarity_topk",
-    "text_quality_score",
+    "similarity_ann_lsh",
+    "text_stats",
+    "text_fingerprint",
+    "multimodal_binary_stats",
+    "udf_pandas_scalar",
     "stream_tumbling_counts",
+    "stream_session_window",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Operator-level tests for the north-star ops (dedup, similarity,
+as-of, multimodal) — semantic properties the oracle can't check."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "en", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog today", "en", "s1"),
+        (3, "the quick brown fox jumps over the lazy cat today", "en", "s1"),
+        (4, "completely different words about spark and parquet io", "en", "s1"),
+        (5, "der schnelle braune fuchs springt heute", "de", "s1"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    from wrds2pg_spark.operators.dedup import dedup_exact
+
+    out = {r["doc_id"]: r["n_dups"] for r in dedup_exact(_docs(spark)).collect()}
+    assert out[1] == 2          # docs 1+2 identical, min id kept
+    assert 2 not in out
+    assert out[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    from wrds2pg_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), ["lang", "source"], threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7
+    assert not any(4 in p for p in pairs)   # unrelated doc
+    assert not any(5 in p for p in pairs)   # different block (lang)
+
+
+def test_minhash_lsh_consistent_with_exact(spark):
+    """Every minhash-verified pair is a true near-dup pair (verification
+    step guarantees precision; recall is probabilistic but identical
+    texts always collide in all bands)."""
+    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0             # identical docs must collide
+    for (a, b), j in pairs.items():
+        assert j >= 0.5
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    from wrds2pg_spark.operators.dedup import simhash_fingerprints
+
+    out = {r["doc_id"]: r for r in simhash_fingerprints(_docs(spark)).collect()}
+    assert out[1]["simhash"] == out[2]["simhash"]
+    assert out[1]["n_same"] >= 2
+    assert len(out[1]["simhash"]) == 64
+    # near-dup 3 differs in few bits from 1; unrelated 4 in many
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert ham(out[1]["simhash"], out[3]["simhash"]) <= ham(
+        out[1]["simhash"], out[4]["simhash"]
+    )
+
+
+def test_asof_join_semantics(spark):
+    from wrds2pg_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 150), (4, 30, 100)],
+        ["eid", "k", "t"],
+    ).select("eid", "k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (10, 205, "c"), (20, 300, "late")],
+        ["k", "t", "v"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+    out = {
+        r["eid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, left_on="t", right_on="t",
+            left_by="k", right_by="k", right_cols=["t", "v"],
+        ).collect()
+    }
+    assert out[1] == "a"        # t=100 matches right t=100 (inclusive <=)
+    assert out[2] == "c"        # most recent at exactly 205
+    assert out[3] is None       # right side only has t=300 > 150
+    assert out[4] is None       # no right rows for key 30 (left outer)
+
+
+def test_band_join_equals_naive(spark):
+    from wrds2pg_spark.operators.rangejoin import band_join
+
+    l = spark.range(0, 200).select(
+        F.col("id").alias("lid"), (F.col("id") * 3.7 % 50).alias("lv")
+    )
+    r = spark.range(0, 100).select(
+        F.col("id").alias("rid"), (F.col("id") * 7.3 % 50).alias("rv")
+    )
+    banded = band_join(l, r, "lv", "rv", 2.0).select("lid", "rid").collect()
+    naive = (
+        l.crossJoin(r)
+        .filter((F.col("rv") >= F.col("lv") - 2.0) & (F.col("rv") <= F.col("lv") + 2.0))
+        .select("lid", "rid").collect()
+    )
+    assert sorted(map(tuple, banded)) == sorted(map(tuple, naive))
+
+
+def test_similarity_lsh_subset_of_brute(spark):
+    """LSH top-k results must be a subset of the corpus scored exactly:
+    every returned cos_sim matches the brute-force score for that id."""
+    from wrds2pg_spark.operators.similarity import brute_force_topk, lsh_topk
+    from wrds2pg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [(((i * 37 + 11) % 19) - 9) / 9.0 for i in range(64)]
+    brute = {r["vec_id"]: r["cos_sim"]
+             for r in brute_force_topk(emb, q, k=500).collect()}
+    for r in lsh_topk(emb, q, k=20).collect():
+        assert r["cos_sim"] == brute[r["vec_id"]]
+
+
+def test_multimodal_decode_stub(spark):
+    from wrds2pg_spark.operators.multimodal import decode_image_stub
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"abc")), (3, bytearray(b"xyz"))],
+        ["doc_id", "payload"],
+    )
+    rows = {r["id"]: r for r in decode_image_stub(df, "payload", "doc_id").collect()}
+    assert rows[1]["n_bytes"] == 3
+    # deterministic: same bytes -> same fake features
+    assert rows[1]["width"] == rows[2]["width"]
+    assert rows[1]["mode"] in ("RGB", "RGBA", "L")
+    assert 64 <= rows[1]["width"] <= 255
+    assert 0.0 <= rows[1]["mean_luma"] <= 1.0

@@ -1,0 +1,69 @@
+"""Structured Streaming twin vs batch equivalence (memory sink,
+processAllAvailable drives the file source to completion)."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from wrds2pg_spark.sources.testdata import load_table
+from wrds2pg_spark.streaming.events import (
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+
+
+def test_streaming_matches_batch(spark):
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        # re-write through Spark so the streaming source sees standard
+        # microsecond timestamps (the fixture's ns physical type needs
+        # the batch-reader conversion in sources/testdata.py)
+        events.write.parquet(src)
+
+        sdf = streaming_tumbling_counts(
+            spark, src, schema=events.schema, duration="1 hour"
+        )
+        q = (
+            sdf.writeStream.outputMode("complete")
+            .format("memory").queryName("stream_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+                for r in spark.sql("SELECT * FROM stream_out").collect()
+            }
+        finally:
+            q.stop()
+
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(events, "1 hour").collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100, "2024-01-01 00:00:00", 1.0),
+        (2, 100, "2024-01-01 00:10:00", 1.0),   # same session (gap 10m)
+        (3, 100, "2024-01-01 01:00:00", 1.0),   # new session (gap 50m)
+        (4, 200, "2024-01-01 00:00:00", 1.0),   # other user
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    from wrds2pg_spark.streaming.events import sessionize
+
+    out = sessionize(events, gap_seconds=1800).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[100]) == 2
+    assert sorted(r["n_events"] for r in by_user[100]) == [1, 2]
+    assert len(by_user[200]) == 1

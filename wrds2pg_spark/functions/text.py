@@ -1,0 +1,166 @@
+"""Text-analysis column builders for the documents pipeline: token
+stats, quality scoring, language-ID heuristics, shingling, content
+fingerprints.  Everything is built from JVM-side ``F.*`` / higher-order
+functions (no Python UDFs), and every helper has a DuckDB-SQL twin
+(``*_SQL``) so the north-star text operators stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens", "token_count", "stopword_hits", "punct_ratio",
+    "quality_score", "lang_scores", "shingles", "fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists (public knowledge; the heuristic is
+# n-gram/stopword-ratio language ID, cf. fastText/langid-style features).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "du", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "que"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def TOKENS_SQL(expr: str = "text") -> str:
+    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def _contains_any(arr: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(F.array_distinct(arr), lit_arr)).cast("long")
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """Count of *distinct* stopwords present (set semantics keeps the
+    SQL twin simple and order-independent)."""
+    return _contains_any(tokens(text), STOPWORDS[lang])
+
+
+def STOPWORD_HITS_SQL(expr: str = "text", lang: str = "en") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_intersect(list_distinct({TOKENS_SQL(expr)}), "
+        f"[{words}])) AS BIGINT)"
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars, rounded for cross-engine hash."""
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.round(n_punct.cast("double") / F.length(text).cast("double"), 6)
+
+
+def PUNCT_RATIO_SQL(expr: str = "text") -> str:
+    return (
+        f"ROUND(CAST(length(regexp_replace({expr}, '[^.,;:!?]', '', 'g')) "
+        f"AS DOUBLE) / CAST(length({expr}) AS DOUBLE), 6)"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic doc-quality score in [0,1]: rewards stopword presence
+    and mid-range length, penalizes punctuation soup.  Deterministic
+    closed form — the exact formula is mirrored in QUALITY_SCORE_SQL."""
+    n_tok = token_count(text).cast("double")
+    sw = stopword_hits(text, "en").cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(sw / F.lit(5.0), F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(4.0)
+    )
+    return F.round(
+        length_term * F.lit(0.4) + stop_term * F.lit(0.4)
+        + punct_term * F.lit(0.2),
+        6,
+    )
+
+
+def QUALITY_SCORE_SQL(expr: str = "text") -> str:
+    n_tok = f"CAST(len({TOKENS_SQL(expr)}) AS DOUBLE)"
+    sw = f"CAST({STOPWORD_HITS_SQL(expr)} AS DOUBLE)"
+    return (
+        f"ROUND(least({n_tok} / 100.0, 1.0) * 0.4 "
+        f"+ least({sw} / 5.0, 1.0) * 0.4 "
+        f"+ greatest(0.0, 1.0 - {PUNCT_RATIO_SQL(expr)} * 4.0) * 0.2, 6)"
+    )
+
+
+def lang_scores(text: Column) -> Column:
+    """Struct of per-language distinct-stopword hit counts."""
+    toks = tokens(text)
+    return F.struct(
+        *[_contains_any(toks, STOPWORDS[lang]).alias(lang)
+          for lang in STOPWORDS]
+    )
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax over lang_scores with deterministic lexicographic
+    tiebreak; 'und' (undetermined) when no stopwords hit at all."""
+    toks = tokens(text)
+    scores = [(lang, _contains_any(toks, STOPWORDS[lang]))
+              for lang in sorted(STOPWORDS)]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def PREDICTED_LANG_SQL(expr: str = "text") -> str:
+    """SQL twin of predicted_lang: same fold, same tiebreak order."""
+    langs = sorted(STOPWORDS)
+    score = {la: STOPWORD_HITS_SQL(expr, la) for la in langs}
+    best, best_score = f"'{langs[0]}'", score[langs[0]]
+    for la in langs[1:]:
+        cond = f"({score[la]}) > ({best_score})"
+        best = f"CASE WHEN {cond} THEN '{la}' ELSE {best} END"
+        best_score = f"CASE WHEN {cond} THEN ({score[la]}) ELSE ({best_score}) END"
+    return f"CASE WHEN ({best_score}) > 0 THEN {best} ELSE 'und' END"
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the MinHash input unit."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), k - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(k >= n, grams).otherwise(empty))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (md5 is identical in Spark and DuckDB)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return F.md5(canon)
+
+
+def FINGERPRINT_SQL(expr: str = "text") -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct({TOKENS_SQL(expr)})), ' '))"
+    )

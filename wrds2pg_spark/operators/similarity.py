@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector —
+  a single narrow map + TakeOrdered; the correctness baseline.
+- lsh_topk: random-hyperplane LSH bucketing — the scale path: the
+  query probes only its own bucket (and optionally neighbors), so the
+  scan prunes to ~N/2^nbits candidates.  Hyperplanes come from a
+  deterministic integer formula so results are reproducible anywhere.
+- blocked_pairs: exact all-pairs cosine within a blocking key (label)
+  — the embedding near-dup primitive.
+
+Dot products run through F.zip_with/F.aggregate (JVM codegen).  At
+real scale the brute-force path is what you broadcast-join against a
+handful of query vectors; LSH/IVF prune when the query set is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wrds2pg_spark.functions.vector import cosine_similarity, dot
+
+__all__ = ["brute_force_topk", "lsh_topk", "blocked_pairs", "hyperplane"]
+
+
+def _query_col(query_vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: narrow projection + TakeOrderedAndProject
+    (no full sort, no shuffle of the corpus)."""
+    q = _query_col(query_vec)
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    return (
+        df.select(F.col(id_col), cos)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane — pure integer formula,
+    reproducible in any engine/language (no RNG state)."""
+    return [(((i * 31 + plane_idx * 17 + 7) % 13) - 6) / 6.0 for i in range(dim)]
+
+
+def _bucket_expr(vec, planes: list[list[float]]):
+    bits = []
+    for p in planes:
+        d = dot(vec, F.array(*[F.lit(x) for x in p]))
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature
+    matches the query's bucket.  Recall trades off with nbits; the
+    candidate scan is ~N/2^nbits of the corpus."""
+    dim = len(query_vec)
+    planes = [hyperplane(j, dim) for j in range(nbits)]
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(planes[j], query_vec)) >= 0 else "0"
+        for j in range(nbits)
+    )
+    q = _query_col(query_vec)
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    return (
+        df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
+        .filter(F.col("__bucket") == qbits)
+        .select(F.col(id_col), cos)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def blocked_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine >= threshold within each block: equi-join on the
+    block key keeps the pair count per-block quadratic only."""
+    a = df.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+    )
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, on=block_col, how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(block_col, "id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

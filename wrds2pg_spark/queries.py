@@ -19,6 +19,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -627,3 +629,372 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star: dedup / similarity / text / multimodal / event windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wrds2pg_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      FROM documents)
+    SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 (CAST(len(a.toks) AS DOUBLE) + CAST(len(b.toks) AS DOUBLE)
+                  - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)),
+                 6) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                (CAST(len(a.toks) AS DOUBLE) + CAST(len(b.toks) AS DOUBLE)
+                 - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)),
+                6) >= 0.7
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by (lang, source)
+    (operators/dedup.py) — per-block quadratic, globally linear in the
+    number of blocks; intersections run in whole-stage codegen."""
+    from wrds2pg_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.7)
+
+
+@register("dedup_minhash_lsh", oracle=None)  # engine-specific hashes
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified at
+    0.5 (operators/dedup.py).  xxhash64 is Spark-specific, so the
+    driver records the rows-only check; tests assert consistency with
+    the exact blocked-Jaccard result."""
+    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register("dedup_simhash", oracle=None)  # engine-specific hashes
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wrds2pg_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+_EMB_DOT = ("list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+            "list_transform({b}, x -> CAST(x AS DOUBLE)))")
+
+
+def _emb_cos_sql(a: str, b: str) -> str:
+    dot = _EMB_DOT.format(a=a, b=b)
+    na = "SQRT(" + _EMB_DOT.format(a=a, b=a) + ")"
+    nb = "SQRT(" + _EMB_DOT.format(a=b, b=b) + ")"
+    return f"ROUND({dot} / ({na} * {nb}), 6)"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_emb_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_emb_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine within label blocks
+    (operators/similarity.py blocked_pairs)."""
+    from wrds2pg_spark.operators.similarity import blocked_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_pairs(emb, "label", threshold=0.3)
+
+
+# deterministic 64-dim query vector, shared by Spark and the oracle
+_QVEC = [(((i * 37 + 11) % 19) - 9) / 9.0 for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]"
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    SELECT vec_id, {_emb_cos_sql('embedding', _QVEC_SQL)} AS cos_sim
+    FROM embeddings
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): narrow map +
+    TakeOrderedAndProject, no corpus shuffle."""
+    from wrds2pg_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _QVEC, k=20)
+
+
+def _lsh_oracle() -> str:
+    from wrds2pg_spark.operators.similarity import hyperplane
+
+    nbits, dim = 8, 64
+    bits = []
+    for j in range(nbits):
+        p = hyperplane(j, dim)
+        plit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN {_EMB_DOT.format(a='embedding', b=plit)} >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(hyperplane(j, dim), _QVEC)) >= 0
+        else "0"
+        for j in range(nbits)
+    )
+    return f"""
+    SELECT vec_id, {_emb_cos_sql('embedding', _QVEC_SQL)} AS cos_sim
+    FROM embeddings
+    WHERE ({bucket}) = '{qbits}'
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """
+
+
+@register("similarity_ann_lsh", oracle=_lsh_oracle())
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: scans only the
+    query's signature bucket (~N/2^8 of the corpus).  Deterministic
+    integer-formula hyperplanes make even the approximation
+    oracle-checkable."""
+    from wrds2pg_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _QVEC, k=20, nbits=8)
+
+
+@register(
+    "text_stats",
+    oracle=None,  # placeholder replaced below with generated SQL
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality metrics per document, all JVM-side."""
+    from wrds2pg_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_measured"),
+        X.stopword_hits(t, "en").alias("en_stopword_hits"),
+        X.punct_ratio(t).alias("punct_ratio"),
+        X.quality_score(t).alias("quality"),
+    )
+
+
+def _text_stats_oracle() -> str:
+    from wrds2pg_spark.functions import text as X
+
+    return f"""
+    SELECT doc_id,
+           CAST(len({X.TOKENS_SQL('text')}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           {X.STOPWORD_HITS_SQL('text', 'en')} AS en_stopword_hits,
+           {X.PUNCT_RATIO_SQL('text')} AS punct_ratio,
+           {X.QUALITY_SCORE_SQL('text')} AS quality
+    FROM documents
+    """
+
+
+REGISTRY["text_stats"].oracle = _text_stats_oracle()
+
+
+def _langid_oracle() -> str:
+    from wrds2pg_spark.functions.text import PREDICTED_LANG_SQL
+
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {PREDICTED_LANG_SQL('text')} AS predicted_lang
+    FROM documents
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic (argmax with deterministic
+    tiebreak) next to the fixture's label."""
+    from wrds2pg_spark.functions.text import predicted_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+def _fingerprint_oracle() -> str:
+    from wrds2pg_spark.functions.text import FINGERPRINT_SQL
+
+    return f"""
+    SELECT doc_id, {FINGERPRINT_SQL('text')} AS fingerprint
+    FROM documents
+    """
+
+
+@register("text_fingerprint", oracle=_fingerprint_oracle())
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wrds2pg_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path: text bytes stand in for an opaque
+    media payload (the container has no codecs; see
+    operators/multimodal.py)."""
+    from wrds2pg_spark.operators.multimodal import binary_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    as_bin = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return binary_stats(as_bin, "payload", "doc_id")
+
+
+@register("multimodal_image_features", oracle=None)  # stub decoder
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode pipeline over binary payloads
+    (deterministic fake decoder — real codecs slot into _fake_decode)."""
+    from wrds2pg_spark.operators.multimodal import decode_image_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    as_bin = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_image_stub(as_bin, "payload", "doc_id")
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, ROUND(ln(1 + value), 6) AS log1p_value
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF — the sanctioned slow path when
+    built-ins can't express a transform.  numpy log1p batches vs the
+    oracle's ln(1+x): equal within 1 ulp, pinned by round(6)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def py_log1p(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.log1p(s.to_numpy()))
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.round(py_log1p(F.col("value")), 6).alias("log1p_value")
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {DSUM_SQL('value', 2)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (batch twin of the Structured
+    Streaming pipeline in streaming/events.py)."""
+    from wrds2pg_spark.streaming.events import tumbling_counts
+
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH starts AS (
+      SELECT value, unnest([
+        to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800),
+        to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800 - 1800)
+      ]) AS window_start
+      FROM events)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n, {DSUM_SQL('value', 2)} AS sum_value
+    FROM starts GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows — each event contributes to 2 windows."""
+    from wrds2pg_spark.streaming.events import sliding_counts
+
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(tsec) OVER w IS NULL
+                    OR tsec - LAG(tsec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, event_id, ts, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ids AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {DSUM_SQL('value', 2)} AS sum_value
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via cumulative flag sums —
+    one shuffle on user_id (streaming/events.py sessionize)."""
+    from wrds2pg_spark.streaming.events import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)

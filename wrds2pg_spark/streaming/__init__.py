@@ -1,0 +1,10 @@
+"""Event-time processing over the ``events`` table: batch-equivalent
+windowed aggregations (oracle-checkable) and their Structured
+Streaming twins (watermarks, memory-sink tested)."""
+
+from wrds2pg_spark.streaming.events import (  # noqa: F401
+    sessionize,
+    sliding_counts,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
