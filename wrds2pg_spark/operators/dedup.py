@@ -135,40 +135,39 @@ def minhash_lsh_pairs(
         F.array_distinct(shingles(F.col(text_col))).alias("__sh"),
     )
     exploded = base.select(id_col, F.explode("__sh").alias("__s"))
-    sig_agg = exploded.groupBy(id_col).agg(*[
+    sigs = exploded.groupBy(id_col).agg(*[
         F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ])
-    sigs = sig_agg.join(base, on=id_col, how="inner")
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
                      for r in range(rows_per_band)], F.lit(b)).alias(f"band_{b}")
         for b in range(bands)
     ]
+    # Band/bucket join moves ONLY (band, bhash, id) — never the shingle
+    # arrays (carrying them 16x through the shuffle dominates runtime).
     banded = sigs.select(
-        F.col(id_col), F.col("__sh"),
+        F.col(id_col),
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), band_cols[b].alias("bhash"))
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "__sh", "bb.band", "bb.bhash")
+    ).select(id_col, "bb.band", "bb.bhash")
 
-    a = banded.select(
-        "band", "bhash",
-        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
-    )
-    b = banded.select(
-        "band", "bhash",
-        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"),
-    )
+    a = banded.select("band", "bhash", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bhash", F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, on=["band", "bhash"], how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification join pulls each side's shingle set exactly once
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    cand = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
     jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)

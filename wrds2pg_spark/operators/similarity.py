@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wrds2pg_spark.functions.vector import cosine_similarity, dot
+from wrds2pg_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 __all__ = ["brute_force_topk", "lsh_topk", "blocked_pairs", "hyperplane"]
 
@@ -97,15 +97,25 @@ def blocked_pairs(
 ) -> DataFrame:
     """All-pairs cosine >= threshold within each block: equi-join on the
     block key keeps the pair count per-block quadratic only."""
-    a = df.select(
+    # cast to double + norm once per row (not once per PAIR — that
+    # triples the arithmetic and re-allocates arrays N times per vector)
+    prepped = df.select(
         F.col(block_col),
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
-    b = df.select(
-        F.col(block_col),
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+    a = prepped.select(
+        F.col(block_col), F.col(id_col).alias("id_a"),
+        F.col("__v").alias("va"), F.col("__n").alias("na"),
     )
-    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    b = prepped.select(
+        F.col(block_col), F.col(id_col).alias("id_b"),
+        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    prods = F.zip_with("va", "vb", lambda x, y: x * y)
+    d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(d / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, on=block_col, how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
