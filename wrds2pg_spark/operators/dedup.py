@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from wrds2pg_spark.functions.expr import let_
 from wrds2pg_spark.functions.text import shingles, tokens
 
 __all__ = [
@@ -90,21 +91,45 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text_f, num_hashes: int = 64):
-    """num_hashes MinHash values, each ``min(xxhash64(shingle, seed))``
-    — computed per row with higher-order functions: NO shuffle, no
-    explode, no Python."""
-    # NB: lambdas passed to HOFs must stay single-argument — a second
-    # (defaulted) parameter makes PySpark's arity sniffing pass the
-    # element *index* into it.  A factory closure captures seeds safely.
-    sh = shingles(text_f)
+def minhash_signature(shingle_arr, num_hashes: int = 64):
+    """MinHash signature as ONE array column: for each seed i,
+    ``min(xxhash64(shingle, i))`` — computed per row with nested
+    higher-order functions.  NO shuffle, no explode, no Python; the
+    shingle array is let_-bound so it is materialized once per row
+    (not once per seed — Catalyst would otherwise inline the whole
+    tokenize+shingle subtree ``num_hashes`` times)."""
+    return let_(
+        shingle_arr,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        ),
+    )
 
-    def one_hash(i: int):
-        return F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh_{i}")
 
-    return [one_hash(i) for i in range(num_hashes)]
+def bucket_keys(shingle_hashes, num_hashes: int = 64, bands: int = 16):
+    """LSH bucket keys as ONE array column, pure JVM expressions.
+
+    MinHash signature (per seed i: ``min(xxhash64(h, i))`` over the
+    shingle-hash set) -> per band, ``xxhash64`` of its signature slice
+    salted with the band index, so keys never collide across bands —
+    a single long join key instead of a (band, hash) pair halves the
+    shuffle payload.  Everything is let_-bound: the shingle-hash array
+    and the signature each evaluate exactly once per row (see
+    functions/expr.py for the collapsed-projection trap).
+
+    A vectorized numpy/Pandas-UDF variant of this kernel benchmarked
+    *slower* end-to-end (Arrow transfer + Python-worker round-trips
+    add seconds of jitter per stage); the nested-HOF form stays in the
+    JVM and costs ~0.4s for 5k docs x 64 seeds x ~50 shingles."""
+    rpb = num_hashes // bands
+    return let_(
+        minhash_signature(shingle_hashes, num_hashes),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(sig, b * rpb + 1, rpb), b),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -117,62 +142,83 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified exactly.
 
-    Stage 1 (map-only): 64 minhashes per doc via HOFs.
-    Stage 2: band hashes -> explode to (band, hash) -> the ONLY
-             shuffle groups docs by bucket.
-    Stage 3: pairs within buckets, de-duplicated.
-    Stage 4: candidates only are verified with exact shingle Jaccard.
+    Stage 1 (map-only): shingle the text and xxhash64 each shingle
+             JVM-side; nested-HOF MinHash turns the hash set into
+             ``bands`` LSH bucket keys (see bucket_keys).
+    Stage 2: explode keys -> groupBy(bucket) + sorted collect_list:
+             the ONLY heavy shuffle moves (key, id) longs, and the
+             expensive map work runs exactly ONCE (a banded self-join
+             would re-execute the whole signature pipeline per side).
+    Stage 3: pairs generated per bucket from the sorted id list,
+             de-duplicated across bands.
+    Stage 4: candidates only are verified with exact Jaccard over the
+             shingle-hash sets (long intersects, not string).
 
     At 100 TB the candidate set is tiny relative to N^2 — cost is one
-    shuffle of (band_hash, id) pairs plus the verification join."""
-    rows_per_band = num_hashes // bands
-    # Explode shingles once, then num_hashes tiny min-aggregates over a
-    # plain column.  (Computing 64 array_min(transform(shingles(text)))
-    # columns instead makes Catalyst inline the whole tokenize+shingle
-    # subtree 64x — a multi-minute analysis/codegen blowup.)
+    shuffle of (bucket_key, id) pairs plus the verification joins.
+    A pathological mega-bucket (all-identical corpus slice) generates
+    its pairs inside one task; AQE skew handling plus the upstream
+    exact-dedup pass (run dedup_exact first) keeps buckets small."""
     base = df.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col))).alias("__sh"),
+        F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
+            "__shh"
+        ),
     )
-    exploded = base.select(id_col, F.explode("__sh").alias("__s"))
-    sigs = exploded.groupBy(id_col).agg(*[
-        F.min(F.xxhash64(F.col("__s"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ])
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
-                     for r in range(rows_per_band)], F.lit(b)).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    # Band/bucket join moves ONLY (band, bhash, id) — never the shingle
-    # arrays (carrying them 16x through the shuffle dominates runtime).
-    banded = sigs.select(
+    keyed = base.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_cols[b].alias("bhash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bhash")
-
-    a = banded.select("band", "bhash", F.col(id_col).alias("id_a"))
-    b = banded.select("band", "bhash", F.col(id_col).alias("id_b"))
+        F.explode(bucket_keys(F.col("__shh"), num_hashes, bands)).alias(
+            "bucket"
+        ),
+    )
+    buckets = (
+        keyed.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # (ids[j], ids[i]) for j < i — ids is a materialized agg output, so
+    # element_at here is a cheap array access, not a recompute.
+    pair_structs = let_(
+        F.col("ids"),
+        lambda ids: F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ids) - 1),
+                lambda i: F.transform(
+                    F.slice(ids, 1, i),
+                    lambda a: F.struct(
+                        a.alias("id_a"),
+                        F.element_at(ids, (i + 1).cast("int")).alias("id_b"),
+                    ),
+                ),
+            )
+        ),
+    )
     cand = (
-        a.join(b, on=["band", "bhash"], how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification join pulls each side's shingle set exactly once
-    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    cand = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    # Verification: make the (tiny) candidate set the BROADCAST side of
+    # both joins.  The broadcast exchange is built once and reused, so
+    # the whole signature pipeline above executes exactly once — and
+    # shingle-hashing for verification happens AFTER the join, i.e.
+    # only for candidate rows, never a second full-corpus pass.
+    hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
+    side_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    j = (
+        side_a.join(F.broadcast(cand), "id_a")
+        .select("id_a", "id_b", hash_of(F.col("__ta")).alias("sh_a"))
+    )
+    side_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    j = (
+        side_b.join(F.broadcast(j), "id_b")
+        .select("id_a", "id_b", "sh_a", hash_of(F.col("__tb")).alias("sh_b"))
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
     jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
     return (
-        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        j.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -187,20 +233,27 @@ def simhash_fingerprints(
 
     bit_i = sign of sum over tokens of (2*bit_i(xxhash64(token)) - 1);
     near-dups have small Hamming distance.  Also emits the count of
-    docs sharing the exact fingerprint (one groupBy-count shuffle)."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
+    docs sharing the exact fingerprint (one groupBy-count shuffle).
 
-    def bit_expr(i: int):
-        # single-arg lambda only (see minhash_signature note)
-        contrib = F.transform(
-            toks,
-            lambda t: F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1,
-        )
-        s = F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+    The token hashes are let_-bound: each token is xxhash64'd once per
+    row, then all ``bits`` bit-sums fold over the hash array — not
+    ``bits`` separate re-tokenizations (the collapsed-projection trap,
+    see functions/expr.py)."""
+    tok_hashes = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
 
-    bit_exprs = [bit_expr(i) for i in range(bits)]
-    fp = F.concat(*bit_exprs).alias("simhash")
+    def fp_of(hs):
+        def bit_expr(i: int):
+            contrib = F.transform(
+                hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+            s = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+            return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+        return F.concat(*[bit_expr(i) for i in range(bits)])
+
+    fp = let_(tok_hashes, fp_of).alias("simhash")
     out = df.select(F.col(id_col), fp)
     counts = out.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_same"))
     return out.join(counts, on="simhash", how="inner").select(

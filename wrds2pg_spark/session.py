@@ -55,3 +55,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Repartition a narrow input so heavy per-row map work uses every
+    core.  Small reference tables (the sf0.1 documents parquet is one
+    ~1.5 MB file) arrive as a single input split, which serializes any
+    expensive map stage (shingling, hashing, Pandas UDFs) onto one
+    task; on a real cluster the same applies to any source with fewer
+    splits than executor slots.  No-op when the input is already wide."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
