@@ -1,0 +1,214 @@
+"""Sinks + incremental layer (SURVEY §2 A16-A27, §5 idempotency
+pattern from minimal_test.ipynb: update, re-update is a no-op,
+force-update rewrites)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pytest
+
+from wrds2pg_spark.catalog import (
+    get_modified_csv,
+    get_modified_pq,
+    modified_decode,
+    modified_encode,
+    needs_update,
+    set_modified_csv,
+    set_modified_pq,
+)
+from wrds2pg_spark.sinks.csv import update_csv
+from wrds2pg_spark.sinks.parquet import update_parquet
+from wrds2pg_spark.sinks.postgres import (
+    comment_sql,
+    create_table_sql,
+    ddl_script,
+    pg_types_for,
+    update_postgres,
+)
+from wrds2pg_spark.update import wrds_update_csv, wrds_update_pq
+
+STAMP = "Last modified: 03/14/2024 09:26:53"
+STAMP2 = "Last modified: 07/04/2024 12:00:00"
+
+
+# --- stamp codec -----------------------------------------------------------
+
+def test_modified_roundtrip():
+    assert modified_decode(modified_encode(STAMP)) == STAMP
+
+
+def test_modified_roundtrip_across_dst():
+    # One stamp in CST (UTC-6), one in CDT (UTC-5) — the codec must
+    # respect America/Chicago wall time on both sides of the switch.
+    winter = "Last modified: 01/15/2024 12:00:00"
+    summer = "Last modified: 07/15/2024 12:00:00"
+    assert modified_encode(summer) - modified_encode(winter) == (
+        182 * 86400 - 3600
+    )
+    for s in (winter, summer):
+        assert modified_decode(modified_encode(s)) == s
+
+
+def test_modified_encode_rejects_garbage():
+    with pytest.raises(ValueError):
+        modified_encode("03/14/2024 09:26:53")
+
+
+def test_needs_update_gate():
+    assert needs_update(STAMP, "") is True          # no sink stamp yet
+    assert needs_update(STAMP, STAMP) is False      # current -> skip
+    assert needs_update(STAMP, STAMP2) is True      # stale -> update
+    assert needs_update(STAMP, STAMP, force=True) is True
+    assert needs_update("", STAMP) is True          # unknown source -> update
+
+
+# --- parquet sink ----------------------------------------------------------
+
+def test_update_parquet_idempotent(spark, tmp_path):
+    df = spark.range(10).withColumnRenamed("id", "n")
+    path = str(tmp_path / "t.parquet")
+
+    assert update_parquet(df, path, STAMP) is True
+    assert get_modified_pq(path) == STAMP
+    assert spark.read.parquet(path).count() == 10
+
+    # same stamp -> no-op; new stamp -> rewrite; force -> rewrite
+    assert update_parquet(df, path, STAMP) is False
+    assert update_parquet(df, path, STAMP2) is True
+    assert update_parquet(df, path, STAMP2, force=True) is True
+
+
+def test_get_modified_pq_reads_reference_footer(tmp_path):
+    # the reference stores the stamp in single-file footer KV metadata
+    # (wrds2pg/files/parquet.py:92-94) — we must read those too
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"a": [1, 2]})
+    f = str(tmp_path / "ref.parquet")
+    pq.write_table(
+        t.replace_schema_metadata({b"last_modified": STAMP.encode()}), f
+    )
+    assert get_modified_pq(f) == STAMP
+
+
+def test_get_modified_pq_missing(tmp_path):
+    assert get_modified_pq(str(tmp_path / "nope.parquet")) == ""
+
+
+# --- csv sink --------------------------------------------------------------
+
+def test_update_csv_idempotent_and_readable(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["n", "s"])
+    path = str(tmp_path / "t.csv.gz")
+
+    assert update_csv(df, path, STAMP, single_file=True) is True
+    assert get_modified_csv(path) == STAMP
+    assert update_csv(df, path, STAMP) is False
+
+    parts = glob.glob(os.path.join(path, "*.csv.gz"))
+    assert len(parts) == 1
+    with gzip.open(parts[0], "rt") as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "n,s"
+    assert sorted(lines[1:]) == ["1,a", "2,b"]
+
+
+def test_csv_stamp_mtime_roundtrip(tmp_path):
+    p = tmp_path / "x"
+    p.write_text("data")
+    set_modified_csv(str(p), STAMP)
+    assert get_modified_csv(str(p)) == STAMP
+
+
+# --- postgres sink (SQL generation; no server in this container) ----------
+
+def test_create_table_sql_shape():
+    sql = create_table_sql(
+        "crsp", "dsf", ["permno", "ret"], {"permno": "integer", "ret": "float8"}
+    )
+    assert sql == 'CREATE TABLE "crsp"."dsf" ("permno" integer, "ret" float8)'
+
+
+def test_comment_sql_quote_doubling():
+    assert comment_sql("s", "t", "it's") == (
+        'COMMENT ON TABLE "s"."t" IS \'it\'\'s\''
+    )
+
+
+def test_pg_types_inference_and_override(spark):
+    df = spark.createDataFrame([(1, 1.5, "x", True)], ["i", "d", "s", "b"])
+    types = pg_types_for(df, col_types={"I": "smallint"})
+    assert types == {
+        "i": "smallint", "d": "float8", "s": "text", "b": "boolean"
+    }
+
+
+def test_ddl_script_order_with_roles():
+    stmts = ddl_script(
+        "crsp", "dsf", ["permno"], {"permno": "integer"},
+        create_roles=True, modified=STAMP,
+    )
+    assert stmts[0] == 'CREATE SCHEMA IF NOT EXISTS "crsp"'
+    assert 'CREATE ROLE "crsp"' in stmts
+    assert 'CREATE ROLE "crsp_access"' in stmts
+    assert any(s.startswith("DROP TABLE") for s in stmts)
+    create_idx = next(i for i, s in enumerate(stmts) if "CREATE TABLE" in s)
+    grant_idx = next(i for i, s in enumerate(stmts) if "GRANT SELECT" in s)
+    assert create_idx < grant_idx
+    assert stmts[-1].startswith("COMMENT ON TABLE")
+
+
+def test_update_postgres_gate_skips_without_touching_engine(spark):
+    df = spark.range(1)
+    called = []
+    out = update_postgres(
+        df, "t", "s", "jdbc:postgresql://nowhere/db",
+        modified=STAMP, sink_modified=STAMP, execute_sql=called.append,
+    )
+    assert out is False and called == []
+
+
+# --- façade ---------------------------------------------------------------
+
+def test_wrds_update_pq_end_to_end(spark, tmp_path):
+    src = tmp_path / "src.parquet"
+    spark.createDataFrame(
+        [(1, "KEEP", 10.0), (2, "DROP", 20.0), (3, "KEEP", 30.0)],
+        ["ID", "Flag", "Val"],
+    ).write.parquet(str(src))
+
+    data_dir = str(tmp_path / "lake")
+    wrote = wrds_update_pq(
+        spark, str(src), "mytab", "myschema",
+        data_dir=data_dir, where="flag = 'KEEP'", rename="val=value",
+    )
+    assert wrote is True
+    out = spark.read.parquet(os.path.join(data_dir, "myschema", "mytab.parquet"))
+    assert sorted(out.columns) == ["flag", "id", "value"]
+    assert out.count() == 2
+
+    # second run: source unchanged -> gate skips
+    assert wrds_update_pq(
+        spark, str(src), "mytab", "myschema",
+        data_dir=data_dir, where="flag = 'KEEP'", rename="val=value",
+    ) is False
+
+
+def test_wrds_update_csv_end_to_end(spark, tmp_path):
+    src = tmp_path / "src.parquet"
+    spark.range(5).withColumnRenamed("id", "n").write.parquet(str(src))
+    data_dir = str(tmp_path / "csvlake")
+    assert wrds_update_csv(
+        spark, str(src), "t", "s", data_dir=data_dir, obs=3, single_file=True
+    ) is True
+    path = os.path.join(data_dir, "s", "t.csv.gz")
+    assert wrds_update_csv(
+        spark, str(src), "t", "s", data_dir=data_dir, obs=3
+    ) is False
+    parts = glob.glob(os.path.join(path, "*.csv.gz"))
+    with gzip.open(parts[0], "rt") as f:
+        assert len(f.read().strip().splitlines()) == 4  # header + 3 rows
