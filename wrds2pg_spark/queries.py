@@ -77,6 +77,44 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_csv_typed",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey >= 2
+    """,
+)
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV ingest (sources/csv.py) — the reference's transport
+    format read with an explicit PG-typed schema instead of inference
+    (wrds2pg/files/parquet.py:42-59 ConvertOptions analog).  The CSV
+    fixture is derived once from the nation parquet into a
+    deterministic temp path keyed on the sf dir."""
+    import hashlib
+    import os
+
+    from wrds2pg_spark.sources.csv import read_csv_typed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    csv_dir = f"/tmp/wrds2pg_spark_fixtures/nation_csv_{tag}"
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(csv_dir)
+        )
+    df = read_csv_typed(
+        spark,
+        csv_dir,
+        {"n_nationkey": "integer", "n_name": "text", "n_regionkey": "integer"},
+    )
+    return df.filter(F.col("n_regionkey") >= 2)
+
+
 _FLAGSHIP_ORACLE = f"""
     WITH src AS (
         SELECT l_returnflag AS returnflag,

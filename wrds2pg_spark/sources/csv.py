@@ -1,0 +1,103 @@
+"""Typed CSV source — the reference's actual transport format.
+
+The reference ships every table as a CSV text stream (header first,
+wrds2pg/sas/codegen.py:128-150) and types it at the sink from SAS
+PROC-CONTENTS metadata (wrds2pg/files/parquet.py:42-59 ConvertOptions;
+wrds2pg/postgres/copy.py:17-34 COPY column list).  This module is the
+Spark-native equivalent: an explicit ``StructType`` built from PG type
+strings (or SAS metadata rows) drives ``spark.read.csv`` so parsing is
+JVM-side, schema-checked, and splittable across tasks.
+
+Null semantics carried over:
+- empty string -> null (``strings_can_be_null=True`` analog,
+  wrds2pg/files/parquet.py:55-58)
+- SAS special missing values ``.A``-``.Z``, ``._`` surface in CSV as a
+  lone letter/underscore in *numeric* columns (wrds2pg/sas/
+  codegen.py:117-124).  Spark's csv reader supports only one
+  ``nullValue``, so numeric columns are read as string and scrubbed
+  with ``fix_missing`` semantics before the cast — but ONLY when
+  ``fix_missing=True`` is requested; otherwise a special missing in a
+  numeric column is a loud parse failure under ``FAILFAST``, matching
+  the engine's fail-loudly contract (SURVEY §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wrds2pg_spark.plans.ingest import SAS_SPECIAL_MISSING
+from wrds2pg_spark.plans.types import spark_type_for_pg, struct_type_for
+
+__all__ = ["read_csv_typed", "read_csv_sas_meta"]
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    col_types: dict[str, str],
+    *,
+    fix_missing: bool = False,
+    header: bool = True,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Read CSV with an explicit schema given as PG type strings
+    (the ``col_types`` vocabulary of the reference's API).
+
+    Column order in ``col_types`` defines the file's column order —
+    dicts preserve insertion order, mirroring the reference forcing
+    canonical names onto the stream (wrds2pg/files/parquet.py:76).
+    """
+    fields, post_casts = [], {}
+    for name, pg in col_types.items():
+        name = name.lower()
+        dt = spark_type_for_pg(pg)
+        if fix_missing and not isinstance(dt, T.StringType):
+            # read as text, scrub special missings, cast after
+            fields.append(T.StructField(name, T.StringType(), True))
+            post_casts[name] = dt
+        else:
+            fields.append(T.StructField(name, dt, True))
+
+    reader = (
+        spark.read.schema(T.StructType(fields))
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .option("nullValue", "")
+        .option("emptyValue", "")
+    )
+    df = reader.csv(path)
+
+    for name, dt in post_casts.items():
+        cleaned = F.when(
+            F.trim(F.col(name)).isin(SAS_SPECIAL_MISSING)
+            | (F.trim(F.col(name)) == ""),
+            F.lit(None),
+        ).otherwise(F.col(name))
+        df = df.withColumn(name, cleaned.cast(dt))
+    return df
+
+
+def read_csv_sas_meta(
+    spark: SparkSession,
+    path: str,
+    meta_rows: list[dict[str, str | int]],
+    col_types: dict[str, str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Read CSV typed from SAS PROC-CONTENTS metadata rows, applying
+    the reference's inference decision table (plans/types.py A15) plus
+    user overrides — the Spark analog of wrds2pg/sas/metadata.py:201-254.
+    """
+    struct = struct_type_for(meta_rows, col_types)
+    pg_like = {}
+    for f in struct.fields:
+        # reuse read_csv_typed by rendering back to PG vocabulary
+        simple = f.dataType.simpleString()
+        pg_like[f.name] = {
+            "string": "text", "int": "integer", "bigint": "bigint",
+            "double": "float8", "date": "date",
+            "timestamp_ntz": "timestamp", "timestamp": "timestamptz",
+        }.get(simple, simple)
+    return read_csv_typed(spark, path, pg_like, **kwargs)
