@@ -67,3 +67,80 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[100]) == 2
     assert sorted(r["n_events"] for r in by_user[100]) == [1, 2]
     assert len(by_user[200]) == 1
+
+
+def test_streaming_session_windows_matches_batch_gaps(spark):
+    """Native session_window stream vs the batch sessionize on the
+    same fixture: session boundaries and per-session event counts
+    must agree (sum over a closed set of events is order-free)."""
+    from wrds2pg_spark.streaming.events import (
+        sessionize,
+        streaming_session_windows,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        events.write.parquet(src)
+        sdf = streaming_session_windows(
+            spark, src, schema=events.schema, gap="30 minutes"
+        )
+        q = (
+            sdf.writeStream.outputMode("complete")
+            .format("memory").queryName("sess_out").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], str(r["session_start"])): r["n_events"]
+                for r in spark.sql("SELECT * FROM sess_out").collect()
+            }
+        finally:
+            q.stop()
+
+    want = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in sessionize(events, gap_seconds=1800).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_user_running_totals_state(spark):
+    """applyInPandasWithState: totals accumulate per user across the
+    stream and match a batch groupBy at end-of-input."""
+    from wrds2pg_spark.streaming.events import streaming_user_running_totals
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        events.write.parquet(src)
+        sdf = streaming_user_running_totals(spark, src, schema=events.schema)
+        q = (
+            sdf.writeStream.outputMode("update")
+            .format("memory").queryName("totals_out").start()
+        )
+        try:
+            q.processAllAvailable()
+            # update mode appends one row per (user, batch); the LAST
+            # row per user is the final running total
+            rows = spark.sql("SELECT * FROM totals_out").collect()
+        finally:
+            q.stop()
+
+    final = {}
+    for r in rows:  # memory sink preserves batch order
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert {u: c for u, (c, _) in final.items()} == {
+        u: c for u, (c, _) in want.items()
+    }
+    for u in want:
+        assert abs(final[u][1] - want[u][1]) < 0.05

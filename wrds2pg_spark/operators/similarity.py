@@ -60,28 +60,54 @@ def _bucket_expr(vec, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def probe_buckets(query_vec: list[float], nbits: int, radius: int = 1) -> list[str]:
+    """The query's signature plus every signature within Hamming
+    distance ``radius`` — multi-probe LSH (Lv et al., VLDB 2007): a
+    vector near a hyperplane lands on either side with ~equal odds, so
+    probing adjacent buckets recovers most of the recall a single
+    bucket loses, without touching more than (1 + nbits) / 2^nbits of
+    the corpus at radius 1."""
+    planes = [hyperplane(j, len(query_vec)) for j in range(nbits)]
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(planes[j], query_vec)) >= 0 else "0"
+        for j in range(nbits)
+    )
+    out = [qbits]
+    if radius >= 1:
+        for j in range(nbits):
+            flipped = qbits[:j] + ("0" if qbits[j] == "1" else "1") + qbits[j + 1:]
+            out.append(flipped)
+    if radius >= 2:
+        for j in range(nbits):
+            for m in range(j + 1, nbits):
+                b = list(qbits)
+                b[j] = "0" if b[j] == "1" else "1"
+                b[m] = "0" if b[m] == "1" else "1"
+                out.append("".join(b))
+    return out
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 20,
     nbits: int = 8,
+    radius: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose hyperplane signature
-    matches the query's bucket.  Recall trades off with nbits; the
-    candidate scan is ~N/2^nbits of the corpus."""
+    falls in the query's multi-probe bucket set.  Recall trades off
+    with nbits/radius; the candidate scan is ~(1+nbits)/2^nbits of the
+    corpus at radius 1 (vs a full scan for brute force)."""
     dim = len(query_vec)
     planes = [hyperplane(j, dim) for j in range(nbits)]
-    qbits = "".join(
-        "1" if sum(a * b for a, b in zip(planes[j], query_vec)) >= 0 else "0"
-        for j in range(nbits)
-    )
+    probes = probe_buckets(query_vec, nbits, radius)
     q = _query_col(query_vec)
     cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
     return (
         df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
-        .filter(F.col("__bucket") == qbits)
+        .filter(F.col("__bucket").isin(probes))
         .select(F.col(id_col), cos)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -791,7 +791,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    from wrds2pg_spark.operators.similarity import hyperplane
+    from wrds2pg_spark.operators.similarity import hyperplane, probe_buckets
 
     nbits, dim = 8, 64
     bits = []
@@ -803,15 +803,11 @@ def _lsh_oracle() -> str:
             f"THEN '1' ELSE '0' END)"
         )
     bucket = " || ".join(bits)
-    qbits = "".join(
-        "1" if sum(a * b for a, b in zip(hyperplane(j, dim), _QVEC)) >= 0
-        else "0"
-        for j in range(nbits)
-    )
+    probes = ", ".join(f"'{b}'" for b in probe_buckets(_QVEC, nbits, radius=1))
     return f"""
     SELECT vec_id, {_emb_cos_sql('embedding', _QVEC_SQL)} AS cos_sim
     FROM embeddings
-    WHERE ({bucket}) = '{qbits}'
+    WHERE ({bucket}) IN ({probes})
     ORDER BY cos_sim DESC, vec_id
     LIMIT 20
     """
@@ -819,14 +815,15 @@ def _lsh_oracle() -> str:
 
 @register("similarity_ann_lsh", oracle=_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: scans only the
-    query's signature bucket (~N/2^8 of the corpus).  Deterministic
-    integer-formula hyperplanes make even the approximation
-    oracle-checkable."""
+    """Approximate top-k via random-hyperplane LSH with multi-probe
+    (Hamming radius 1): scans ~(1+8)/2^8 of the corpus instead of a
+    single bucket whose contents can be empty at small SF.
+    Deterministic integer-formula hyperplanes make even the
+    approximation oracle-checkable."""
     from wrds2pg_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _QVEC, k=20, nbits=8)
+    return lsh_topk(emb, _QVEC, k=20, nbits=8, radius=1)
 
 
 @register(

@@ -13,11 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from wrds2pg_spark.functions.numeric import dsum
 
 __all__ = [
     "tumbling_counts", "sliding_counts", "sessionize",
-    "streaming_tumbling_counts",
+    "streaming_tumbling_counts", "streaming_session_windows",
+    "streaming_user_running_totals",
 ]
 
 
@@ -121,4 +124,91 @@ def streaming_tumbling_counts(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type", "n", "sum_value",
         )
+    )
+
+
+def streaming_session_windows(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Native session windows over a stream: ``F.session_window``
+    merges events into dynamic per-key windows that close when the
+    event-time gap exceeds ``gap``; the watermark lets the state store
+    evict closed sessions.  This is the Structured-Streaming twin of
+    the batch ``sessionize`` (same gap semantics, engine-managed
+    state instead of the lag/cumsum trick)."""
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+def streaming_user_running_totals(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    timeout_minutes: int | None = None,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value total) that survives across
+    micro-batches — the shape Spark's built-in windowed aggregates
+    can't express (unbounded per-key running state emitted every
+    batch).
+
+    State: one (count, total) pair per user_id.  Each batch emits the
+    user's updated totals.  ``timeout_minutes`` turns on
+    processing-time eviction of idle keys (bounded state at 100 TB key
+    cardinality) — note the engine then schedules timeout-handling
+    micro-batches indefinitely, so leave it off for drain-and-stop
+    (``processAllAvailable``) usage like the tests."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_ms = timeout_minutes and timeout_minutes * 60 * 1000
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count],
+             "total_value": [round(total, 2)]}
+        )
+
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="count bigint, total double",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms else GroupStateTimeout.NoTimeout
+        ),
     )
