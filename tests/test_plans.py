@@ -1,0 +1,104 @@
+"""Physical-plan quality gates (SURVEY §4): these tests pin the
+*shape* of the plan, not just its output — a correct result computed
+through a bad plan (full-column scan, shuffled small-dim join,
+driver-side collect) is a regression at 100 TB even when values match.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wrds2pg_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_parquet_pushdown_and_pruning(spark):
+    plan = formatted_plan(spark, "scan_parquet")
+    # predicate reaches the parquet reader
+    assert re.search(r"PushedFilters: \[.*l_returnflag.*\]", plan)
+    # column pruning: only the 4 projected columns in ReadSchema
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "l_linenumber", "l_orderkey", "l_quantity", "l_returnflag"
+    ]
+
+
+def test_ingest_composite_limit_and_filter_pushdown(spark):
+    plan = formatted_plan(spark, "ingest_q1_composite")
+    assert "PushedFilters" in plan
+    # aggregation is partial (map-side combine) before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_inner_broadcasts_small_dim(spark):
+    plan = plan_of(spark, "join_inner")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_semi_anti_broadcast(spark):
+    for name in ("join_semi", "join_anti"):
+        plan = plan_of(spark, name)
+        assert "Broadcast" in plan, name
+
+
+def test_sort_topk_is_take_ordered(spark):
+    # orderBy().limit() must compile to TakeOrderedAndProject —
+    # a global Sort before a limit would be a full-shuffle sort
+    plan = plan_of(spark, "sort_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_similarity_topk_no_shuffle_of_corpus(spark):
+    # brute-force top-k = narrow map + TakeOrdered; any Exchange other
+    # than the final single-partition gather means the corpus shuffled
+    plan = plan_of(spark, "similarity_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_window_rank_single_shuffle(spark):
+    plan = plan_of(spark, "window_rank")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_collect_in_operator_paths():
+    """No driver-side materialization in any operator/query path
+    (BASELINE 100-TB discipline): collect/toPandas/toLocalIterator may
+    appear only in tests and the bench/driver harness.  (Builders do
+    trigger one parquet footer-read job per table via spark.read —
+    schema inference, not data movement.)"""
+    import glob
+    import os
+
+    offenders = []
+    root = os.path.join(os.path.dirname(__file__), "..", "wrds2pg_spark")
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for pat in (".collect()", ".toPandas()", ".toLocalIterator()"):
+            if pat in src:
+                offenders.append((os.path.basename(path), pat))
+    assert offenders == []
