@@ -1,0 +1,86 @@
+"""Skew helpers + IVF similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wrds2pg_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(500)]
+        + [("cold", i, float(i)) for i in range(5)],
+        ["k", "rid", "v"],
+    )
+    got = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", "v"), "total": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+            salt_col="rid",
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    df = spark.createDataFrame(
+        [("hot", i, 1.0) for i in range(100)], ["k", "rid", "v"]
+    )
+    phase1_groups = (
+        df.groupBy(
+            "k", F.pmod(F.xxhash64(F.col("rid")), F.lit(16)).alias("s")
+        ).count().count()
+    )
+    assert phase1_groups > 1  # the hot key really splits
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], ["k", "rid", "v"])
+    try:
+        salted_agg(df, ["k"], {"m": ("avg", "v")}, salt_col="rid")
+        assert False, "avg must be rejected"
+    except ValueError:
+        pass
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "tag"])
+    got = sorted(
+        (r["k"], r["payload"], r["tag"])
+        for r in salted_join(big, small, on="k").collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["tag"])
+        for r in big.join(small, on="k").collect()
+    )
+    assert got == want and len(want) == 300
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from wrds2pg_spark.operators.similarity import brute_force_topk, ivf_topk
+    from wrds2pg_spark.queries import _QVEC
+    from wrds2pg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = [r["vec_id"] for r in brute_force_topk(emb, _QVEC, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(emb, _QVEC, k=10, nlist=8, nprobe=3).collect()
+    ]
+    # nprobe=3 of 8 cells should recover most of the true top-10
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+    assert len(approx) == 10

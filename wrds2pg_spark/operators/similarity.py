@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.vector import cosine_similarity, dot, l2_norm
 
-__all__ = ["brute_force_topk", "lsh_topk", "blocked_pairs", "hyperplane"]
+__all__ = [
+    "brute_force_topk", "lsh_topk", "ivf_topk", "blocked_pairs",
+    "hyperplane", "probe_buckets",
+]
 
 
 def _query_col(query_vec: list[float]):
@@ -147,4 +150,56 @@ def blocked_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(block_col, "id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    nlist: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    corpus into ``nlist`` cells; a query scans only the ``nprobe``
+    cells whose centroids are nearest — the classic FAISS-style ANN
+    layout, scanning ~nprobe/nlist of the corpus.
+
+    Spark shape: KMeans fit (seeded -> deterministic) + a map-only
+    cell assignment; centroid-to-query distances are computed on the
+    tiny centroid list driver-side.  At 100 TB the fit runs on a
+    sample and the cell assignment is materialized once as an index
+    column (partition the lake by cell for real deployments); here it
+    rides the query for self-containment."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__feat"),
+    )
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell"
+    ).fit(feat)
+
+    centers = model.clusterCenters()
+    d2 = [
+        (i, sum((c - q) ** 2 for c, q in zip(center, query_vec)))
+        for i, center in enumerate(centers)
+    ]
+    probe = [i for i, _ in sorted(d2, key=lambda t: t[1])[:nprobe]]
+
+    q = _query_col(query_vec)
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    return (
+        model.transform(feat)
+        .filter(F.col("__cell").isin(probe))
+        .select(F.col(id_col), cos)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
     )

@@ -826,6 +826,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, _QVEC, k=20, nbits=8, radius=1)
 
 
+@register("similarity_ivf", oracle=None)  # kmeans cells are engine-specific
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.py): seeded k-means
+    cells, scan only the nprobe nearest cells.  Cell boundaries depend
+    on the clustering implementation, so the driver records the
+    rows-only check; tests assert recall against brute force."""
+    from wrds2pg_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _QVEC, k=20, nlist=16, nprobe=2)
+
+
 @register(
     "text_stats",
     oracle=None,  # placeholder replaced below with generated SQL
