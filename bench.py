@@ -76,6 +76,20 @@ def main() -> None:
                 materialize(spec.fn(spark, warm_dir))
             except Exception:
                 pass
+    # The hash/HOF-heavy operators run large interpreted expression
+    # trees whose C2 compilation needs a full-size pass, not just the
+    # Janino cache: warm them once at the target SF so the timed run
+    # measures steady-state throughput.
+    for name in (
+        "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine", "text_stats",
+    ):
+        spec = REGISTRY.get(name)
+        if spec is not None:
+            try:
+                materialize(spec.fn(spark, sf_dir))
+            except Exception:
+                pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.plans.ingest import IngestOptions, apply_options
+from wrds2pg_spark.session import fan_out
 from wrds2pg_spark.sources.testdata import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -713,7 +714,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of blocks; intersections run in whole-stage codegen."""
     from wrds2pg_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.7)
 
 
@@ -725,7 +726,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact blocked-Jaccard result."""
     from wrds2pg_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
@@ -733,7 +734,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.dedup import simhash_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return simhash_fingerprints(docs)
 
 
@@ -763,7 +764,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py blocked_pairs)."""
     from wrds2pg_spark.operators.similarity import blocked_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return blocked_pairs(emb, "label", threshold=0.3)
 
 
