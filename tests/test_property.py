@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure-Python layers:
+SAS option parsers (A4-A8), the type-inference decision table (A15),
+and the modified-stamp codec (A16/A24) — SURVEY §5 names these as the
+directly property-testable ports."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wrds2pg_spark.catalog import modified_decode, modified_encode
+from wrds2pg_spark.plans.options import (
+    expand_col_spec,
+    parse_rename,
+    translate_where,
+)
+from wrds2pg_spark.plans.types import pg_type_for_sas_row
+
+_ident = st.text(
+    alphabet=string.ascii_lowercase + "_", min_size=1, max_size=8
+).filter(lambda s: not s.startswith("_"))
+
+
+@given(st.lists(_ident, min_size=1, max_size=10, unique=True))
+def test_expand_col_spec_plain_names_roundtrip(cols):
+    # a spec listing every column verbatim selects exactly those
+    assert expand_col_spec(" ".join(cols), cols) == cols
+
+
+@given(st.lists(_ident, min_size=1, max_size=10, unique=True), st.data())
+def test_expand_col_spec_prefix_wildcard(cols, data):
+    prefix = data.draw(st.sampled_from(cols))[:2]
+    out = expand_col_spec(f"{prefix}:", cols)
+    # wildcard selects exactly the columns with that prefix, in order
+    assert out == [c for c in cols if c.startswith(prefix)]
+
+
+@given(st.lists(st.tuples(_ident, _ident), min_size=1, max_size=8))
+def test_parse_rename_pairs(pairs):
+    # later pairs win on duplicate keys, like SAS rename processing
+    spec = " ".join(f"{a}={b}" for a, b in pairs)
+    out = parse_rename(spec)
+    want = {a: b for a, b in pairs}
+    assert out == want
+
+
+@given(
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([
+        "", "BEST", "BEST12.", "DATETIME20.", "TIME8.", "TOD",
+        "YYMMDD10.", "MMDDYY8.", "DATE9.", "COMMA12.", "E8601DT19.",
+    ]),
+    st.integers(min_value=0, max_value=32),
+    st.integers(min_value=0, max_value=8),
+)
+def test_type_inference_total_and_in_vocab(sas_type, fmt, formatl, formatd):
+    """The decision table is total (never raises) and lands in the
+    reference's output vocabulary; rule precedence holds."""
+    out = pg_type_for_sas_row({
+        "name": "v", "type": sas_type, "format": fmt,
+        "formatl": formatl, "formatd": formatd, "length": 8,
+    })
+    assert out in {"text", "timestamp", "time", "date", "float8", "integer"}
+    if sas_type == 2:
+        assert out == "text"                    # char beats every format rule
+    elif "DATETIME" in fmt:
+        assert out == "timestamp"
+    elif fmt == "E8601DT19.":
+        # matches the reference: /datetime/i does NOT match E8601DT,
+        # so the export format falls through to the numeric rules
+        assert out in {"integer", "float8"}
+    elif fmt in ("TIME8.", "TOD"):
+        assert out == "time"
+    elif fmt in ("YYMMDD10.", "MMDDYY8.", "DATE9."):
+        assert out == "date"
+    elif fmt == "BEST12.":
+        # reference quirk: only bare BEST matches the float rule
+        assert out in {"integer", "float8"}
+
+
+@given(st.integers(min_value=0, max_value=4_102_444_800))  # 1970..2100
+@settings(max_examples=300)
+def test_modified_codec_roundtrip_epoch(epoch):
+    """decode -> encode returns the original epoch except inside the
+    fall-back DST hour, where the wall-time string is genuinely
+    ambiguous and the codec may land one hour off (the reference
+    shares this: csv.py renders wall time with no fold marker)."""
+    s = modified_decode(float(epoch))
+    back = modified_encode(s)
+    assert abs(back - epoch) in (0.0, 3600.0)
+    # the rendered string itself is stable
+    assert modified_decode(back) == s
+
+
+def test_translate_where_examples():
+    # spot invariants the fuzz can't state: dialect keywords translate
+    assert "IS NOT NULL" in translate_where("x is not missing")
+    assert "IS NULL" in translate_where("x is missing")
+    assert translate_where(None) is None

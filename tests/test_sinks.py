@@ -212,3 +212,19 @@ def test_wrds_update_csv_end_to_end(spark, tmp_path):
     parts = glob.glob(os.path.join(path, "*.csv.gz"))
     with gzip.open(parts[0], "rt") as f:
         assert len(f.read().strip().splitlines()) == 4  # header + 3 rows
+
+
+def test_wrds_update_pg_gate(spark, tmp_path):
+    """The PG façade honors the stamp gate without touching the
+    engine (full write path needs a live PG + JDBC driver)."""
+    from wrds2pg_spark.update import source_modified, wrds_update
+
+    src = tmp_path / "src.parquet"
+    spark.range(3).write.parquet(str(src))
+    stamp = source_modified(str(src))
+    called = []
+    assert wrds_update(
+        spark, str(src), "t", "s", "jdbc:postgresql://nowhere/db",
+        sink_modified=stamp, execute_sql=called.append,
+    ) is False
+    assert called == []

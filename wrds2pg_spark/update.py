@@ -25,7 +25,10 @@ from wrds2pg_spark.plans.ingest import IngestOptions, apply_options
 from wrds2pg_spark.sinks.csv import update_csv
 from wrds2pg_spark.sinks.parquet import update_parquet
 
-__all__ = ["read_source", "source_modified", "wrds_update_pq", "wrds_update_csv"]
+__all__ = [
+    "read_source", "source_modified",
+    "wrds_update", "wrds_update_pq", "wrds_update_csv",
+]
 
 
 def source_modified(source_path: str) -> str:
@@ -86,3 +89,36 @@ def wrds_update_csv(
         read_source(spark, source_path), IngestOptions(**ingest_kwargs)
     )
     return update_csv(df, csv_path, modified, force=force, single_file=single_file)
+
+
+def wrds_update(
+    spark: SparkSession,
+    source_path: str,
+    table_name: str,
+    schema: str,
+    jdbc_url: str,
+    *,
+    force: bool = False,
+    col_types: dict[str, str] | None = None,
+    create_roles: bool = False,
+    execute_sql=None,
+    sink_modified: str = "",
+    stage_and_rename: bool = False,
+    **ingest_kwargs,
+) -> bool:
+    """Source file -> ingest options -> PostgreSQL table
+    (wrds2pg/api.py:37-236).  ``sink_modified`` is the stamp read from
+    the existing table comment (query it with the caller's PG
+    connection; this engine only issues SQL through ``execute_sql``)."""
+    from wrds2pg_spark.sinks.postgres import update_postgres
+
+    modified = source_modified(source_path)
+    df = apply_options(
+        read_source(spark, source_path), IngestOptions(**ingest_kwargs)
+    )
+    return update_postgres(
+        df, table_name, schema, jdbc_url,
+        modified=modified, sink_modified=sink_modified, force=force,
+        col_types=col_types, create_roles=create_roles,
+        execute_sql=execute_sql, stage_and_rename=stage_and_rename,
+    )
