@@ -24,12 +24,16 @@ from wrds2pg_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "ingest_q1_composite",
     "scan_parquet",
+    "scan_csv_typed",
     "join_inner",
     "join_left",
+    "join_semi",
+    "join_anti",
     "join_asof",
     "join_range_banded",
     "agg_distinct",
     "agg_rollup",
+    "agg_cube",
     "window_rank",
     "window_running_sum",
     "sort_topk",
@@ -41,14 +45,17 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_ann_lsh",
     "text_stats",
+    "text_langid",
     "text_fingerprint",
     "multimodal_binary_stats",
     "udf_pandas_scalar",
     "stream_tumbling_counts",
+    "stream_sliding_counts",
     "stream_session_window",
 ]
 
@@ -81,7 +88,7 @@ def main() -> None:
     # Janino cache: warm them once at the target SF so the timed run
     # measures steady-state throughput.
     for name in (
-        "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
         "dedup_embedding_cosine", "text_stats",
     ):
         spec = REGISTRY.get(name)

@@ -255,7 +255,10 @@ def simhash_fingerprints(
 
     fp = let_(tok_hashes, fp_of).alias("simhash")
     out = df.select(F.col(id_col), fp)
-    counts = out.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_same"))
-    return out.join(counts, on="simhash", how="inner").select(
-        id_col, "simhash", "n_same"
+    # window count, NOT a groupBy+self-join: the join re-executes the
+    # whole 64-bit fold for its second input; the window shares one
+    # evaluation and one shuffle on the fingerprint
+    return out.select(
+        id_col, "simhash",
+        F.count(F.lit(1)).over(W.partitionBy("simhash")).alias("n_same"),
     )
