@@ -180,3 +180,28 @@ def test_multimodal_resize_truncates(spark):
     rows = {r["id"]: r for r in resize_stub(df, "payload", "doc_id", 4096).collect()}
     assert len(rows[1]["payload"]) == 4096
     assert len(rows[2]["payload"]) == 10
+
+
+def test_dedup_operators_handle_degenerate_docs(spark):
+    """Docs shorter than the shingle width, empty, or whitespace-only
+    must flow through every dedup operator without errors: empty
+    shingle sets produce no buckets (so no pairs), never crashes."""
+    from wrds2pg_spark.operators.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+    )
+
+    rows = [
+        (1, "a", "en", "s1"),
+        (2, "", "en", "s1"),
+        (3, "one two", "en", "s1"),
+        (4, "   ", "en", "s2"),
+        (5, "x y z w v u t s", "en", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    assert minhash_lsh_pairs(docs, 0.5).count() == 0   # no doc has a partner
+    assert simhash_fingerprints(docs).count() == 5     # every doc fingerprinted
+    assert dedup_exact(docs).count() == 5              # all texts distinct
+    assert ngram_jaccard_pairs(docs, ["lang", "source"], 0.9).count() == 0
