@@ -328,6 +328,47 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer survives, orders only above the
+    price filter.  The preserved (right) side cannot broadcast, so the
+    filtered fact side is the broadcast candidate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(o).join(c, o.o_custkey == c.c_custkey, "right")
+        .select("o_orderkey", "c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): Spark exposes them
+    through SQL, so the table registers as a temp view — still one
+    Catalyst plan with a single Expand + partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
     "join_range_banded",
     oracle="""
     SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
