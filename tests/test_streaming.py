@@ -144,3 +144,67 @@ def test_streaming_user_running_totals_state(spark):
     }
     for u in want:
         assert abs(final[u][1] - want[u][1]) < 0.05
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: an event arriving
+    after the watermark passed its window is dropped; windows emit
+    exactly once when the watermark crosses their end."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, user_id long, ts timestamp_ntz, value double"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, ["event_id", "user_id", "ts", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        staging = tmp_path / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        for i, p in enumerate(glob.glob(str(staging / "*.parquet"))):
+            shutil.copy(p, str(src / f"{name}_{i}.parquet"))
+
+    write_batch("b1", [
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 13:00:00", 1.0),   # advances watermark to 12:00
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("wm_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event at 10:30 — behind the 12:00 watermark -> dropped
+        write_batch("b2", [
+            (3, 1, "2024-01-01 10:30:00", 1.0),
+            (4, 1, "2024-01-01 14:00:00", 1.0),
+        ])
+        q.processAllAvailable()
+        write_batch("b3", [(5, 1, "2024-01-01 16:00:00", 1.0)])  # close 13/14h
+        q.processAllAvailable()
+        rows = {
+            str(r["ws"]): r["n"]
+            for r in spark.sql("SELECT * FROM wm_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert rows["2024-01-01 10:00:00"] == 1   # late 10:30 event NOT counted
+    assert rows["2024-01-01 13:00:00"] == 1
+    assert rows["2024-01-01 14:00:00"] == 1
+    assert "2024-01-01 16:00:00" not in rows  # watermark hasn't closed it yet
