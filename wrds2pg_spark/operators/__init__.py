@@ -4,4 +4,24 @@ analysis, multimodal column plumbing.  All are compositions of built-in
 DataFrame ops (single-shuffle patterns) — no row-at-a-time Python."""
 
 from wrds2pg_spark.operators.asof import asof_join  # noqa: F401
+from wrds2pg_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from wrds2pg_spark.operators.multimodal import (  # noqa: F401
+    binary_stats,
+    decode_audio_stub,
+    decode_image_stub,
+    resize_stub,
+    sample_frames_stub,
+)
 from wrds2pg_spark.operators.rangejoin import band_join  # noqa: F401
+from wrds2pg_spark.operators.similarity import (  # noqa: F401
+    blocked_pairs,
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from wrds2pg_spark.operators.skew import salted_agg, salted_join  # noqa: F401

@@ -5,6 +5,8 @@ Streaming twins (watermarks, memory-sink tested)."""
 from wrds2pg_spark.streaming.events import (  # noqa: F401
     sessionize,
     sliding_counts,
+    streaming_session_windows,
     streaming_tumbling_counts,
+    streaming_user_running_totals,
     tumbling_counts,
 )
