@@ -34,13 +34,20 @@ HEADLINE = [
     "agg_distinct",
     "agg_rollup",
     "agg_cube",
+    "agg_percentiles",
     "window_rank",
     "window_running_sum",
+    "window_ntile",
     "sort_topk",
     "set_except_all",
     "scalar_string_date",
     "array_embedding_norm",
     "json_props_extract",
+    "subquery_scalar",
+    "pivot_status_by_priority",
+    "unpivot_customer_metrics",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
     # north-star ops
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -52,6 +59,8 @@ HEADLINE = [
     "text_stats",
     "text_langid",
     "text_fingerprint",
+    "text_token_bpe",
+    "text_rolling_hash",
     "multimodal_binary_stats",
     "udf_pandas_scalar",
     "stream_tumbling_counts",

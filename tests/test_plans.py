@@ -85,6 +85,31 @@ def test_minhash_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_q3_broadcast_and_topk(spark):
+    # filtered customer dim broadcasts; the final top-10 must be
+    # TakeOrderedAndProject, not a global sort of the aggregate
+    plan = plan_of(spark, "tpch_q3_shape")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_no_cartesian_all_dims_broadcast(spark):
+    plan = plan_of(spark, "tpch_q5_shape")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # supplier/nation/region all ride broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_subquery_scalar_broadcasts_aggregate(spark):
+    # the 1-row global aggregate must broadcast into the filter, never
+    # trigger a shuffle join of the fact table against it
+    plan = plan_of(spark, "subquery_scalar")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_collect_in_operator_paths():
     """No driver-side materialization in any operator/query path
     (BASELINE 100-TB discipline): collect/toPandas/toLocalIterator may

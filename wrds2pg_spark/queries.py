@@ -1087,3 +1087,277 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.streaming.events import sessionize
 
     return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+# ---------------------------------------------------------------------------
+# Extended SQL surface: subqueries, pivot/unpivot, percentiles, analytic
+# windows, multi-join TPC-H shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "subquery_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {DAVG_SQL('o_totalprice', 2)} FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (orders above the global mean).
+    Spark shape: the 1-row aggregate broadcasts into the filter — same
+    plan Catalyst produces for a scalar subquery, written explicitly so
+    the deterministic mean (davg, functions/numeric.py) is shared with
+    the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.agg(davg(F.col("o_totalprice"), 2).alias("__avg"))
+    return (
+        o.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order counts per priority x status.  Explicit
+    pivot values keep the plan a single pass (no distinct-value scan);
+    empty cells coalesce to 0 to match COUNT FILTER semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@register(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric,
+           CAST(c_acctbal AS DOUBLE) AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric,
+           CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    """,
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long, melt): numeric customer metrics into
+    (metric, value) rows — Spark's native ``unpivot`` (Expand node, one
+    pass, no join or union re-scan)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``).  Quartile fractions of integral
+    quantities stay exactly representable in IEEE doubles, so the
+    cross-engine hash matches without an epsilon."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(q, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(q, F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile(q, F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile / percent_rank / cume_dist) in one
+    window spec — a single shuffle on the partition key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "tpch_q3_shape",
+    oracle=f"""
+    SELECT l.l_orderkey, {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)', 4)}
+               AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer -> orders -> lineitem,
+    revenue per order, top 10.  The filtered customer side broadcasts
+    into orders, so only lineitem->orders shuffles; the final top-k is
+    TakeOrderedAndProject (no global sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_shape",
+    oracle=f"""
+    SELECT n.n_name,
+           {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, local-supplier revenue by nation.
+    nation/region/supplier broadcast (small dims); the only repartition
+    shuffle is lineitem->orders on orderkey.  Catalyst pushes the
+    region filter through the nation join into the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, 4).alias("revenue"))
+    )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens next to a BPE-ish
+    regex segmentation (letter runs | digit runs | single punctuation —
+    the GPT-2 pre-tokenizer shape).  Both are JVM regex built-ins; the
+    pattern avoids engine-specific syntax so Java and RE2 agree."""
+    from wrds2pg_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_PATTERN), 0))
+            .cast("long").alias("n_bpe_tokens"),
+        token_count(t).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(
+                 string_split_regex(lower(trim(text)), '\\s+'),
+                 t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+             (acc, v) -> (acc * 31 + v) % 1000000007) AS rolling_hash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over the token stream:
+    acc = (acc*31 + (ascii(t)*131 + len(t))) mod 1e9+7 — the classic
+    Rabin-Karp shape, order-SENSITIVE (unlike text_fingerprint's
+    sorted-set md5), so reordered documents hash differently.  Pure
+    fold in whole-stage codegen; modulus keeps every intermediate
+    below 2^35, bit-identical across engines."""
+    from wrds2pg_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_vals = F.transform(
+        tokens(F.col("text")),
+        lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long"),
+    )
+    rolling = F.aggregate(
+        tok_vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % 1000000007,
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash"))
