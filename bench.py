@@ -99,6 +99,10 @@ def main() -> None:
     for name in (
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
         "dedup_embedding_cosine", "text_stats",
+        # the flagship runs FIRST in the timed loop: warm it at the
+        # target SF too, so its slot measures the query, not the
+        # first-touch page-cache fill of the sf0.1 lineitem scan
+        "ingest_q1_composite",
     ):
         spec = REGISTRY.get(name)
         if spec is not None:
