@@ -208,3 +208,42 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert rows["2024-01-01 13:00:00"] == 1
     assert rows["2024-01-01 14:00:00"] == 1
     assert "2024-01-01 16:00:00" not in rows  # watermark hasn't closed it yet
+
+
+def test_streaming_dedup_key_set_matches_batch(spark):
+    """dropDuplicatesWithinWatermark keeps first ARRIVAL per key; the
+    batch twin keeps first event-time row.  The surviving KEY SET and
+    per-key count (exactly one) must agree."""
+    import os
+    import tempfile
+
+    from wrds2pg_spark.streaming.events import dedup_first, streaming_dedup
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        events.write.parquet(src)
+        sdf = streaming_dedup(spark, src, schema=events.schema)
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory").queryName("dedup_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = [
+                (r["user_id"], r["event_type"])
+                for r in spark.sql(
+                    "SELECT user_id, event_type FROM dedup_out"
+                ).collect()
+            ]
+        finally:
+            q.stop()
+
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_first(events).collect()
+    }
+    assert len(got) == len(set(got))        # exactly one row per key
+    assert set(got) == want
+    assert len(want) > 0

@@ -1361,3 +1361,52 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: (acc * 31 + v) % 1000000007,
     )
     return docs.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user_id, event_type) in event-time order — the
+    batch twin of the watermarked ``dropDuplicatesWithinWatermark``
+    stream (streaming/events.py streaming_dedup, whose state the
+    watermark bounds at 100-TB key cardinality)."""
+    from wrds2pg_spark.streaming.events import dedup_first
+
+    return dedup_first(load_table(spark, sf_dir, "events"))
+
+
+@register("multimodal_audio_features", oracle=None)  # stub decoder
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of the image decode pipeline: binary payloads ->
+    typed (sample_rate, n_channels, duration, rms) features through
+    Arrow-batched mapInPandas (deterministic stub decoder —
+    operators/multimodal.py)."""
+    from wrds2pg_spark.operators.multimodal import decode_audio_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    as_bin = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_audio_stub(as_bin, "payload", "doc_id")
+
+
+@register("multimodal_frame_sample", oracle=None)  # stub sampler
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: ONE input row expands to N frame
+    rows inside mapInPandas — the row-expanding UDF shape a real
+    ffmpeg sampler uses (deterministic stub; operators/multimodal.py)."""
+    from wrds2pg_spark.operators.multimodal import sample_frames_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    as_bin = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames_stub(as_bin, "payload", "doc_id", fps=1.0)

@@ -18,9 +18,9 @@ import pandas as pd
 from wrds2pg_spark.functions.numeric import dsum
 
 __all__ = [
-    "tumbling_counts", "sliding_counts", "sessionize",
+    "tumbling_counts", "sliding_counts", "sessionize", "dedup_first",
     "streaming_tumbling_counts", "streaming_session_windows",
-    "streaming_user_running_totals",
+    "streaming_user_running_totals", "streaming_dedup",
 ]
 
 
@@ -94,6 +94,43 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             dsum(F.col("value"), 2).alias("sum_value"),
         )
     )
+
+
+def dedup_first(
+    events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type")
+) -> DataFrame:
+    """Batch twin of streaming dedup: keep the FIRST event per key in
+    event-time order (deterministic (ts, event_id) tiebreak) — the
+    classic at-most-once-per-key reduction of an event feed.  One
+    shuffle on the key; the ranking window prunes everything else."""
+    w = W.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    watermark: str = "2 hours",
+):
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: one state
+    entry per (user_id, event_type) that the watermark evicts once no
+    earlier duplicate can arrive — bounded state, unlike a plain
+    ``dropDuplicates`` whose key store grows forever.  Keeps the first
+    ARRIVAL per key (arrival order, not event-time order — the batch
+    twin ``dedup_first`` resolves ties by event time instead), so
+    equivalence tests compare the surviving KEY SET, not row
+    identity."""
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    return stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
 
 
 def streaming_tumbling_counts(
