@@ -1410,3 +1410,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return sample_frames_stub(as_bin, "payload", "doc_id", fps=1.0)
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {DSUM_SQL('l_quantity', 2)} AS sum_qty,
+           {DSUM_SQL('l_extendedprice', 2)} AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py salted_agg):
+    3 grouping keys over 600k rows is maximal skew — each key's rows
+    first spread across 16 salted partials, then merge.  Salting never
+    changes the result (decomposable aggregates), so the oracle is the
+    plain GROUP BY."""
+    from wrds2pg_spark.functions.numeric import _scaled
+    from wrds2pg_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        _scaled(F.col("l_quantity"), 2).alias("__q"),
+        _scaled(F.col("l_extendedprice"), 2).alias("__p"),
+    )
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", "l_orderkey"),
+            "__sq": ("sum", "__q"),
+            "__sp": ("sum", "__p"),
+        },
+        salt_col="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n"),
+        (F.col("__sq").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("__sp").cast("double") / 100.0).alias("sum_price"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, n.n_name
+    FROM lineitem l
+    JOIN (SELECT n_nationkey, n_name FROM nation) n
+      ON (l.l_suppkey % 5) = n.n_nationkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (operators/skew.py salted_join): the fact
+    side's 5-value derived key is pathologically hot; salting spreads
+    each hot key over 16 tasks while the small side replicates 16x.
+    Salting never changes the join result, so the oracle is the plain
+    equi-join."""
+    from wrds2pg_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_suppkey") % 5).alias("__hot"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__hot"), "n_name"
+    )
+    out = salted_join(
+        li, n, on="__hot", how="inner",
+        salt_uniquifier=F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+    )
+    return out.select("l_orderkey", "l_linenumber", "n_name")
