@@ -107,3 +107,31 @@ def test_read_sas7bdat_decodes(spark, tmp_path):
     )
     got = sorted((r["permno"], r["name"]) for r in df.collect())
     assert got == [(1.0, "row1"), (2.0, "row2")]
+
+
+def test_read_json_typed_failfast_on_malformed(spark, tmp_path):
+    """FAILFAST contract: a malformed JSONL record is a loud error,
+    not a silent null row (SURVEY §7 hard part 3)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from wrds2pg_spark.sources.json import read_json_typed
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\n{"a": not-json}\n')
+    df = read_json_typed(spark, str(p), {"a": "bigint"})
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_read_json_typed_lowercases_and_types(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from wrds2pg_spark.sources.json import read_json_typed
+
+    p = tmp_path / "ok.jsonl"
+    p.write_text('{"ID": 1, "Name": "x"}\n')
+    df = read_json_typed(spark, str(p), {"ID": "bigint", "Name": "text"})
+    assert [f.name for f in df.schema.fields] == ["id", "name"]
+    assert isinstance(df.schema["id"].dataType, T.LongType)

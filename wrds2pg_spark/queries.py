@@ -1483,3 +1483,48 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_uniquifier=F.col("l_orderkey") * 10 + F.col("l_linenumber"),
     )
     return out.select("l_orderkey", "l_linenumber", "n_name")
+
+
+@register(
+    "scan_json_typed",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'click' AND value > 100
+    """,
+)
+def scan_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON-lines ingest (sources/json.py): explicit PG-typed
+    schema, FAILFAST, pinned microsecond timestampFormat — no
+    inference scan.  The JSONL fixture derives once from the events
+    parquet into a deterministic temp path keyed on the sf dir; the
+    oracle reads the same rows from the parquet view, so the check
+    covers the JSON round-trip including timestamps."""
+    import hashlib
+    import os
+
+    from wrds2pg_spark.sources.json import read_json_typed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    json_dir = f"/tmp/wrds2pg_spark_fixtures/events_jsonl_{tag}"
+    if not os.path.exists(os.path.join(json_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id", "event_type", "value",
+            )
+            .write.mode("overwrite")
+            .json(json_dir)
+        )
+    df = read_json_typed(
+        spark,
+        json_dir,
+        {
+            "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+            "event_type": "text", "value": "float8",
+        },
+        timestamp_format="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+    return df.filter((F.col("event_type") == "click") & (F.col("value") > 100))
