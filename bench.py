@@ -48,6 +48,10 @@ HEADLINE = [
     "unpivot_customer_metrics",
     "tpch_q3_shape",
     "tpch_q5_shape",
+    "agg_salted_skew",
+    "join_salted_skew",
+    "explode_unnest",
+    "scan_json_typed",
     # north-star ops
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -66,6 +70,7 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_window",
+    "stream_dedup",
 ]
 
 

@@ -1528,3 +1528,48 @@ def scan_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_format="yyyy-MM-dd HH:mm:ss.SSSSSS",
     )
     return df.filter((F.col("event_type") == "click") & (F.col("value") > 100))
+
+
+@register(
+    "explode_unnest",
+    oracle=r"""
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator path (explode / LATERAL VIEW == SQL UNNEST): token
+    frequency top-20.  Generate runs inside the same stage as the scan
+    (no shuffle before the partial aggregate); the top-k is
+    TakeOrdered over the merged counts."""
+    from wrds2pg_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two small dims — the one join
+    shape that must NEVER appear against a fact table (plan gates
+    elsewhere assert its absence); here the broadcast nested-loop
+    over 5x25 rows is the correct physical choice."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
