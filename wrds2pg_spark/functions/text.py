@@ -111,21 +111,31 @@ def lang_scores(text: Column) -> Column:
 
 
 def predicted_lang(text: Column) -> Column:
-    """argmax over lang_scores with deterministic lexicographic
-    tiebreak; 'und' (undetermined) when no stopwords hit at all."""
-    toks = tokens(text)
-    scores = [(lang, _contains_any(toks, STOPWORDS[lang]))
-              for lang in sorted(STOPWORDS)]
-    best = None
-    best_score = None
-    for lang, score in scores:
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            cond = score > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    """argmax over per-language stopword hits with deterministic
+    smallest-lang tiebreak; 'und' (undetermined) when no stopwords hit.
+
+    Single pass: the token array is let_-bound (tokenized once, not
+    once per language) and the argmax is ``array_max`` over
+    (score, neg_rank, lang) structs — struct comparison is score
+    first, then neg_rank, so ties resolve to the lexicographically
+    smallest language.  A chained when/otherwise fold would duplicate
+    every score expression O(langs^2) times (the collapsed-projection
+    trap, functions/expr.py)."""
+    langs = sorted(STOPWORDS)
+
+    def pick(toks: Column) -> Column:
+        cands = F.array(*[
+            F.struct(
+                _contains_any(toks, STOPWORDS[lang]).alias("score"),
+                F.lit(-i).alias("neg_rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ])
+        best = F.array_max(cands)
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return let_(tokens(text), pick)
 
 
 def PREDICTED_LANG_SQL(expr: str = "text") -> str:
