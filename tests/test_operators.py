@@ -94,6 +94,44 @@ def test_asof_join_semantics(spark):
     assert out[4] is None       # no right rows for key 30 (left outer)
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    from wrds2pg_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 350), (4, 20, 100)],
+        ["eid", "k", "t"],
+    ).select("eid", "k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(10, 150, "a"), (10, 205, "b"), (10, 400, "c")],
+        ["k", "t", "v"],
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+
+    fwd = {
+        r["eid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, left_on="t", right_on="t",
+            left_by="k", right_by="k", right_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == "a"        # earliest right >= 100 is 150
+    assert fwd[2] == "b"        # inclusive >= at exactly 205
+    assert fwd[3] == "c"        # 400 >= 350
+    assert fwd[4] is None       # key 20 has no right rows
+
+    tol = {
+        r["eid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, left_on="t", right_on="t",
+            left_by="k", right_by="k", right_cols=["v"],
+            direction="backward", tolerance=60.0,
+        ).collect()
+    }
+    assert tol[2] == "b"        # delta 0 <= 60s
+    assert tol[3] is None       # nearest backward (205) is 145s away: voided
+    assert tol[1] is None       # nothing at or before 100
+
+
 def test_band_join_equals_naive(spark):
     from wrds2pg_spark.operators.rangejoin import band_join
 

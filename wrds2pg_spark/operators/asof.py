@@ -17,17 +17,38 @@ a sort-merge join, so it scales to 100 TB the way any keyed window
 does.  Skewed keys can be salted upstream if a single key's history
 exceeds a partition.
 
-Right rows at the same timestamp as a left row sort *before* it
-(is_left 0 < 1), giving inclusive <= semantics; ties between right
-rows resolve by ``tiebreak`` ascending, so the largest tiebreak wins.
+Direction and tolerance mirror the pandas ``merge_asof`` surface:
+``direction="backward"`` (default) matches the most recent right row
+with time <= left time; ``"forward"`` matches the earliest right row
+with time >= left time (the traversal simply runs in reverse).
+``tolerance`` (seconds for timestamps, plain delta for numerics)
+voids matches farther than the bound — the matched right time rides
+the same window, so the check is a post-projection filter, not a
+second pass.
+
+Semantics at ties: right rows at the same timestamp as a left row
+sort *before* it in traversal order (inclusive <=/>=); ties between
+right rows resolve by ``tiebreak`` ascending in traversal order, so
+the largest tiebreak wins in both directions.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join"]
+
+
+def _time_delta(a, b, dtype) -> F.Column:
+    """|a - b| in seconds for timestamps, plain |a - b| otherwise."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.abs(
+            (F.unix_micros(a.cast("timestamp")) -
+             F.unix_micros(b.cast("timestamp"))).cast("double") / 1e6
+        )
+    return F.abs(a.cast("double") - b.cast("double"))
 
 
 def asof_join(
@@ -40,10 +61,19 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: for each left row, attach ``right_cols`` from the
-    most recent right row with ``right_on <= left_on`` and matching key.
-    Unmatched left rows keep nulls (left-outer semantics)."""
+    """Left as-of join: for each left row, attach ``right_cols`` from
+    the nearest right row in ``direction`` with a matching key
+    (``right_on <= left_on`` for backward, ``>=`` for forward).
+    Unmatched left rows — including matches voided by ``tolerance`` —
+    keep nulls (left-outer semantics)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    carry = list(right_cols)
+    if tolerance is not None and right_on not in carry:
+        carry = carry + [right_on]
     l_tagged = left.select(
         F.col(left_by).alias("__k"),
         F.col(left_on).alias("__t"),
@@ -51,7 +81,7 @@ def asof_join(
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in left.columns],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-          for c in right_cols],
+          for c in carry],
     )
     tb = (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long")
     r_tagged = right.select(
@@ -61,17 +91,30 @@ def asof_join(
         tb.alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns],
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        *[F.col(c).alias(f"{prefix}{c}") for c in carry],
     )
     u = l_tagged.unionByName(r_tagged)
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         W.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_l").asc(), F.col("__tb").asc())
+        .orderBy(t_order, F.col("__is_l").asc(), F.col("__tb").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    for c in right_cols:
+    for c in carry:
         u = u.withColumn(
             f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
         )
+    u = u.filter(F.col("__is_l") == 1)
+    if tolerance is not None:
+        matched_t = F.col(f"{prefix}{right_on}")
+        in_range = matched_t.isNotNull() & (
+            _time_delta(F.col("__t"), matched_t, right.schema[right_on].dataType)
+            <= F.lit(float(tolerance))
+        )
+        for c in right_cols:
+            u = u.withColumn(
+                f"{prefix}{c}",
+                F.when(in_range, F.col(f"{prefix}{c}")).otherwise(F.lit(None)),
+            )
     out_cols = list(left.columns) + [f"{prefix}{c}" for c in right_cols]
-    return u.filter(F.col("__is_l") == 1).select(*out_cols)
+    return u.select(*out_cols)

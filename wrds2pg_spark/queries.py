@@ -1573,3 +1573,37 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_o_orderkey,
+           o.o_orderdate AS asof_o_orderdate
+    FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        ORDER BY o_orderdate ASC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event joined to the user's NEXT order at or
+    after the event (operators/asof.py, direction="forward" — the same
+    single-shuffle union+window traversal run in reverse)."""
+    from wrds2pg_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return asof_join(
+        e, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
