@@ -48,6 +48,8 @@ HEADLINE = [
     "unpivot_customer_metrics",
     "tpch_q3_shape",
     "tpch_q5_shape",
+    "tpch_q10_shape",
+    "tpch_q18_shape",
     "agg_salted_skew",
     "join_salted_skew",
     "explode_unnest",

@@ -1607,3 +1607,84 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="o_orderkey",
         direction="forward",
     )
+
+
+@register(
+    "tpch_q10_shape",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    The returnflag filter pushes into the lineitem scan; nation
+    broadcasts; the top-k is TakeOrdered over the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_shape",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           {DSUM_SQL('l.l_quantity', 2)} AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {DSUM_SQL('l_quantity', 2)} > 200
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+    """,
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-quantity orders — HAVING over an
+    aggregate feeding an IN-subquery.  Spark shape: the HAVING
+    aggregate becomes a filtered groupBy whose (small) key set
+    broadcast-semi-joins back into the fact pipeline."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("__tq"))
+        .filter(F.col("__tq") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            F.broadcast(big).withColumnRenamed("l_orderkey", "__bigkey"),
+            F.col("o_orderkey") == F.col("__bigkey"), "left_semi",
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+    )
