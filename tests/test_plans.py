@@ -110,6 +110,21 @@ def test_subquery_scalar_broadcasts_aggregate(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_tpch_q10_broadcast_topk(spark):
+    plan = plan_of(spark, "tpch_q10_shape")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q18_semi_join_on_having_keys(spark):
+    # the HAVING key set must come back as a (broadcast) SEMI join —
+    # an inner join against the aggregate would duplicate fact rows
+    plan = plan_of(spark, "tpch_q18_shape")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_collect_in_operator_paths():
     """No driver-side materialization in any operator/query path
     (BASELINE 100-TB discipline): collect/toPandas/toLocalIterator may
