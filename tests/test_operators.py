@@ -243,3 +243,20 @@ def test_dedup_operators_handle_degenerate_docs(spark):
     assert simhash_fingerprints(docs).count() == 5     # every doc fingerprinted
     assert dedup_exact(docs).count() == 5              # all texts distinct
     assert ngram_jaccard_pairs(docs, ["lang", "source"], 0.9).count() == 0
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-hop chain needs several propagation rounds; disjoint pieces
+    must keep distinct labels."""
+    from wrds2pg_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12), (10, 12),        # triangle 10-12
+         (20, 21)],                           # pair
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert all(comp[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert all(comp[i] == 10 for i in (10, 11, 12))
+    assert comp[20] == comp[21] == 20

@@ -5,6 +5,7 @@ DataFrame ops (single-shuffle patterns) — no row-at-a-time Python."""
 
 from wrds2pg_spark.operators.asof import asof_join  # noqa: F401
 from wrds2pg_spark.operators.dedup import (  # noqa: F401
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,

@@ -31,7 +31,7 @@ from wrds2pg_spark.functions.text import shingles, tokens
 
 __all__ = [
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_fingerprints",
+    "simhash_fingerprints", "connected_components",
 ]
 
 
@@ -283,3 +283,57 @@ def simhash_fingerprints(
         id_col, "simhash",
         F.count(F.lit(1)).over(W.partitionBy("simhash")).alias("n_same"),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a pair graph — duplicate-group
+    assignment from near-dup PAIRS (minhash/simhash/cosine output):
+    every vertex gets the smallest vertex id reachable from it as its
+    component label.
+
+    Iterative min-label propagation, the standard large-graph shape
+    (GraphX/Pregel CC without the framework): per round each vertex
+    takes min(own label, neighbors' labels) — a join + groupBy(min),
+    all distributed; the driver sees only a 1-row convergence count
+    per round, never data.  Rounds needed = graph diameter, which for
+    near-dup clusters is tiny (stars/cliques: 1-2).  localCheckpoint
+    truncates lineage so plans stay O(1) per round instead of
+    compounding.
+
+    Dedup-pair graphs are symmetric cliques in the limit, so
+    ``max_iter`` is a safety rail, not a tuning knob; raise it only
+    for long-chain graphs (their diameter bounds the rounds)."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.v == labels.id)
+            .select(F.col("u").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

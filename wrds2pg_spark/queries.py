@@ -1688,3 +1688,38 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@register(
+    "dedup_cluster_exact",
+    oracle="""
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS comp
+    FROM documents
+    """,
+)
+def dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP assignment via iterative connected components
+    (operators/dedup.py): pairs from exact-duplicate texts form
+    cliques, so the component label must equal the min doc_id per
+    text — which is exactly what the SQL window oracle computes,
+    making the iterative algorithm itself oracle-checkable.
+    Singleton docs are their own component."""
+    from wrds2pg_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5(F.col("text")).alias("__h"))
+    rep = h.groupBy("__h").agg(F.min("doc_id").alias("__rep"))
+    pairs = (
+        h.join(F.broadcast(rep), "__h")
+        .filter(F.col("doc_id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    comps = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
+        )
+    )
