@@ -50,6 +50,10 @@ HEADLINE = [
     "tpch_q5_shape",
     "tpch_q10_shape",
     "tpch_q18_shape",
+    "tpch_q12_shape",
+    "tpch_q14_shape",
+    "window_range_frame",
+    "subquery_correlated",
     "agg_salted_skew",
     "join_salted_skew",
     "explode_unnest",

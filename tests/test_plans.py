@@ -146,3 +146,33 @@ def test_no_collect_in_operator_paths():
             if pat in src and (os.path.basename(path), pat) not in allowed:
                 offenders.append((os.path.basename(path), pat))
     assert offenders == []
+
+
+def test_tpch_q14_broadcasts_part(spark):
+    # part is a dim: it must broadcast so lineitem never shuffles, and
+    # both conditional sums ride a single aggregate (partial+final).
+    plan = plan_of(spark, "tpch_q14_shape")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # only one shuffle: the 1-row final agg (BroadcastExchange aside)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+
+
+def test_tpch_q12_single_fact_shuffle(spark):
+    # fact-fact join: exactly one shuffle pair on orderkey, then a
+    # 3-group aggregate — no extra exchanges after the join.
+    plan = plan_of(spark, "tpch_q12_shape")
+    assert "HashAggregate" in plan
+
+
+def test_subquery_correlated_broadcasts_nation_avgs(spark):
+    # the decorrelated per-nation aggregate (~25 rows) broadcasts back;
+    # the customer fact side must not shuffle for the join.
+    plan = plan_of(spark, "subquery_correlated")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_range_frame_single_shuffle(spark):
+    plan = plan_of(spark, "window_range_frame")
+    assert plan.count("Exchange") == 1

@@ -1723,3 +1723,132 @@ def dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
         )
     )
+
+
+@register(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode -> orderpriority since the fixture has
+    no l_shipmode): fact-fact equi-join with a theta residual
+    (l_shipdate > o_orderdate) and CASE-WHEN conditional counts.  One
+    shuffle on orderkey; the conditional aggregation is a map-side
+    partial (two long sums), so the final exchange carries 3 rows per
+    partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_shape",
+    oracle=f"""
+    SELECT 100.0 * {DSUM_SQL(
+        "CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4)}
+        / {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)', 4)}
+        AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share.  part broadcasts (dim),
+    so lineitem never shuffles; both conditional sums ride one
+    aggregate over the same joined stream, and the final division of
+    two exact scaled-long sums is a single IEEE op — bit-identical to
+    the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo, 4) / dsum(rev, 4))
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           (CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0) AS spend_to_date
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, peer-inclusive) vs the ROWS frame of
+    window_running_sum: orders on the same date are peers, so each
+    gets the same cumulative total — the semantic a ROWS frame cannot
+    express.  The sum runs over scaled longs (exact, set-associative),
+    so peer-visit order inside either engine cannot perturb it."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scaled = F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.sum(scaled).over(w).cast("double") / F.lit(100.0))
+        .alias("spend_to_date"),
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT {DAVG_SQL('c2.c_acctbal', 2)}
+        FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance), hand-decorrelated the way Catalyst rewrites it: per-key
+    aggregate + broadcast join back + filter.  ~25 nation rows
+    broadcast, so the fact side never shuffles.  The mean is the exact
+    scaled-long mean (functions/numeric.py), making the > comparison
+    bit-stable across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    nat_avg = c.groupBy("c_nationkey").agg(
+        davg(F.col("c_acctbal"), 2).alias("__nat_avg")
+    )
+    return (
+        c.join(F.broadcast(nat_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("__nat_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
