@@ -145,8 +145,17 @@ def blocked_pairs(
     prods = F.zip_with("va", "vb", lambda x, y: x * y)
     d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
     cos = F.round(d / (F.col("na") * F.col("nb")), 6)
+    # Broadcast the build side: block keys are FEW (that is what makes
+    # blocking effective), so a hash-shuffle on the block key would
+    # concentrate the quadratic pair CPU on a handful of cores — and
+    # an implicit exchange additionally invites AQE size-coalescing
+    # (bytes are tiny, CPU is not).  Broadcasting keeps the probe side
+    # at its incoming round-robin width with zero shuffles; every core
+    # generates pairs for its probe slice.  At corpus sizes where the
+    # build side outgrows broadcast, pre-partition BOTH sides by a
+    # (block, salt) composite instead.
     return (
-        a.join(b, on=block_col, how="inner")
+        a.join(F.broadcast(b), on=block_col, how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(block_col, "id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -38,7 +38,20 @@ def get_spark(
         ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # Coalesce post-shuffle partitions by SIZE (64 MB advisory),
+        # not by parallelism — the Spark tuning guide's recommendation
+        # for clusters, and it also cuts per-task scheduler overhead
+        # when a stage's output is small.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Single-machine local mode has no data locality to wait for;
+        # on a real cluster delay scheduling trades 3s/stage for
+        # locality — irrelevant with modern disaggregated storage.
+        "spark.locality.wait": "0s",
+        # Fewer, larger Arrow batches across the Python boundary for
+        # the Pandas-UDF operators (minhash banding, simhash folding):
+        # per-batch Python dispatch is the fixed cost worth amortizing.
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.driver.memory": driver_memory,
