@@ -59,6 +59,7 @@ HEADLINE = [
     "explode_unnest",
     "scan_json_typed",
     # north-star ops
+    "pipeline_training_data",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

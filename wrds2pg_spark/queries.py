@@ -1852,3 +1852,72 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("__nat_avg"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
+
+
+def _pipeline_oracle() -> str:
+    from wrds2pg_spark.functions.text import (
+        PREDICTED_LANG_SQL, QUALITY_SCORE_SQL, TOKENS_SQL,
+    )
+
+    return f"""
+    WITH uniq AS (
+        SELECT MIN(doc_id) AS doc_id, text
+        FROM documents GROUP BY text
+    ), feat AS (
+        SELECT doc_id,
+               {QUALITY_SCORE_SQL('text')} AS q,
+               {PREDICTED_LANG_SQL('text')} AS lang,
+               CAST(len({TOKENS_SQL('text')}) AS BIGINT) AS n_tok
+        FROM uniq
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           {DAVG_SQL('q', 6)} AS avg_quality
+    FROM feat
+    WHERE q >= 0.4 AND n_tok BETWEEN 5 AND 5000
+    GROUP BY lang
+    """
+
+
+@register("pipeline_training_data", oracle=_pipeline_oracle())
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composite — the flagship shape
+    of an LLM data pipeline: exact dedup -> quality gate -> language ID
+    -> per-language token budget.
+
+    Scale design: every text-derived feature (quality score, language,
+    token count) is computed in the NARROW pre-shuffle stage, so the
+    dedup groupBy shuffles only (md5, doc_id, 3 small features) — never
+    the document bodies.  Within an md5 group the texts are identical,
+    so min() over each feature is exact, not an arbitrary pick.  One
+    hash shuffle + one tiny per-language aggregate; at 100 TB both
+    stages stay map-side-combined and skew-free (md5 keys are
+    uniform)."""
+    from wrds2pg_spark.functions.text import (
+        predicted_lang, quality_score, token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feat = docs.select(
+        F.md5(t).alias("__h"),
+        F.col("doc_id"),
+        quality_score(t).alias("q"),
+        predicted_lang(t).alias("lang"),
+        token_count(t).alias("n_tok"),
+    )
+    uniq = feat.groupBy("__h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("q").alias("q"),
+        F.min("lang").alias("lang"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    kept = uniq.filter(
+        (F.col("q") >= 0.4) & F.col("n_tok").between(5, 5000)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        davg(F.col("q"), 6).alias("avg_quality"),
+    )
