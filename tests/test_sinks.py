@@ -228,3 +228,39 @@ def test_wrds_update_pg_gate(spark, tmp_path):
         sink_modified=stamp, execute_sql=called.append,
     ) is False
     assert called == []
+
+
+def test_write_sorted_rowgroup_stats_disjoint(spark, tmp_path):
+    """write_sorted must produce files whose row-group min/max ranges
+    on the sort key are tight and pairwise disjoint ACROSS files —
+    that is the property the parquet reader's predicate pushdown
+    prunes on."""
+    import pyarrow.parquet as pq
+
+    from wrds2pg_spark.sinks.parquet import write_sorted
+    from wrds2pg_spark.sources.testdata import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_sorted(li, out, ["l_shipdate"], num_files=4)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "row-group ranges overlap — no skipping possible"
+
+    # and a range predicate on the sorted column reaches the scan
+    got = spark.read.parquet(out).filter("l_shipdate >= '1995-01-01'")
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "l_shipdate" in plan
