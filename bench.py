@@ -52,6 +52,21 @@ HEADLINE = [
     "tpch_q18_shape",
     "tpch_q12_shape",
     "tpch_q14_shape",
+    "tpch_q2_shape",
+    "tpch_q4_shape",
+    "tpch_q6_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q11_shape",
+    "tpch_q13_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q19_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
     "window_range_frame",
     "subquery_correlated",
     "agg_salted_skew",

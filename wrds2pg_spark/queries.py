@@ -1921,3 +1921,723 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         davg(F.col("q"), 6).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H: the remaining 15 query shapes (Q2 Q4 Q6 Q7 Q8 Q9 Q11 Q13 Q15 Q16
+# Q17 Q19 Q20 Q21 Q22), adapted to the fixture schema.  The fixtures carry
+# no partsupp table and no l_shipmode/l_commitdate/l_receiptdate columns
+# (TESTDATA.md), so:
+#   - partsupp is surrogated by the distinct (l_partkey, l_suppkey) pairs
+#     with ps_supplycost = min(l_extendedprice) and ps_qty = sum(l_quantity)
+#     -- same join arity, same key structure, same cardinality class;
+#   - "late" (Q4/Q21) is l_shipdate > o_orderdate [+ 60 days];
+#   - comment/phone filters (Q13/Q16/Q22) become o_orderpriority /
+#     s_acctbal / c_nationkey predicates.
+# Every shape keeps the defining plan structure of its TPC-H original
+# (correlated min, EXISTS, disjunctive join residual, nested IN, only-late-
+# supplier double-EXISTS, ...) and is oracle-checked end to end.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = f"""
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice) AS ps_supplycost,
+           {DSUM_SQL('l_quantity', 0)} AS ps_qty
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partsupp stand-in (see section comment).  One shuffle on the
+    composite (partkey, suppkey) key; downstream joins on the same pair
+    reuse the partitioning exchange-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        dsum(F.col("l_quantity"), 0).alias("ps_qty"),
+    )
+
+
+@register(
+    "tpch_q2_shape",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eps AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE')
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.ps_suppkey AS s_suppkey, e.ps_supplycost
+    FROM eps e
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size = 15
+      AND e.ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eps e2
+                             WHERE e2.ps_partkey = e.ps_partkey)
+    ORDER BY e.s_acctbal DESC, p.p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region —
+    the classic correlated-min subquery.  Decorrelated as a window min
+    over p_partkey on the already region+size-filtered join (exactly
+    what Catalyst's RewriteCorrelatedScalarSubquery would produce).
+    supplier->nation->region collapses to one broadcast map; the only
+    wide ops are the pair-key aggregate and the partkey window.  Top-k
+    via TakeOrderedAndProject, ordered on a unique key for the oracle.
+    Reference has no joins at all (SURVEY §2 Part B)."""
+    ps = _partsupp_surrogate(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eps = ps.join(F.broadcast(sn), ps.ps_suppkey == F.col("s_suppkey"))
+    joined = eps.join(F.broadcast(p), eps.ps_partkey == p.p_partkey)
+    w = W.partitionBy("p_partkey")
+    return (
+        joined.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.col("ps_suppkey").alias("s_suppkey"), "ps_supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority count of orders with at least one late
+    line — correlated EXISTS with a theta residual, expressed directly
+    as a left-semi join carrying the cross-table predicate in the join
+    condition.  The date filter prunes orders BEFORE the semi-join so
+    the shuffle carries ~1/20 of the fact table; the final aggregate
+    is 5 groups, map-side combined."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_shape",
+    oracle=f"""
+    SELECT {DSUM_SQL('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate forecast query — the
+    canonical predicate-pushdown showcase.  All three predicates reach
+    the parquet scan (PushedFilters), the projection is 2 columns, and
+    the global sum is a single-row exchange of one long partial per
+    partition.  At 100 TB this is I/O-bound by design — exactly what
+    you want."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+           {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year.  One fact-fact shuffle (lineitem x orders on orderkey); the
+    supplier->nation and customer->nation sides collapse to broadcast
+    maps applied pre- and post-join, and the disjunctive nation-pair
+    predicate runs on broadcast-joined columns so it prunes before the
+    final 2x2xyears aggregate.  (At true scale customer stops being
+    broadcastable and becomes a second keyed shuffle — the plan shape
+    is otherwise unchanged.)"""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_shape",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           {DSUM_SQL(
+               "CASE WHEN sn.n_name = 'NATION_5' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4)}
+           / {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)', 4)}
+           AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                   AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    GROUP BY yr
+    """,
+)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share inside a region's market —
+    an 8-table join where every dimension broadcasts and the single
+    wide op is the lineitem x orders shuffle.  The share is a division
+    of two exact scaled-long sums computed in ONE aggregate pass
+    (conditional numerator riding the same grouped stream), so no
+    second join-back is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cnr = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cnr), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg((dsum(nat_vol, 4) / dsum(vol, 4)).alias("mkt_share"))
+    )
+
+
+@register(
+    "tpch_q9_shape",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+           {DSUM_SQL(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.01 * ps.ps_supplycost * l.l_quantity', 4)} AS sum_profit
+    FROM lineitem l
+    JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation, yr
+    """,
+)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by nation and year.  The
+    defining plan feature is the fact-to-partsupp join on the COMPOSITE
+    (partkey, suppkey) key: the surrogate aggregate leaves ps hash-
+    partitioned on exactly that pair, so the join reuses the exchange
+    (one shuffle total on the ps side, one on the lineitem side —
+    co-partitioned, no broadcast needed or possible at scale).  part /
+    supplier / nation broadcast; profit expression written identically
+    on both engines so the scaled-long rounding sees bit-identical
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _partsupp_surrogate(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.01) * F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(dsum(profit, 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_shape",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    val AS (
+        SELECT ps_partkey, {DSUM_SQL('ps_supplycost', 2)} AS value
+        FROM ps GROUP BY ps_partkey)
+    SELECT ps_partkey, value
+    FROM val
+    WHERE value > (SELECT {DAVG_SQL('value', 2)} FROM val) * 1.1
+    """,
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose aggregate supply value exceeds a
+    global threshold — aggregate feeding a scalar subquery over its own
+    output.  The threshold is 1.1x the mean per-part value (scale-
+    invariant selectivity, unlike Q11's literal fraction which pins to
+    one SF).  Plan: pair-key agg -> partkey re-agg (both map-side
+    combined), 1-row mean broadcast back as a cross-join filter —
+    the fact data never moves twice."""
+    ps = _partsupp_surrogate(spark, sf_dir)
+    val = ps.groupBy("ps_partkey").agg(
+        dsum(F.col("ps_supplycost"), 2).alias("value"))
+    thr = val.agg((davg(F.col("value"), 2) * F.lit(1.1)).alias("__thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "tpch_q13_shape",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — the
+    outer-join-then-double-aggregate query.  The priority predicate
+    must live in the JOIN CONDITION (not a post-filter) to preserve
+    customers with zero qualifying orders; count(o_orderkey) counts
+    non-nulls so those customers land in the c_count=0 bucket.  First
+    agg is keyed on the join key (exchange reuse), second is a tiny
+    histogram."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_shape",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {DSUM_SQL('l_extendedprice * (1 - l_discount)', 4)}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — the view-
+    plus-scalar-max query.  The revenue aggregate is computed ONCE and
+    its 1-row max broadcast back onto itself (Q15's CREATE VIEW reuse,
+    which naive engines compute twice).  Equality on the exact scaled-
+    long sum is deterministic, so ties surface identically in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        .alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT pr.l_suppkey) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type NOT IN ('PROMO', 'SMALL')
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND pr.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier diversity per part class, excluding a
+    blacklist — DISTINCT pairs + NOT IN rewritten as a broadcast anti-
+    join (safe here: s_suppkey is never null, so NOT IN == anti).  The
+    count(DISTINCT) rides the same partkey-clustered stream as the
+    pair dedup; part and the blacklist broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & ~F.col("p_type").isin("PROMO", "SMALL")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_shape",
+    oracle=f"""
+    WITH tp AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#5' AND p_size < 10),
+    aq AS (
+        SELECT l_partkey, {DAVG_SQL('l_quantity', 0)} AS avg_qty
+        FROM lineitem JOIN tp ON p_partkey = l_partkey
+        GROUP BY l_partkey)
+    SELECT {DSUM_SQL('l.l_extendedprice', 2)} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN aq ON aq.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * aq.avg_qty
+    """,
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    per-part average, decorrelated to an aggregate + join-back on the
+    SAME partkey partitioning (the aggregate's exchange is reused by
+    the join, so the fact shuffles once).  The 0.2*avg threshold is
+    written in the same operand order on both engines; avg over
+    integral quantities is an exact scaled-long mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tp = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    target = li.join(F.broadcast(tp), li.l_partkey == F.col("p_partkey"))
+    aq = target.groupBy("l_partkey").agg(
+        davg(F.col("l_quantity"), 0).alias("avg_qty"))
+    return (
+        target.drop("p_partkey")
+        .join(aq.withColumnRenamed("l_partkey", "__pk"),
+              F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice"), 2) / F.lit(7.0))
+             .alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_shape",
+    oracle=f"""
+    SELECT {DSUM_SQL('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates over an
+    equi-join — the OR-of-ANDs that breaks naive pushdown.  Expressed
+    as the equi-join on partkey with the disjunction as a post-join
+    residual; Catalyst additionally derives the implied single-table
+    prefilters (brand IN (...) on part, quantity <= 30 on lineitem)
+    via constraint propagation, and part broadcasts so the fact never
+    shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q20_shape",
+    oracle=f"""
+    WITH qty AS (
+        SELECT l_partkey, l_suppkey, {DSUM_SQL('l_quantity', 0)} AS pair_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+            SELECT q.l_suppkey FROM qty q
+            WHERE q.l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND q.pair_qty > 30)
+      AND s.s_nationkey IN (
+            SELECT n.n_nationkey FROM nation n
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA')
+    """,
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock of targeted
+    parts in one region — the nested-IN query.  Both INs become semi-
+    joins: the part filter broadcasts INTO the pair aggregate's stream,
+    and the resulting supplier keys semi-join supplier together with
+    the broadcast nation/region membership.  No DISTINCT needed
+    anywhere — semi-join semantics dedup for free."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    tp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    qty = (
+        li.join(F.broadcast(tp), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity"), 0).alias("pair_qty"))
+        .filter(F.col("pair_qty") > 30)
+    )
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey")
+    return (
+        s.join(qty, s.s_suppkey == qty.l_suppkey, "left_semi")
+        .join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'),
+    per_os AS (
+        SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+        FROM lo GROUP BY l_orderkey, l_suppkey),
+    per_o AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late
+        FROM per_os GROUP BY l_orderkey)
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_os ps
+    JOIN per_o po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.supp_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order — the EXISTS / NOT-EXISTS double-correlation,
+    rewritten as a per-(order,supplier) aggregate plus per-order WINDOW
+    totals ("late supplier count == 1 and supplier count > 1" ==
+    "another supplier exists, no other late supplier exists").  The
+    window formulation matters at scale: the naive agg + self-join
+    recomputes the whole fact subtree twice, while the window rides
+    the same orderkey partitioning as the aggregate — one explicit
+    repartition on orderkey is the only fact shuffle, and HashPartitio-
+    ning(orderkey) satisfies both the 2-key groupBy's ClusteredDistri-
+    bution and the window's, so the cascade adds zero exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        ).otherwise(0).alias("late"),
+    ).repartition("l_orderkey")
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"))
+    w = W.partitionBy("l_orderkey")
+    return (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("supp_late").over(w))
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_shape",
+    oracle=f"""
+    WITH ab AS (
+        SELECT {DAVG_SQL('c_acctbal', 2)} AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey, count(*) AS numcust,
+           {DSUM_SQL('c.c_acctbal', 2)} AS totacctbal
+    FROM customer c, ab
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+      AND c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-inactive customers per country —
+    scalar-average subquery + NOT EXISTS anti-join.  (Every fixture
+    customer has orders, so 'inactive' is 'no urgent orders'; nation-
+    key set stands in for phone prefixes.)  The 1-row average cross-
+    joins as a broadcast filter, the urgent-orders anti-join is the
+    only wide op, and the final per-nation aggregate is ~5 groups."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal"), 2).alias("avg_bal"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey")
+    return (
+        c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
