@@ -2641,3 +2641,283 @@ def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series, corpus-statistics, and bivariate-stats operators: the
+# remaining "training-data pipeline at scale" surface (BASELINE.json north
+# star) beyond the dedup/similarity/text families.  Reference has none of
+# these (SURVEY §2 Part B).
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_ok,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value navigation functions.  The
+    ordering includes the unique orderkey so peer rows cannot make
+    last/nth engine-dependent, and last/nth use an explicit full-
+    partition frame (the default growing frame would make last_value a
+    synonym of current row — the classic window trap).  All three ride
+    ONE sort within one window exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    wg = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(wg).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
+    )
+
+
+@register(
+    "ts_resample_ffill",
+    oracle=f"""
+    WITH b AS (SELECT date_trunc('day', min(ts)) AS d0,
+                      date_trunc('day', max(ts)) AS d1 FROM events),
+    days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM b),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                     {DSUM_SQL('value', 2)} AS day_value
+              FROM events GROUP BY user_id, date_trunc('day', ts))
+    SELECT u.user_id, d.day, dv.day_value,
+           last_value(dv.day_value IGNORE NULLS) OVER (
+               PARTITION BY u.user_id ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM users u
+    CROSS JOIN days d
+    LEFT JOIN daily dv ON dv.user_id = u.user_id AND dv.day = d.day
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: regularize events to a dense
+    per-user daily grid and forward-fill missing days — the hypertable
+    /downsampling primitive every metrics pipeline needs.  The day
+    spine is generated from the data's own bounds (sequence + explode,
+    ~rows=days so effectively free), cross-joined against the distinct-
+    user dim; the real data moves once (groupBy user+day), and the
+    fill is last(ignorenulls) over the same user partitioning the
+    spine join just produced.  At 100 TB the spine stays tiny relative
+    to the fact and the whole op is one fact shuffle + one window."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
+        .alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum(F.col("value"), 2).alias("day_value"))
+    spine = users.crossJoin(F.broadcast(days))
+    w = (
+        W.partitionBy("user_id").orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", "day_value",
+            F.last("day_value", ignorenulls=True).over(w)
+            .alias("filled_value"),
+        )
+    )
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+    ng AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+           FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+           WHERE len(t) >= 3)
+    SELECT ngram, count(*) AS cnt
+    FROM ng GROUP BY ngram
+    ORDER BY cnt DESC, ngram
+    LIMIT 50
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k word trigrams — the n-gram frequency pass
+    used for contamination checks and boilerplate detection.  The
+    n-gram generator is a higher-order transform over the token array
+    (no UDF, stays in codegen) fused with the scan; explode feeds a
+    map-side-combined count and a TakeOrdered top-k, so the full
+    n-gram stream is never materialized or sorted globally.  Both
+    engines index arrays 1-based (element_at / list index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
+    ng = toks.filter(F.size("t") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> "
+                "concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+                "element_at(t, i + 2)))"
+            )
+        ).alias("ngram")
+    )
+    return (
+        ng.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(50)
+    )
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+    WITH blk AS (
+        SELECT doc_id,
+               CAST(floor(n_chars / 10.0) AS BIGINT) AS b,
+               substr(lower(text), 1, 15) AS p,
+               substr(lower(text), 1, 60) AS pre
+        FROM documents)
+    SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+           CAST(levenshtein(a.pre, c.pre) AS BIGINT) AS dist
+    FROM blk a
+    JOIN blk c ON a.b = c.b AND a.p = c.p AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.pre, c.pre) <= 10
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection, the missing member of the
+    dedup family (exact / ngram-jaccard / minhash / simhash / cosine —
+    operators/dedup.py): block on (length band, 15-char prefix) so the
+    quadratic levenshtein only runs inside tiny candidate buckets,
+    never across the corpus, and cap the compared prefix at 60 chars
+    to bound the DP matrix.  The self-join shuffles both sides on the
+    block key once; everything else is narrow.  Both engines implement
+    classic unit-cost Levenshtein."""
+    docs = load_table(spark, sf_dir, "documents")
+    blk = docs.select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 10.0).cast("long").alias("b"),
+        F.substring(F.lower(F.col("text")), 1, 15).alias("p"),
+        F.substring(F.lower(F.col("text")), 1, 60).alias("pre"),
+    )
+    a = blk.alias("a")
+    c = blk.alias("c")
+    dist = F.levenshtein(F.col("a.pre"), F.col("c.pre"))
+    return (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.p") == F.col("c.p"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(dist <= 10)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("c.doc_id").alias("doc_id_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+@register(
+    "agg_corr_exact",
+    oracle=f"""
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_qty_disc,
+           round((sxy - sx * sy / n) / (n - 1.0), 6) AS covar_qty_disc,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS slope_disc_on_qty
+    FROM (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               {DSUM_SQL('l_quantity', 0)} AS sx,
+               {DSUM_SQL('l_discount', 2)} AS sy,
+               {DSUM_SQL('l_quantity * l_quantity', 0)} AS sxx,
+               {DSUM_SQL('l_discount * l_discount', 4)} AS syy,
+               {DSUM_SQL('l_quantity * l_discount', 2)} AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar_samp / regression slope)
+    from exact scaled-long co-moments — the agg_stats trick extended
+    to two variables.  Built-in corr()/covar_samp() merge Welford
+    partials in partition order and so differ from any single-threaded
+    engine in the last ULPs; accumulating the five raw moments as
+    exact longs makes the closed-form results bit-identical on any
+    partitioning, at one map-side-combined aggregate of 6 longs per
+    group.  (Overflow bound per functions/numeric.py: discount as the
+    y-variable keeps syy's scaled magnitude ~1e4 per row — safe to
+    ~1e14 rows per group.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, disc = F.col("l_quantity"), F.col("l_discount")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(qty, 0).alias("sx"),
+        dsum(disc, 2).alias("sy"),
+        dsum(qty * qty, 0).alias("sxx"),
+        dsum(disc * disc, 4).alias("syy"),
+        dsum(qty * disc, 2).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return base.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_disc"),
+        F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 6)
+        .alias("covar_qty_disc"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        .alias("slope_disc_on_qty"),
+    )
+
+
+@register(
+    "rollup_time_hier",
+    oracle=f"""
+    SELECT CAST(year(ts) AS BIGINT) AS yr,
+           CAST(month(ts) AS BIGINT) AS mo,
+           CAST(day(ts) AS BIGINT) AS dy,
+           count(*) AS n_events,
+           {DSUM_SQL('value', 2)} AS total_value
+    FROM events
+    GROUP BY ROLLUP(yr, mo, dy)
+    """,
+)
+def rollup_time_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup (day -> month -> year -> grand total)
+    over the event stream — the continuous-aggregate / hypertable-
+    rollup shape, expressed as ROLLUP over extracted date parts so all
+    four granularities come out of ONE Expand + aggregate pass instead
+    of four scans.  Counts and exact sums are trivially re-aggregable,
+    which is what makes the single-pass rollup valid at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.year("ts").cast("long").alias("yr"),
+            F.month("ts").cast("long").alias("mo"),
+            F.dayofmonth("ts").cast("long").alias("dy"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
+    )
