@@ -93,6 +93,22 @@ HEADLINE = [
     "stream_sliding_counts",
     "stream_session_window",
     "stream_dedup",
+    # time-series / stats batch
+    "ts_resample_ffill",
+    "text_ngram_topk",
+    "dedup_levenshtein",
+    "agg_corr_exact",
+    "rollup_time_hier",
+    # curation / analytics batch
+    "sample_stratified",
+    "split_train_test",
+    "text_quality_gopher",
+    "text_pii_scrub",
+    "window_topk_per_group",
+    "hist_totalprice",
+    "funnel_events",
+    "cohort_retention",
+    "embedding_centroid",
 ]
 
 

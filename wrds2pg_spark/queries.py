@@ -2921,3 +2921,8 @@ def rollup_time_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), 2).alias("total_value"),
         )
     )
+
+
+# Curation / analytics batch registers additional keys on import
+# (placed last so `register` and the helpers above already exist).
+from wrds2pg_spark import curation as _curation  # noqa: E402,F401
