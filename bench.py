@@ -109,6 +109,7 @@ HEADLINE = [
     "funnel_events",
     "cohort_retention",
     "embedding_centroid",
+    "dedup_minhash_portable",
 ]
 
 

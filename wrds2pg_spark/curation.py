@@ -374,6 +374,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_portable",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+    ng AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS gs(i)
+        WHERE len(t) >= 3),
+    sets AS (
+        SELECT doc_id, list_distinct(list(g)) AS gs FROM ng GROUP BY doc_id),
+    sh AS (SELECT doc_id, UNNEST(gs) AS g FROM sets),
+    sig AS (
+        SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || g)) AS mh
+        FROM sh, UNNEST(generate_series(0, 11)) AS ss(s)
+        GROUP BY doc_id, s),
+    bands AS (
+        SELECT doc_id,
+               md5(CAST(s // 3 AS VARCHAR) || '|' ||
+                   string_agg(mh, '|' ORDER BY s)) AS bkey
+        FROM sig GROUP BY doc_id, s // 3),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(sa.gs, sb.gs))
+                     / CAST(len(sa.gs) + len(sb.gs)
+                            - len(list_intersect(sa.gs, sb.gs)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_a
+        JOIN sets sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the md5-portable hash family —
+    the oracle-CHECKED member of the minhash family (the xxhash64
+    variant `dedup_minhash_lsh` is faster but engine-specific, so the
+    driver can only rows-check it).  Same pipeline shape: map-only
+    signatures, one (bucket, id) shuffle, per-bucket pair generation,
+    broadcast-verified exact Jaccard.  See
+    operators/dedup.py:minhash_lsh_pairs_portable."""
+    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(docs, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Embedding analytics
 # ---------------------------------------------------------------------------

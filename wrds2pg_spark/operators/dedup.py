@@ -31,7 +31,8 @@ from wrds2pg_spark.functions.text import shingles, tokens
 
 __all__ = [
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_fingerprints", "connected_components",
+    "minhash_lsh_pairs_portable", "simhash_fingerprints",
+    "connected_components",
 ]
 
 
@@ -226,6 +227,109 @@ def minhash_lsh_pairs(
     j = (
         side_b.join(F.broadcast(j), "id_b")
         .select("id_a", "id_b", "sh_a", hash_of(F.col("__tb")).alias("sh_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return (
+        j.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH with an engine-portable hash family —
+    the oracle-checkable twin of :func:`minhash_lsh_pairs`.
+
+    The fast variant's xxhash64 + uint64 universal hashing cannot be
+    reproduced in another engine, so its query key is rows-only
+    checked.  This variant derives the entire signature from ``md5``
+    (bit-identical in Spark and DuckDB): signature_s = min over
+    shingles g of ``md5(s || ':' || g)`` (hex strings compare
+    lexicographically the same everywhere), and each band key is
+    ``md5(band || '|' || sig-slice)`` so band identity is baked into
+    the key.  Same asymptotics as the fast variant — map-only
+    signatures, ONE (bucket, id) shuffle, pair generation per bucket,
+    exact-Jaccard verification of the tiny candidate set — just a
+    costlier per-row constant (num_hashes md5 passes over the shingle
+    array), which is why the fast variant stays the default at scale.
+    """
+    rpb = num_hashes // bands
+    sh = shingles(F.col(text_col))
+
+    def sig_of(shc):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    shc,
+                    lambda g: F.md5(F.concat(s.cast("string"), F.lit(":"), g)),
+                )
+            ),
+        )
+
+    def band_keys_of(sig):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat(
+                    b.cast("string"), F.lit("|"),
+                    F.array_join(F.slice(sig, b * rpb + 1, rpb), "|"),
+                )
+            ),
+        )
+
+    base = df.select(
+        F.col(id_col),
+        let_(sh, lambda shc: F.when(F.size(shc) > 0, sig_of(shc))).alias(
+            "__sig"
+        ),
+    ).filter(F.col("__sig").isNotNull())
+    keyed = base.select(
+        F.col(id_col),
+        F.explode(let_(F.col("__sig"), band_keys_of)).alias("bucket"),
+    )
+    buckets = (
+        keyed.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = let_(
+        F.col("ids"),
+        lambda ids: F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ids) - 1),
+                lambda i: F.transform(
+                    F.slice(ids, 1, i),
+                    lambda a: F.struct(
+                        a.alias("id_a"),
+                        F.element_at(ids, (i + 1).cast("int")).alias("id_b"),
+                    ),
+                ),
+            )
+        ),
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    side_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    j = (
+        side_a.join(F.broadcast(cand), "id_a")
+        .select("id_a", "id_b", shingles(F.col("__ta")).alias("sh_a"))
+    )
+    side_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    j = (
+        side_b.join(F.broadcast(j), "id_b")
+        .select("id_a", "id_b", "sh_a", shingles(F.col("__tb")).alias("sh_b"))
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
