@@ -1994,11 +1994,24 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide ops are the pair-key aggregate and the partkey window.  Top-k
     via TakeOrderedAndProject, ordered on a unique key for the oracle.
     Reference has no joins at all (SURVEY §2 Part B)."""
-    ps = _partsupp_surrogate(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    # p_size selects whole partkeys and the surrogate's per-(partkey,
+    # suppkey) min never crosses partkeys, so prefiltering lineitem by
+    # the broadcast partkey set is result-identical and shrinks the
+    # pair-key aggregation shuffle by the size-filter selectivity
+    # (~2%).  Same manual push-through-aggregate as tpch_q9_shape.
+    li = load_table(spark, sf_dir, "lineitem")
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).drop("p_partkey")
+    ps = li_f.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
     sn = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -2230,10 +2243,22 @@ def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines so the scaled-long rounding sees bit-identical
     doubles."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = _partsupp_surrogate(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    # Push the part-name filter BELOW the partsupp-surrogate aggregate:
+    # it selects whole partkeys (~13%), and the surrogate's per-(partkey,
+    # suppkey) min is computed within one partkey, so filtering first is
+    # result-identical while shrinking BOTH composite-key shuffles ~8x.
+    # Catalyst cannot infer this (the filter sits above an aggregation
+    # boundary on a different attribute name), so we place it by hand.
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey
+    ).drop("p_partkey")
+    ps = li_f.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation"))
     profit = (
@@ -2241,12 +2266,12 @@ def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.01) * F.col("ps_supplycost") * F.col("l_quantity")
     )
     return (
-        li.join(
+        li_f.join(
             ps,
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+            (li_f.l_partkey == ps.ps_partkey)
+            & (li_f.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(sn), li_f.l_suppkey == sn.s_suppkey)
         .groupBy("nation", F.year("l_shipdate").cast("long").alias("yr"))
         .agg(dsum(profit, 4).alias("sum_profit"))
     )
