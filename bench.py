@@ -110,6 +110,9 @@ HEADLINE = [
     "cohort_retention",
     "embedding_centroid",
     "dedup_minhash_portable",
+    "merge_upsert",
+    "scd2_intervals",
+    "scan_orc_typed",
 ]
 
 

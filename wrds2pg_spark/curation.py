@@ -374,6 +374,154 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CDC merge / history building / extra source formats
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < 'c'),
+    updates AS (
+        SELECT o_orderkey,
+               ((CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11) // 10)
+                   / 100.0 AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) >= '8')
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b
+    FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics without a table format: base ∪ updates
+    resolved by a keyed FULL OUTER join with update-wins coalesce and a
+    per-row merge_action tag (the incremental-update primitive the
+    reference approximates with drop-and-reload, wrds2pg/api.py:196-215
+    DROP TABLE CASCADE + full re-COPY).  Base and delta here are
+    deterministic md5 slices of orders (overlap -> updates, left-only
+    -> unchanged, right-only -> inserts).  One co-keyed shuffle join;
+    at the 100-TB regime both sides bucket on the merge key
+    (sinks/bucketed.py) and the merge becomes exchange-free — the
+    same plan Delta/Iceberg MoR compaction runs."""
+    o = load_table(spark, sf_dir, "orders")
+    h1 = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    base = o.filter(h1 < "c").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    # +10% computed in exact integer cents ((cents*11) div 10): a
+    # float round(x*1.1, 2) lands on .xx5 boundaries where Spark and
+    # DuckDB round differently in the last cent (functions/numeric.py)
+    updates = o.filter(h1 >= "8").select(
+        "o_orderkey",
+        (F.expr("(cast(round(o_totalprice * 100, 0) as bigint) * 11) div 10")
+         / 100.0).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full")
+    return merged.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey"))
+        .alias("o_orderkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice"))
+        .alias("o_totalprice"),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("u.o_orderkey").isNull(), "unchanged")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated").alias("merge_action"),
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS valid_to
+    FROM changes
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event stream:
+    collapse consecutive same-state events per user, then stitch
+    [valid_from, valid_to) intervals with lead() (open interval = NULL
+    valid_to = current state).  Both windows partition on user_id, so
+    the whole build is ONE shuffle: the second window reuses the
+    partitioning (and the within-partition sort collapses too).  Ties
+    are broken on event_id to keep lag/lead deterministic.  This is
+    the standard warehouse history-build — the reference's snapshot
+    reloads lose exactly this lineage."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", "ts",
+        F.lag("event_type").over(w1).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+@register(
+    "scan_orc_typed",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey <= 2
+    """,
+)
+def scan_orc_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source scan — the third columnar format next to parquet and
+    typed CSV (sources/csv.py).  The fixture is derived once per sf
+    from the nation parquet into a deterministic temp path; the read
+    applies projection + predicate, which Spark's native ORC reader
+    pushes down the same way as parquet (min/max stripe skipping,
+    column pruning — verify with .explain: PushedFilters on the ORC
+    scan).  DuckDB has no ORC reader, so the oracle proves value
+    parity by reading the same rows from the parquet twin."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    orc_dir = f"/tmp/wrds2pg_spark_fixtures/nation_orc_{tag}"
+    if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .orc(orc_dir)
+        )
+    return (
+        spark.read.orc(orc_dir)
+        .filter(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 @register(
     "dedup_minhash_portable",
     oracle="""
