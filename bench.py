@@ -113,6 +113,7 @@ HEADLINE = [
     "merge_upsert",
     "scd2_intervals",
     "scan_orc_typed",
+    "join_asof_nearest",
 ]
 
 

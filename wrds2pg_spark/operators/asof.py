@@ -68,9 +68,21 @@ def asof_join(
     the nearest right row in ``direction`` with a matching key
     (``right_on <= left_on`` for backward, ``>=`` for forward).
     Unmatched left rows — including matches voided by ``tolerance`` —
-    keep nulls (left-outer semantics)."""
+    keep nulls (left-outer semantics).
+
+    ``direction="nearest"`` picks whichever of the backward/forward
+    candidates is closer in absolute distance (backward wins exact
+    ties).  Both carries ride the SAME keyed union — one shuffle, two
+    in-partition sorts (asc + desc windows over one partitioning), so
+    the scale shape is unchanged."""
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, left_on, right_on, left_by, right_by,
+            right_cols, tiebreak, prefix, tolerance,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}")
     carry = list(right_cols)
     if tolerance is not None and right_on not in carry:
         carry = carry + [right_on]
@@ -116,5 +128,83 @@ def asof_join(
                 f"{prefix}{c}",
                 F.when(in_range, F.col(f"{prefix}{c}")).otherwise(F.lit(None)),
             )
+    out_cols = list(left.columns) + [f"{prefix}{c}" for c in right_cols]
+    return u.select(*out_cols)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_cols: list[str],
+    tiebreak: str | None,
+    prefix: str,
+    tolerance: float | None,
+) -> DataFrame:
+    """nearest-direction as-of: backward and forward carries computed
+    over the same union spine (one shuffle on the key; the two windows
+    share the partitioning and differ only in sort direction), then a
+    row-local arbiter keeps the closer candidate, backward on ties."""
+    carry = list(right_cols)
+    if right_on not in carry:
+        carry = carry + [right_on]
+    l_tagged = left.select(
+        F.col(left_by).alias("__k"),
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in carry],
+    )
+    tb = (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long")
+    r_tagged = right.select(
+        F.col(right_by).alias("__k"),
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        tb.alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w_b = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_l").asc(), F.col("__tb").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_f = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__is_l").asc(), F.col("__tb").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in carry:
+        u = u.withColumn(
+            f"__b_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w_b)
+        ).withColumn(
+            f"__f_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w_f)
+        )
+    u = u.filter(F.col("__is_l") == 1)
+    dtype = right.schema[right_on].dataType
+    b_t, f_t = F.col(f"__b_{right_on}"), F.col(f"__f_{right_on}")
+    db = _time_delta(F.col("__t"), b_t, dtype)
+    df_ = _time_delta(F.col("__t"), f_t, dtype)
+    b_ok = b_t.isNotNull()
+    f_ok = f_t.isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & (db <= F.lit(float(tolerance)))
+        f_ok = f_ok & (df_ <= F.lit(float(tolerance)))
+    use_b = b_ok & (~f_ok | (db <= df_))
+    use_f = f_ok & ~use_b
+    for c in right_cols:
+        u = u.withColumn(
+            f"{prefix}{c}",
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(use_f, F.col(f"__f_{c}"))
+            .otherwise(F.lit(None)),
+        )
     out_cols = list(left.columns) + [f"{prefix}{c}" for c in right_cols]
     return u.select(*out_cols)

@@ -422,6 +422,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_o_orderkey,
+           o.o_orderdate AS asof_o_orderdate
+    FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders o
+        WHERE o.o_custkey = e.user_id
+        ORDER BY abs(epoch(e.ts) - epoch(o.o_orderdate)) ASC,
+                 (o.o_orderdate <= e.ts) DESC,
+                 o_orderkey DESC
+        LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof direction='nearest': each event matched to the
+    user's order closest in absolute time, backward winning exact
+    ties.  Backward and forward carries ride ONE keyed union shuffle
+    (two sort-direction windows over the same partitioning); a
+    row-local arbiter picks the closer side — no second pass, no
+    theta join (operators/asof.py:_asof_nearest)."""
+    from wrds2pg_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return asof_join(
+        e, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        direction="nearest",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregates
 # ---------------------------------------------------------------------------
