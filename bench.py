@@ -114,6 +114,7 @@ HEADLINE = [
     "scd2_intervals",
     "scan_orc_typed",
     "join_asof_nearest",
+    "scan_partition_pruned",
 ]
 
 

@@ -176,3 +176,23 @@ def test_subquery_correlated_broadcasts_nation_avgs(spark):
 def test_window_range_frame_single_shuffle(spark):
     plan = plan_of(spark, "window_range_frame")
     assert plan.count("Exchange") == 1
+
+
+def test_partition_pruned_scan(spark):
+    """The hive-layout lake scan must prune on the partition column —
+    the year predicate belongs in PartitionFilters (directory-level
+    pruning before I/O), NOT in PushedFilters (row-level, after the
+    file is opened)."""
+    plan = formatted_plan(spark, "scan_partition_pruned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_yr" in m.group(1), plan
+    # and the agg on top still map-side combines
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q9_filter_below_surrogate_aggregate(spark):
+    """Q9's part-name filter must sit below BOTH fact passes: no
+    SortMergeJoin against an unfiltered lineitem, and the broadcast of
+    the filtered partkey set appears twice (once per pass)."""
+    plan = plan_of(spark, "tpch_q9_shape")
+    assert plan.count("BroadcastHashJoin") >= 3

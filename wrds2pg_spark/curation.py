@@ -523,6 +523,52 @@ def scan_orc_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_partition_pruned",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_yr,
+           o_orderpriority, count(*) AS n_orders,
+           {DSUM_SQL('o_totalprice', 2)} AS total
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY order_yr, o_orderpriority
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a hive-layout lake: orders written
+    once per sf partitioned by order year (sinks/parquet.py
+    write_partitioned), then aggregated with a partition-column
+    filter.  The filter lands in the scan's PartitionFilters — the
+    1997 directory is the only one LISTED, so I/O is O(one year)
+    regardless of how many years the lake holds (tests/test_plans.py
+    asserts the plan).  The oracle recomputes from the unpartitioned
+    table."""
+    import hashlib
+    import os
+
+    from wrds2pg_spark.sinks.parquet import write_partitioned
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    lake = f"/tmp/wrds2pg_spark_fixtures/orders_by_yr_{tag}"
+    if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+        write_partitioned(
+            load_table(spark, sf_dir, "orders").withColumn(
+                "order_yr", F.year("o_orderdate").cast("int")
+            ),
+            lake,
+            ["order_yr"],
+        )
+    return (
+        spark.read.parquet(lake)
+        .filter(F.col("order_yr") == 1997)
+        .groupBy("order_yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "dedup_minhash_portable",
     oracle="""
     WITH toks AS (

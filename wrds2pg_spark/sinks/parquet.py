@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 
 from wrds2pg_spark.catalog import get_modified_pq, needs_update, set_modified_pq
 
-__all__ = ["update_parquet", "write_sorted"]
+__all__ = ["update_parquet", "write_sorted", "write_partitioned"]
 
 
 def update_parquet(
@@ -74,6 +74,41 @@ def write_sorted(
         df.repartitionByRange(n, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    compression: str = "snappy",
+) -> None:
+    """Write a hive-layout partitioned parquet lake
+    (``path/col=value/...``) — the directory-level complement to
+    :func:`write_sorted`'s file-level clustering.
+
+    A filtered read on the partition column then never LISTS, let
+    alone reads, non-matching directories: the scan shows the
+    predicate under ``PartitionFilters`` (not ``PushedFilters``) and
+    prunes before any I/O is scheduled.  This is the canonical layout
+    for a 100-TB lake keyed on low-cardinality columns (date, region,
+    source): pruning cost is O(matching partitions), independent of
+    total table size.
+
+    The repartition on the partition columns avoids the classic
+    small-file explosion: without it every upstream task writes one
+    file per partition value it happens to hold (tasks x values
+    files); with it each partition value's rows are co-located and
+    produce one file per value.  Skewed partition values (one giant
+    date) are re-split by AQE or `maxRecordsPerFile` downstream.
+    """
+    (
+        df.repartition(*[df[c] for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
         .option("compression", compression)
         .parquet(path)
     )
