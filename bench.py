@@ -115,6 +115,7 @@ HEADLINE = [
     "scan_orc_typed",
     "join_asof_nearest",
     "scan_partition_pruned",
+    "stream_join_attrib",
 ]
 
 

@@ -247,3 +247,38 @@ def test_streaming_dedup_key_set_matches_batch(spark):
     assert len(got) == len(set(got))        # exactly one row per key
     assert set(got) == want
     assert len(want) > 0
+
+
+def test_streaming_purchase_attribution_matches_batch(spark):
+    """Stream-stream inner join (watermarked, time-banded) must emit
+    exactly the batch join's pairs once the file source drains."""
+    from wrds2pg_spark.streaming.events import (
+        purchase_attribution,
+        streaming_purchase_attribution,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        events.write.parquet(src)
+        sdf = streaming_purchase_attribution(
+            spark, src, schema=events.schema, window_minutes=30
+        )
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory").queryName("attrib_out").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["purchase_id"], r["click_id"])
+                for r in spark.sql("SELECT * FROM attrib_out").collect()
+            }
+        finally:
+            q.stop()
+
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchase_attribution(events, window_minutes=30).collect()
+    }
+    assert got == want and len(want) > 0

@@ -1423,6 +1423,35 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_first(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "stream_join_attrib",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase->click attribution (clicks in the 30 min before each
+    purchase) — batch twin of the watermarked STREAM-STREAM join
+    (streaming/events.py streaming_purchase_attribution, where the
+    time band is what lets the state store evict buffered rows).
+    Type filters land before the join, so each leg shuffles only its
+    slice of the event stream on user_id; the band is a join
+    residual."""
+    from wrds2pg_spark.streaming.events import purchase_attribution
+
+    return purchase_attribution(
+        load_table(spark, sf_dir, "events"), window_minutes=30
+    )
+
+
 @register("multimodal_audio_features", oracle=None)  # stub decoder
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of the image decode pipeline: binary payloads ->

@@ -19,9 +19,96 @@ from wrds2pg_spark.functions.numeric import dsum
 
 __all__ = [
     "tumbling_counts", "sliding_counts", "sessionize", "dedup_first",
+    "purchase_attribution",
     "streaming_tumbling_counts", "streaming_session_windows",
     "streaming_user_running_totals", "streaming_dedup",
+    "streaming_purchase_attribution",
 ]
+
+
+def purchase_attribution(
+    events: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """Batch purchase->click attribution: each purchase joined to the
+    same user's clicks in the preceding ``window_minutes``.
+
+    Both legs filter by event type BEFORE the join (clicks and
+    purchases are small slices of the event stream), then equi-join on
+    user_id with the time band as a join residual — one shuffle per
+    leg, band checked post-match.  The streaming twin
+    (:func:`streaming_purchase_attribution`) runs the identical join
+    condition as a watermarked stream-stream join."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bound = F.expr(f"purchase_ts - INTERVAL {window_minutes} MINUTES")
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.click_ts <= p.purchase_ts)
+            & (c.click_ts >= bound),
+        )
+        .select("user_id", "purchase_id", "purchase_ts",
+                "click_id", "click_ts")
+    )
+
+
+def streaming_purchase_attribution(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+):
+    """Stream-stream inner join with event-time bounds — the
+    Structured Streaming feature none of the windowed aggregates
+    exercise.  Both legs carry a watermark and the join condition
+    bounds click_ts to a closed interval around purchase_ts, which is
+    exactly what lets the state store evict buffered rows once the
+    watermark passes the bound (unbounded stream-stream joins cannot
+    GC state).  Append output; equivalence vs the batch twin is
+    asserted in tests/test_streaming.py."""
+    def leg(event_type: str):
+        return (
+            spark.readStream.schema(schema).parquet(parquet_path)
+            .filter(F.col("event_type") == event_type)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+        )
+
+    p = leg("purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = leg("click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bound = F.expr(f"purchase_ts - INTERVAL {window_minutes} MINUTES")
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.click_ts <= p.purchase_ts)
+            & (c.click_ts >= bound),
+        )
+        .select(
+            "user_id", "purchase_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "click_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        )
+    )
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
