@@ -580,9 +580,12 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(t) >= 3),
     sets AS (
         SELECT doc_id, list_distinct(list(g)) AS gs FROM ng GROUP BY doc_id),
-    sh AS (SELECT doc_id, UNNEST(gs) AS g FROM sets),
+    sh AS (
+        SELECT doc_id,
+               md5(g) || md5('a' || g) || md5('b' || g) AS d
+        FROM (SELECT doc_id, UNNEST(gs) AS g FROM sets)),
     sig AS (
-        SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || g)) AS mh
+        SELECT doc_id, s, min(substr(d, s * 8 + 1, 8)) AS mh
         FROM sh, UNNEST(generate_series(0, 11)) AS ss(s)
         GROUP BY doc_id, s),
     bands AS (

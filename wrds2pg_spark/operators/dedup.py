@@ -251,50 +251,69 @@ def minhash_lsh_pairs_portable(
     The fast variant's xxhash64 + uint64 universal hashing cannot be
     reproduced in another engine, so its query key is rows-only
     checked.  This variant derives the entire signature from ``md5``
-    (bit-identical in Spark and DuckDB): signature_s = min over
-    shingles g of ``md5(s || ':' || g)`` (hex strings compare
-    lexicographically the same everywhere), and each band key is
-    ``md5(band || '|' || sig-slice)`` so band identity is baked into
-    the key.  Same asymptotics as the fast variant — map-only
-    signatures, ONE (bucket, id) shuffle, pair generation per bucket,
-    exact-Jaccard verification of the tiny candidate set — just a
-    costlier per-row constant (num_hashes md5 passes over the shingle
-    array), which is why the fast variant stays the default at scale.
+    (bit-identical in Spark and DuckDB): each shingle gets ONE 96-hex
+    digest ``md5(g) || md5('a'||g) || md5('b'||g)``, and hash function
+    s is the 8-hex non-overlapping slice at offset 8*s — md5 bits are
+    uniform, so disjoint slices act as independent hash functions at
+    1/4 the md5 cost of hashing per seed (3 digest calls per shingle
+    instead of num_hashes).  Hex strings compare lexicographically
+    the same everywhere; each band key is ``md5(band || '|' ||
+    sig-slice)`` so band identity is baked into the key.  Same
+    asymptotics as the fast variant — map-only signatures, ONE
+    (bucket, id) shuffle, pair generation per bucket, exact-Jaccard
+    verification of the tiny candidate set — just a costlier per-row
+    constant, which is why the fast variant stays the default at
+    scale.
     """
+    if num_hashes * 8 > 96:
+        raise ValueError("portable family supports at most 12 hashes")
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from wrds2pg_spark.session import fan_out
+
     rpb = num_hashes // bands
-    sh = shingles(F.col(text_col))
 
-    def sig_of(shc):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda s: F.array_min(
-                F.transform(
-                    shc,
-                    lambda g: F.md5(F.concat(s.cast("string"), F.lit(":"), g)),
-                )
-            ),
-        )
+    @pandas_udf("array<string>")
+    def portable_band_keys(shingle_arrs: pd.Series) -> pd.Series:
+        # Same shape as band_keys_udf (fast variant): the per-row
+        # signature fold crosses to Python ONCE as an Arrow batch —
+        # the equivalent nested-HOF expression tree (12 substr
+        # traversals per row over a digest array) is ~2x slower and
+        # GC-noisy at sf0.1.  hashlib.md5 on utf-8 bytes produces the
+        # exact hex digests the oracle's md5() computes.
+        def hx(s: str) -> str:
+            return _md5(s.encode("utf-8")).hexdigest()
 
-    def band_keys_of(sig):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.md5(
-                F.concat(
-                    b.cast("string"), F.lit("|"),
-                    F.array_join(F.slice(sig, b * rpb + 1, rpb), "|"),
-                )
-            ),
-        )
+        out = []
+        for arr in shingle_arrs:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            ds = [hx(g) + hx("a" + g) + hx("b" + g) for g in arr]
+            sig = [
+                min(d[8 * s:8 * s + 8] for d in ds)
+                for s in range(num_hashes)
+            ]
+            out.append([
+                hx(str(b) + "|" + "|".join(sig[b * rpb:(b + 1) * rpb]))
+                for b in range(bands)
+            ])
+        return pd.Series(out)
 
-    base = df.select(
-        F.col(id_col),
-        let_(sh, lambda shc: F.when(F.size(shc) > 0, sig_of(shc))).alias(
-            "__sig"
-        ),
-    ).filter(F.col("__sig").isNotNull())
+    # fan out ONLY the signature leg: it carries the md5-per-shingle
+    # cost and must use every core even off a single input split.
+    # The two verification scans stay un-repartitioned — they are
+    # cheap broadcast-join probes whose shingling runs only on matched
+    # candidate rows, so shuffling full document bodies for them would
+    # cost more than it saves.
+    base = fan_out(df).select(
+        F.col(id_col), shingles(F.col(text_col)).alias("__sh")
+    )
     keyed = base.select(
         F.col(id_col),
-        F.explode(let_(F.col("__sig"), band_keys_of)).alias("bucket"),
+        F.explode(portable_band_keys(F.col("__sh"))).alias("bucket"),
     )
     buckets = (
         keyed.groupBy("bucket")
