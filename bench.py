@@ -151,8 +151,10 @@ def main() -> None:
     # compiled code so the timed loop below starts at steady state.
     for _ in range(2):
         for name in (
-            "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-            "dedup_embedding_cosine", "text_stats",
+            "dedup_minhash_lsh", "dedup_minhash_portable",
+            "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_embedding_cosine", "dedup_levenshtein",
+            "text_stats", "text_ngram_topk",
             # the flagship runs FIRST in the timed loop: warm it at the
             # target SF too, so its slot measures the query, not the
             # first-touch page-cache fill of the sf0.1 lineitem scan
