@@ -171,23 +171,47 @@ def _asof_nearest(
         *[F.col(c).alias(f"__r_{c}") for c in carry],
     )
     u = l_tagged.unionByName(r_tagged)
+    # ONE ascending sort serves both directions: backward is a struct
+    # max over [unbounded preceding, current], forward a struct min
+    # over [current, unbounded following].  min/max are frame-order-
+    # independent, so the second window reuses the first window's sort
+    # (the physical plan has a single Sort under two Window nodes) —
+    # the old formulation sorted the union twice, once per direction.
+    # Same-timestamp right rows sort BEFORE the left row (is_l asc),
+    # so exact ties land in the backward frame only; that is safe
+    # because the arbiter below prefers backward whenever delta_b <=
+    # delta_f, and an exact tie has delta_b = 0.  Tie-break among
+    # equal-timestamp candidates is max(tiebreak) on both sides: the
+    # struct leads with (t, tb) for backward-max and (t, -tb) for
+    # forward-min.
+    order = [F.col("__t").asc(), F.col("__is_l").asc(), F.col("__tb").asc()]
     w_b = (
-        W.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_l").asc(), F.col("__tb").asc())
+        W.partitionBy("__k").orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     w_f = (
-        W.partitionBy("__k")
-        .orderBy(F.col("__t").desc(), F.col("__is_l").asc(), F.col("__tb").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        W.partitionBy("__k").orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+
+    def _cand(tb_col) -> F.Column:
+        return F.when(
+            F.col("__is_l") == 0,
+            F.struct(
+                F.col("__t").alias("__ct"),
+                tb_col.alias("__ctb"),
+                *[F.col(f"__r_{c}").alias(c) for c in carry],
+            ),
+        )
+
+    u = (
+        u.withColumn("__bs", F.max(_cand(F.col("__tb"))).over(w_b))
+        .withColumn("__fs", F.min(_cand(-F.col("__tb"))).over(w_f))
+        .filter(F.col("__is_l") == 1)
     )
     for c in carry:
-        u = u.withColumn(
-            f"__b_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w_b)
-        ).withColumn(
-            f"__f_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w_f)
-        )
-    u = u.filter(F.col("__is_l") == 1)
+        u = u.withColumn(f"__b_{c}", F.col(f"__bs.{c}")).withColumn(
+            f"__f_{c}", F.col(f"__fs.{c}"))
     dtype = right.schema[right_on].dataType
     b_t, f_t = F.col(f"__b_{right_on}"), F.col(f"__f_{right_on}")
     db = _time_delta(F.col("__t"), b_t, dtype)

@@ -2474,10 +2474,14 @@ def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: supplier diversity per part class, excluding a
-    blacklist — DISTINCT pairs + NOT IN rewritten as a broadcast anti-
-    join (safe here: s_suppkey is never null, so NOT IN == anti).  The
-    count(DISTINCT) rides the same partkey-clustered stream as the
-    pair dedup; part and the blacklist broadcast."""
+    blacklist — NOT IN rewritten as a broadcast anti-join (safe here:
+    s_suppkey is never null, so NOT IN == anti).  The oracle's DISTINCT
+    pair materialization is folded into count(DISTINCT): duplicates are
+    absorbed by the distinct aggregate itself, so the fact rows meet
+    the selective part filter (broadcast) and the blacklist (broadcast
+    anti) BEFORE the one distinct-agg shuffle — no separate full-width
+    pair dedup pass, and the surviving row set is a fraction of the
+    fact."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#3")
@@ -2486,10 +2490,11 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0.0).select("s_suppkey")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey,
+              "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
