@@ -260,3 +260,28 @@ def test_connected_components_chain_and_clique(spark):
     assert all(comp[i] == 1 for i in (1, 2, 3, 4, 5))
     assert all(comp[i] == 10 for i in (10, 11, 12))
     assert comp[20] == comp[21] == 20
+
+
+def test_hll_sketch_estimate_accuracy(spark):
+    """agg_hll_sketch is rows-only at the driver; locally pin the
+    estimate to within 5% of the exact distinct count per group."""
+    from wrds2pg_spark.corpus import agg_hll_sketch
+    from wrds2pg_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in agg_hll_sketch(spark, sf).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)

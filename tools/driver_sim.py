@@ -57,6 +57,9 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "oracle keys must be subset of queries"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only:
+        qs = {n: f for n, f in qs.items() if any(n.startswith(p) for p in only)}
     ok = bad = 0
     for name, fn in sorted(qs.items()):
         t0 = time.time()

@@ -1,0 +1,549 @@
+"""Corpus-statistics & data-quality query batch (round 2).
+
+Extends the registry with the remaining operators an LLM-training-data
+pipeline runs corpus-wide: Gopher-style repetition scoring, unigram
+language-model scoring, TF-IDF term extraction, benchmark
+decontamination, context-window sequence packing, robust-statistics
+cleanup (winsorizing, exact z-score anomaly flags), and sketch-based
+distinct counting.  The reference (iangow/wrds2pg) has none of these —
+they are north-star additions per SURVEY.md §2 Part B.
+
+Determinism contract (same as curation.py): tokenization is
+``split(lower(text), ' ')`` on both engines, float aggregation goes
+through the exact scaled-long helpers, O(1) derived floats round to 6
+decimals on both sides, ties break on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
+from wrds2pg_spark.queries import register
+from wrds2pg_spark.sources.testdata import load_table
+
+
+def _tokens(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, extra..., token) — one row per token occurrence."""
+    return docs.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher repetition filters)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition_topgram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents),
+    bg AS (
+        SELECT doc_id, source, len(t) AS n_tok,
+               t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2),
+    cnt AS (
+        SELECT doc_id, source, n_tok, bigram, count(*) AS c
+        FROM bg GROUP BY doc_id, source, n_tok, bigram),
+    per_doc AS (
+        SELECT doc_id, source,
+               round(2.0 * max(c) / max(n_tok), 6) AS top_frac
+        FROM cnt GROUP BY doc_id, source)
+    SELECT source,
+           count(*) AS n_docs,
+           {DAVG_SQL('top_frac', 6)} AS avg_top_frac,
+           CAST(count(*) FILTER (WHERE top_frac > 0.1) AS BIGINT)
+               AS n_flagged
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per document, the fraction of
+    tokens covered by the single most frequent word bigram (Rae et al.
+    2021 'top 2-gram fraction'); aggregated per source with a flag
+    count at the 0.1 threshold.  The bigram generator is a codegen'd
+    higher-order transform fused with the scan — documents explode to
+    (doc, bigram) pairs that feed a map-side-combined count, a per-doc
+    max, and a tiny per-source agg.  Shuffle volume is bounded by the
+    distinct (doc, bigram) pairs (each row a few bytes — the document
+    body itself never shuffles), so at 100 TB the plan is two
+    partial-agg shuffles of compact keys, no N^2 step, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.size("t").alias("n_tok"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "n_tok", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                2.0 * F.max("c") / F.max("n_tok").cast("double"), 6
+            ).alias("top_frac")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("top_frac"), 6).alias("avg_top_frac"),
+        F.sum(F.when(F.col("top_frac") > 0.1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM freq),
+    scored AS (
+        SELECT tok.doc_id,
+               round(-ln(freq.c / tot.total), 6) AS nll
+        FROM tok JOIN freq USING (token) CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round({DAVG_SQL('nll', 6)}, 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train token frequencies over the
+    corpus in one pass, then score each document by its mean negative
+    log-likelihood — the cheap perplexity proxy used to rank documents
+    for quality filtering (the CCNet/Gopher 'LM score' slot, with the
+    n-gram LM reduced to unigrams so the oracle stays exact).
+
+    Plan shape: one token explode feeds BOTH the frequency build and
+    the scoring join; the frequency table (vocabulary-sized, tiny
+    relative to the corpus) broadcasts, so the only shuffles are the
+    vocab agg and the per-doc agg — the corpus-sized token stream is
+    never repartitioned.  The 1-row total joins the same way.  At 100
+    TB the vocab table is the only state that must fit per executor
+    (standard for LM tokenization), everything else streams."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("total")), 6).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.round(davg(F.col("nll"), 6), 6).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+           GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(n.n_docs / df.df), 6) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rk
+        FROM scored)
+    SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — the
+    classic keyword-extraction / topic-tagging pass.  Term frequencies
+    and document frequencies come from the same token explode; the
+    document-frequency table is vocabulary-sized and broadcasts, so
+    scoring is a map-side join onto the tf stream and the only wide
+    ops are the two count aggregates plus the per-doc top-k window
+    (which reuses the tf shuffle's doc_id partitioning).  No UDF —
+    ln() and the window stay in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 8
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                 || ' ' || t[i+7] AS shingle
+        FROM toks,
+             UNNEST(generate_series(1, len(t) - {_DECONTAM_N - 1}))
+                 AS g(i)
+        WHERE len(t) >= {_DECONTAM_N}),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    hits AS (
+        SELECT DISTINCT sh.doc_id, sh.source
+        FROM sh JOIN bench USING (shingle)
+        WHERE sh.doc_id % 20 <> 0),
+    train AS (
+        SELECT source, count(*) AS n_train
+        FROM documents WHERE doc_id % 20 <> 0 GROUP BY source)
+    SELECT train.source, train.n_train,
+           CAST(coalesce(c.n_contaminated, 0) AS BIGINT)
+               AS n_contaminated
+    FROM train
+    LEFT JOIN (SELECT source, count(*) AS n_contaminated
+               FROM hits GROUP BY source) c
+           ON train.source = c.source
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-level 8-gram with a held-out benchmark slice (docs with
+    ``doc_id % 20 == 0`` stand in for the eval set) — the standard
+    pre-training hygiene pass (GPT-3 appendix C / PaLM style).
+
+    Scale shape: one shingle generator (HOF transform, fused with the
+    scan) feeds both sides; the benchmark side collapses to DISTINCT
+    shingles (eval suites are small — MBs against a 100 TB corpus) and
+    broadcasts into a semi-join, so the training corpus streams
+    through a map-side hash probe with no repartition of shingles.
+    Contaminated doc-ids then dedupe and count per source.  Swap the
+    literal benchmark slice for an external eval table and nothing in
+    the plan changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    n = _DECONTAM_N
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+    sh = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), i -> "
+                    f"concat_ws(' ', {parts}))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 20 == 0).select("shingle").distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    train = (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    contaminated = hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        train.join(contaminated, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing
+# ---------------------------------------------------------------------------
+
+_CTX = 512
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+    packed AS (
+        SELECT source, n_tok,
+               CAST(floor(
+                   (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok)
+                   / {_CTX}.0) AS BIGINT) AS bin
+        FROM sized)
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: concatenate documents in
+    deterministic (source, doc_id) order into {_CTX}-token training
+    bins (greedy 'pack until the window spills' — a document starting
+    inside bin k belongs to bin k even if it crosses the boundary,
+    which is exactly the running-sum formulation).  Output is the
+    per-bin manifest a dataloader shards on.
+
+    Packing is per-source, so the window partitions by source and the
+    corpus packs in parallel across sources — no global sort, no
+    single-partition bottleneck (the 100-TB failure mode of a naive
+    ORDER BY over everything).  Token counts are row-local; the one
+    shuffle is the source-keyed window, and the manifest agg reuses
+    its partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sized.select(
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(win) - F.col("n_tok")) / float(_CTX))
+        .cast("long")
+        .alias("bin"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: winsorized means, exact z-score anomalies
+# ---------------------------------------------------------------------------
+
+@register(
+    "winsorize_outliers",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.01) AS lo,
+               quantile_cont(o_totalprice, 0.99) AS hi
+        FROM orders GROUP BY o_orderpriority),
+    clamped AS (
+        SELECT o.o_orderpriority,
+               o.o_totalprice AS raw,
+               least(greatest(o.o_totalprice, b.lo), b.hi) AS w
+        FROM orders o JOIN bounds b USING (o_orderpriority))
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round({DAVG_SQL('raw', 2)}, 4) AS mean_raw,
+           round({DAVG_SQL('w', 4)}, 4) AS mean_winsorized
+    FROM clamped GROUP BY o_orderpriority
+    """,
+)
+def winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp o_totalprice into its exact
+    [P1, P99] band (linear-interpolation percentiles, Spark
+    ``percentile`` == DuckDB ``quantile_cont``) and compare the raw
+    vs clamped means — the outlier-robust aggregation used to keep a
+    few corrupt rows from skewing pipeline statistics.
+
+    Two-pass shape: a tiny per-group percentile agg (groups × 2
+    doubles) broadcasts back onto the fact stream, then one
+    map-side-combined agg produces both means.  The fact table is
+    scanned twice but shuffled only as group-keyed partials; at 100 TB
+    the broadcast side is bytes per group, never a sort of the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile(p, F.lit(0.01)).alias("lo"),
+        F.percentile(p, F.lit(0.99)).alias("hi"),
+    )
+    clamped = orders.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        p.alias("raw"),
+        F.least(F.greatest(p, F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(davg(F.col("raw"), 2), 4).alias("mean_raw"),
+        F.round(davg(F.col("w"), 4), 4).alias("mean_winsorized"),
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH scaled AS (
+        SELECT event_type,
+               CAST(round(value * 1000, 0) AS BIGINT) AS v
+        FROM events),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s1,
+               CAST(sum(v * v) AS BIGINT) AS s2
+        FROM scaled GROUP BY event_type),
+    z AS (
+        SELECT s.event_type, s.n, sc.v,
+               (sc.v - CAST(s.s1 AS DOUBLE) / s.n)
+               / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+                      / (s.n - 1)) AS zval
+        FROM scaled sc JOIN stats s USING (event_type))
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE abs(zval) > 3) AS BIGINT)
+               AS n_anomalies,
+           round(max(abs(zval)), 6) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags from EXACT integer moments:
+    values scale to integers (3 decimals), first and second moments
+    sum exactly as BIGINT (associative, so partitioning cannot change
+    the result), and mean/stddev derive from those exact sums — the
+    standard deviation itself becomes deterministic cross-engine,
+    which a double-summed ``stddev_samp`` never is.
+
+    Two-pass shape like winsorize: moments agg (groups × 3 longs)
+    broadcasts onto the stream; flags and the max |z| come out of one
+    map-side-combined agg.  The scaled-long trick bounds s2 at
+    n·(10^3·max|v|)^2 — size the scale to the value domain at real
+    scale (or swap to DECIMAL) exactly as functions/numeric.py
+    documents."""
+    ev = load_table(spark, sf_dir, "events")
+    scaled = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v"),
+    )
+    stats = scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    z = scaled.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n",
+        (
+            (F.col("v") - F.col("s1").cast("double") / F.col("n"))
+            / F.sqrt(
+                (
+                    F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("zval"),
+    )
+    return z.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(F.when(F.abs(F.col("zval")) > 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.max(F.abs(F.col("zval"))), 6).alias("max_abs_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based distinct counting (re-aggregable HLL)
+# ---------------------------------------------------------------------------
+
+@register("agg_hll_sketch", oracle=None)  # sketch bytes are engine-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregable HyperLogLog distinct counts: per-group Datasketches
+    HLL sketches built with ``hll_sketch_agg``, estimated with
+    ``hll_sketch_estimate`` — unlike ``approx_count_distinct`` the
+    intermediate sketch is a first-class value that can be stored and
+    merged later (``hll_union_agg``), which is what incremental 100-TB
+    rollups need (daily sketches -> monthly distincts without rescan).
+    Oracle is rows-only (sketch internals are engine-specific); the
+    unit test asserts the estimate lands within 5%% of the exact
+    distinct count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("o_custkey"), F.lit(12))
+            ).alias("approx_customers")
+        )
+    )

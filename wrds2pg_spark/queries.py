@@ -3022,6 +3022,7 @@ def rollup_time_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Curation / analytics batch registers additional keys on import
-# (placed last so `register` and the helpers above already exist).
+# Curation / analytics / corpus batches register additional keys on
+# import (placed last so `register` and the helpers above already exist).
 from wrds2pg_spark import curation as _curation  # noqa: E402,F401
+from wrds2pg_spark import corpus as _corpus  # noqa: E402,F401
