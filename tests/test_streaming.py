@@ -282,3 +282,43 @@ def test_streaming_purchase_attribution_matches_batch(spark):
         for r in purchase_attribution(events, window_minutes=30).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_enrich_static_matches_batch(spark):
+    """Stream-static broadcast join + watermarked tumbling agg must
+    reproduce the batch enrich_static exactly (no late data in the
+    fixture, so the watermark drops nothing)."""
+    from wrds2pg_spark.streaming.events import (
+        enrich_static,
+        streaming_enrich_static,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        events.write.parquet(src)
+        sdf = streaming_enrich_static(
+            spark, src, schema=events.schema, customer=customer
+        )
+        q = (
+            sdf.writeStream.outputMode("complete")
+            .format("memory").queryName("enrich_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (str(r["window_start"]), r["c_mktsegment"]):
+                    (r["n"], r["sum_value"])
+                for r in spark.sql("SELECT * FROM enrich_out").collect()
+            }
+        finally:
+            q.stop()
+
+    want = {
+        (str(r["window_start"]), r["c_mktsegment"]): (r["n"], r["sum_value"])
+        for r in enrich_static(events, customer).collect()
+    }
+    assert got == want
+    assert len(want) > 0

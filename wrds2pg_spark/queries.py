@@ -1452,6 +1452,31 @@ def stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_enrich_static",
+    oracle=f"""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n, {DSUM_SQL('e.value', 2)} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events pick up the customer market
+    segment via a broadcast dim probe, then aggregate per (tumbling
+    hour, segment) — batch twin of streaming_enrich_static
+    (streaming/events.py), the canonical 'enrich a stream against a
+    lookup table' topology.  Stream-static joins are stateless, so
+    the only stateful op is the windowed agg."""
+    from wrds2pg_spark.streaming.events import enrich_static
+
+    return enrich_static(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 @register("multimodal_audio_features", oracle=None)  # stub decoder
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of the image decode pipeline: binary payloads ->

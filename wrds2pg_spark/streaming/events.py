@@ -23,7 +23,70 @@ __all__ = [
     "streaming_tumbling_counts", "streaming_session_windows",
     "streaming_user_running_totals", "streaming_dedup",
     "streaming_purchase_attribution",
+    "enrich_static", "streaming_enrich_static",
 ]
+
+
+def enrich_static(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: events keyed
+    by user_id pick up the customer's market segment (broadcast dim),
+    then aggregate per (tumbling hour, segment).
+
+    The dim side is explicitly broadcast — in the streaming form this
+    is the canonical 'enrich a stream against a slowly-changing lookup
+    table' topology, where each micro-batch hash-probes the broadcast
+    map with no shuffle of the stream and no join state store at all
+    (unlike stream-stream joins).  At 100 TB/day of events the only
+    wide op is the windowed aggregate."""
+    seg = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    return (
+        events.join(F.broadcast(seg), "user_id")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("c_mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def streaming_enrich_static(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    customer: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Structured Streaming form of :func:`enrich_static`: readStream
+    -> broadcast hash probe against the static dim -> watermarked
+    tumbling aggregate.  Stream-static joins are stateless (the static
+    side re-broadcasts per micro-batch if it changes), so the state
+    store holds only the open windows."""
+    seg = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    ev = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    return (
+        ev.join(F.broadcast(seg), "user_id")
+        .groupBy(F.window("ts", duration), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment", "n", "sum_value",
+        )
+    )
 
 
 def purchase_attribution(
