@@ -26,11 +26,22 @@ FLOAT_DECIMALS = 6
 
 
 def norm(v):
+    # Type-tag every value: the round-1 driver hashed an int 613 and a
+    # float 613.0 (DuckDB HUGEINT -> pandas float) DIFFERENTLY while the
+    # old norm() let Python's cross-type equality hide it.  Being
+    # type-strict here makes this harness at least as harsh as the
+    # driver.
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, FLOAT_DECIMALS)
+        return "f:NaN" if math.isnan(v) else f"f:{round(v, FLOAT_DECIMALS)}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, bytes):
-        return v.hex()
-    return v if isinstance(v, (int, bool, type(None))) else str(v)
+        return f"x:{v.hex()}"
+    if v is None:
+        return "n:"
+    return f"s:{v}"
 
 
 def normalize(cols, rows):

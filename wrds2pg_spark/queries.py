@@ -738,7 +738,8 @@ def array_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1110,23 +1111,38 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ids AS (
       SELECT user_id, event_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end,
            COUNT(*) AS n_events, {DSUM_SQL('value', 2)} AS sum_value
     FROM ids GROUP BY user_id, session_id
     """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) via cumulative flag sums —
-    one shuffle on user_id (streaming/events.py sessionize)."""
+    one shuffle on user_id (streaming/events.py sessionize).
+
+    Session bounds are emitted as epoch seconds (BIGINT): integer
+    values hash identically across engines, whereas timestamp
+    rendering (tz suffix, sub-second formatting) does not — the
+    round-1 driver flagged exactly that mismatch."""
     from wrds2pg_spark.streaming.events import sessionize
 
-    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+    s = sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+    return s.select(
+        "user_id", "session_id",
+        F.col("session_start").cast("timestamp").cast("long")
+        .alias("session_start"),
+        F.col("session_end").cast("timestamp").cast("long")
+        .alias("session_end"),
+        "n_events", "sum_value",
+    )
 
 
 # ---------------------------------------------------------------------------
