@@ -208,6 +208,104 @@ def test_multimodal_frame_sampling_expands_rows(spark):
     assert rows[1]["ts_offset_s"] == 0.5 if len(rows) > 1 else True
 
 
+def test_bmp_decoder_on_handbuilt_literal(spark):
+    """Decode a 2x2 24bpp BMP assembled byte-by-byte here —
+    independently of synth_bmp — so a shared encode/decode bug can't
+    cancel out. Bottom-up storage: file row 0 is image row 1."""
+    from wrds2pg_spark.operators.multimodal import decode_image_bmp
+
+    # image rows (top-down), pixels as (B, G, R)
+    top = bytes([10, 20, 30, 40, 50, 60])       # pixels (10,20,30),(40,50,60)
+    bottom = bytes([70, 80, 90, 100, 110, 120])
+    pad = b"\x00\x00"  # 2*3=6 bytes/row -> stride 8
+    header = (
+        b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little") + (2).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    payload = header + bottom + pad + top + pad
+    df = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "payload"])
+    row = decode_image_bmp(df, "payload", "doc_id").collect()[0]
+    assert (row["width"], row["height"], row["bpp"]) == (2, 2, 24)
+    lumas = [114 * b + 587 * g + 299 * r
+             for b, g, r in [(10, 20, 30), (40, 50, 60),
+                             (70, 80, 90), (100, 110, 120)]]
+    assert row["mean_luma"] == sum(lumas) / (1000.0 * 4)
+
+
+def test_wav_parser_against_stdlib_writer(spark):
+    """Cross-validate decode_audio_wav against a WAV written by
+    Python's stdlib `wave` module — a fully independent encoder."""
+    import io
+    import wave as wave_mod
+
+    from wrds2pg_spark.operators.multimodal import decode_audio_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5, 12345]
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(b"".join(
+            s.to_bytes(2, "little", signed=True) for s in samples))
+    df = spark.createDataFrame(
+        [(9, bytearray(buf.getvalue()))], ["doc_id", "payload"])
+    row = decode_audio_wav(df, "payload", "doc_id").collect()[0]
+    assert row["sample_rate"] == 22050
+    assert row["n_channels"] == 2
+    assert row["n_frames"] == 4
+    assert row["duration_s"] == 4 / 22050
+    import math
+    assert row["rms"] == math.sqrt(
+        sum(s * s for s in samples) / len(samples))
+
+
+def test_bmp_wav_synth_roundtrip(spark):
+    """synth -> decode round-trip recovers the formula-predicted
+    features for a spread of ids (including id 0 and a 4-byte-aligned
+    row width where padding is zero)."""
+    from wrds2pg_spark.operators.multimodal import (
+        decode_audio_wav, decode_image_bmp, synth_bmp, synth_wav,
+    )
+
+    ids = [(i,) for i in (0, 1, 7, 12, 142, 143, 1000)]
+    df = spark.createDataFrame(ids, ["doc_id"])
+    img = {r["id"]: r for r in
+           decode_image_bmp(synth_bmp(df, "doc_id"), "payload", "id").collect()}
+    for (i,) in ids:
+        assert img[i]["width"] == 4 + i % 13
+        assert img[i]["height"] == 4 + i % 11
+        assert 0.0 <= img[i]["mean_luma"] <= 255.0
+    aud = {r["id"]: r for r in
+           decode_audio_wav(synth_wav(df, "doc_id"), "payload", "id").collect()}
+    for (i,) in ids:
+        assert aud[i]["n_channels"] == 1 + i % 2
+        assert aud[i]["n_frames"] == 64 + i % 97
+        assert aud[i]["n_bytes"] == 44 + 2 * aud[i]["n_frames"] * aud[i]["n_channels"]
+
+
+def test_frame_sampler_every_k(spark):
+    from wrds2pg_spark.operators.multimodal import (
+        sample_frames_real, synth_frame_container,
+    )
+
+    df = spark.createDataFrame([(6,)], ["doc_id"])  # 4 + 6%7 = 10 frames
+    payload = synth_frame_container(df, "doc_id")
+    all_rows = sample_frames_real(payload, "payload", "id", every=1).collect()
+    assert [r["frame_idx"] for r in sorted(all_rows, key=lambda r: r["frame_idx"])] \
+        == list(range(10))
+    sampled = sample_frames_real(payload, "payload", "id", every=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2, 4, 6, 8]
+    by_idx = {r["frame_idx"]: r["frame_sum"] for r in all_rows}
+    for r in sampled:  # same frame bytes regardless of sampling stride
+        assert r["frame_sum"] == by_idx[r["frame_idx"]]
+
+
 def test_multimodal_resize_truncates(spark):
     from wrds2pg_spark.operators.multimodal import resize_stub
 

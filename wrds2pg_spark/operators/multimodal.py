@@ -14,6 +14,7 @@ nothing else changes.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,7 +25,23 @@ __all__ = [
     "binary_stats", "decode_image_stub", "decode_audio_stub",
     "sample_frames_stub", "resize_stub",
     "IMAGE_FEATURE_SCHEMA", "AUDIO_FEATURE_SCHEMA",
+    "synth_bmp", "decode_image_bmp",
+    "synth_wav", "decode_audio_wav",
+    "synth_frame_container", "sample_frames_real",
+    "LCG_A", "LCG_B",
 ]
+
+# Deterministic payload generator shared by the synthesizers and the
+# SQL oracles: byte j of stream `id` is (id*LCG_A + j*LCG_B) % 256.
+# Knuth multiplicative constants; everything stays under 2^63 for any
+# realistic id, so DuckDB BIGINT arithmetic reproduces it exactly.
+LCG_A = 2654435761
+LCG_B = 2246822519
+
+
+def _lcg_bytes(seed: int, start: int, count: int) -> bytes:
+    base = seed * LCG_A
+    return bytes((base + j * LCG_B) % 256 for j in range(start, start + count))
 
 
 def binary_stats(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
@@ -151,6 +168,283 @@ def sample_frames_stub(
     return df.select(id_col, bin_col).mapInPandas(
         sample_batches,
         schema="id long, frame_idx int, ts_offset_s double, frame binary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs: BMP (image), WAV/PCM16 (audio), FRMS (frame container).
+#
+# The container has no codec libraries, but these three formats need
+# none — their headers are fixed-offset little-endian structs and the
+# payload is raw. The synthesizers build REAL files (any external
+# viewer would open the BMP/WAV); the parsers are genuine decoders
+# that read only the bytes. Because the pixel/sample stream comes
+# from the LCG above, a DuckDB oracle can predict every decoded
+# feature arithmetically — which is what promotes these queries from
+# rows-only to fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_dims(seed: int) -> tuple[int, int]:
+    return 4 + seed % 13, 4 + seed % 11
+
+
+def _build_bmp(seed: int) -> bytes:
+    """Minimal but standard-compliant 24bpp bottom-up BMP whose BGR
+    pixel stream (row-major, top-down pixel index i = y*width + x) is
+    byte j = 3*i + channel of the LCG stream."""
+    width, height = _bmp_dims(seed)
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    stride = row_raw + pad
+    img_size = stride * height
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + img_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        rows.append(_lcg_bytes(seed, y * row_raw, row_raw) + b"\x00" * pad)
+    return header + b"".join(rows)
+
+
+def decode_image_bmp(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL BMP parser over a binary column: validates the magic,
+    reads the little-endian header fields, walks the (padded,
+    bottom-up) pixel rows, and reduces to a mean BT.601 luma.
+
+    The luma mean is computed as an exact integer sum of
+    114*B + 587*G + 299*R divided ONCE by 1000*n — a single IEEE op
+    on an exactly-represented integer, so the result is bit-identical
+    to the oracle's identical division (functions/numeric.py doctrine:
+    never round a float, make both engines run the same op sequence)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("id", "n_bytes", "width", "height", "bpp", "mean_luma")}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                if b[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                data_off = int.from_bytes(b[10:14], "little")
+                width = int.from_bytes(b[18:22], "little", signed=True)
+                height = int.from_bytes(b[22:26], "little", signed=True)
+                bpp = int.from_bytes(b[28:30], "little")
+                if bpp != 24:
+                    raise ValueError(f"unsupported bpp {bpp}")
+                stride = (width * 3 + 3) // 4 * 4
+                luma_sum = 0
+                for y in range(abs(height)):
+                    row = b[data_off + y * stride:
+                            data_off + y * stride + width * 3]
+                    for x in range(width):
+                        bb, gg, rr = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                        luma_sum += 114 * bb + 587 * gg + 299 * rr
+                n = width * abs(height)
+                out["id"].append(int(rid))
+                out["n_bytes"].append(len(b))
+                out["width"].append(width)
+                out["height"].append(abs(height))
+                out["bpp"].append(bpp)
+                out["mean_luma"].append(luma_sum / (1000.0 * n))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        decode_batches,
+        schema="id long, n_bytes long, width int, height int, bpp int, "
+               "mean_luma double",
+    )
+
+
+def synth_bmp(df: DataFrame, id_col: str) -> DataFrame:
+    """Binary-payload synthesizer: one real BMP per row, deterministic
+    in the id (Arrow-batched, partition-preserving map)."""
+
+    def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "id": ids,
+                "payload": [_build_bmp(int(i)) for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(
+        build_batches, schema="id long, payload binary"
+    )
+
+
+_WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def _wav_shape(seed: int) -> tuple[int, int, int]:
+    return _WAV_RATES[seed % 5], 1 + seed % 2, 64 + seed % 97
+
+
+def _build_wav(seed: int) -> bytes:
+    """Canonical RIFF/WAVE PCM16 file; interleaved sample k is the
+    LCG byte-pair ((seed*A + k*B) % 65536) - 32768, little-endian."""
+    rate, channels, n_frames = _wav_shape(seed)
+    n_samples = n_frames * channels
+    base = seed * LCG_A
+    data = b"".join(
+        (((base + k * LCG_B) % 65536) - 32768).to_bytes(2, "little", signed=True)
+        for k in range(n_samples)
+    )
+    byte_rate = rate * channels * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    payload = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def synth_wav(df: DataFrame, id_col: str) -> DataFrame:
+    def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "id": ids,
+                "payload": [_build_wav(int(i)) for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(
+        build_batches, schema="id long, payload binary"
+    )
+
+
+def decode_audio_wav(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL WAV parser: walks RIFF chunks (not fixed offsets — skips
+    unknown chunks like a proper reader), reads fmt fields, and
+    reduces the PCM16 stream to frames/duration/RMS. The RMS uses an
+    exact integer sum of squares, one IEEE divide, one IEEE sqrt —
+    bit-identical to the oracle running the same three ops."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("id", "n_bytes", "sample_rate", "n_channels",
+                    "n_frames", "duration_s", "rms")}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a WAV payload")
+                pos, rate, channels, data = 12, None, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    size = int.from_bytes(b[pos + 4:pos + 8], "little")
+                    body = b[pos + 8:pos + 8 + size]
+                    if cid == b"fmt ":
+                        channels = int.from_bytes(body[2:4], "little")
+                        rate = int.from_bytes(body[4:8], "little")
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)
+                if rate is None or data is None:
+                    raise ValueError("missing fmt/data chunk")
+                n_samples = len(data) // 2
+                sq = 0
+                for k in range(n_samples):
+                    s = int.from_bytes(data[2 * k:2 * k + 2], "little",
+                                       signed=True)
+                    sq += s * s
+                n_frames = n_samples // channels
+                out["id"].append(int(rid))
+                out["n_bytes"].append(len(b))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(channels)
+                out["n_frames"].append(n_frames)
+                out["duration_s"].append(n_frames / rate)
+                out["rms"].append(
+                    math.sqrt(sq / n_samples) if n_samples else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        decode_batches,
+        schema="id long, n_bytes long, sample_rate int, n_channels int, "
+               "n_frames long, duration_s double, rms double",
+    )
+
+
+FRAME_BYTES = 256
+
+
+def _frame_count(seed: int) -> int:
+    return 4 + seed % 7
+
+
+def _build_frame_container(seed: int) -> bytes:
+    """FRMS container: magic + uint32 frame count + fixed 256-byte
+    frames drawn from one continuous LCG stream (frame f covers bytes
+    f*256 .. f*256+255). Stands in for a video elementary stream."""
+    n = _frame_count(seed)
+    return (b"FRMS" + n.to_bytes(4, "little")
+            + _lcg_bytes(seed, 0, n * FRAME_BYTES))
+
+
+def synth_frame_container(df: DataFrame, id_col: str) -> DataFrame:
+    def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "id": ids,
+                "payload": [_build_frame_container(int(i)) for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(
+        build_batches, schema="id long, payload binary"
+    )
+
+
+def sample_frames_real(
+    df: DataFrame, bin_col: str, id_col: str,
+    every: int = 2, fps: float = 1.0,
+) -> DataFrame:
+    """REAL frame sampler: parses the container header, slices every
+    k-th fixed-size frame, and emits one row per sampled frame with
+    an integer byte-sum checksum (oracle-predictable) — the
+    row-expanding mapInPandas shape an ffmpeg keyframe sampler uses."""
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, sums = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                if b[:4] != b"FRMS":
+                    raise ValueError("not a FRMS payload")
+                n = int.from_bytes(b[4:8], "little")
+                for f in range(0, n, every):
+                    frame = b[8 + f * FRAME_BYTES:8 + (f + 1) * FRAME_BYTES]
+                    ids.append(int(rid))
+                    idxs.append(f)
+                    offs.append(f / fps)
+                    sums.append(sum(frame))
+            yield pd.DataFrame({
+                "id": ids, "frame_idx": idxs,
+                "ts_offset_s": offs, "frame_sum": sums,
+            })
+
+    return df.select(id_col, bin_col).mapInPandas(
+        sample_batches,
+        schema="id long, frame_idx int, ts_offset_s double, frame_sum long",
     )
 
 

@@ -1022,17 +1022,38 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_stats(as_bin, "payload", "doc_id")
 
 
-@register("multimodal_image_features", oracle=None)  # stub decoder
+@register(
+    "multimodal_image_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS width,
+             4 + doc_id % 11 AS height
+      FROM documents)
+    SELECT doc_id AS id,
+           CAST(54 + ((width*3 + 3) // 4) * 4 * height AS BIGINT) AS n_bytes,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST(list_sum(list_transform(range(0, width*height), i ->
+                114 * ((doc_id*2654435761 + (3*i)   * 2246822519) % 256)
+              + 587 * ((doc_id*2654435761 + (3*i+1) * 2246822519) % 256)
+              + 299 * ((doc_id*2654435761 + (3*i+2) * 2246822519) % 256)))
+                AS DOUBLE) / (1000.0 * (width*height)) AS mean_luma
+    FROM d
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode pipeline over binary payloads
-    (deterministic fake decoder — real codecs slot into _fake_decode)."""
-    from wrds2pg_spark.operators.multimodal import decode_image_stub
+    """REAL image decode over real BMP bytes: synth_bmp builds one
+    standard 24bpp BMP per document (pixels from a shared LCG), and
+    decode_image_bmp parses headers + pixel rows back to features
+    (operators/multimodal.py). The oracle predicts every feature
+    arithmetically from doc_id, so a header-offset bug, stride/padding
+    slip, or channel swap in the decoder fails the value hash."""
+    from wrds2pg_spark.operators.multimodal import decode_image_bmp, synth_bmp
 
     docs = load_table(spark, sf_dir, "documents")
-    as_bin = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return decode_image_stub(as_bin, "payload", "doc_id")
+    return decode_image_bmp(synth_bmp(docs, "doc_id"), "payload", "id")
 
 
 @register(
@@ -1493,33 +1514,72 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_features", oracle=None)  # stub decoder
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             ([8000, 16000, 22050, 44100, 48000])[doc_id % 5 + 1] AS rate,
+             1 + doc_id % 2 AS channels,
+             64 + doc_id % 97 AS n_frames
+      FROM documents)
+    SELECT doc_id AS id,
+           CAST(44 + 2 * n_frames * channels AS BIGINT) AS n_bytes,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS n_channels,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames AS DOUBLE) / rate AS duration_s,
+           sqrt(CAST(list_sum(list_transform(range(0, n_frames*channels),
+                k -> ((doc_id*2654435761 + k*2246822519) % 65536 - 32768)
+                   * ((doc_id*2654435761 + k*2246822519) % 65536 - 32768)))
+                AS DOUBLE) / (n_frames*channels)) AS rms
+    FROM d
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio twin of the image decode pipeline: binary payloads ->
-    typed (sample_rate, n_channels, duration, rms) features through
-    Arrow-batched mapInPandas (deterministic stub decoder —
-    operators/multimodal.py)."""
-    from wrds2pg_spark.operators.multimodal import decode_audio_stub
+    """REAL audio decode over real RIFF/WAVE PCM16 bytes: synth_wav
+    writes one canonical WAV per document, decode_audio_wav walks the
+    chunks and reduces the sample stream (operators/multimodal.py).
+    Exact-integer sum of squares -> one divide -> one sqrt keeps the
+    RMS bit-identical to the oracle's same op sequence."""
+    from wrds2pg_spark.operators.multimodal import decode_audio_wav, synth_wav
 
     docs = load_table(spark, sf_dir, "documents")
-    as_bin = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    return decode_audio_stub(as_bin, "payload", "doc_id")
+    return decode_audio_wav(synth_wav(docs, "doc_id"), "payload", "id")
 
 
-@register("multimodal_frame_sample", oracle=None)  # stub sampler
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 7 AS n_frames FROM documents),
+    f AS (
+      SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx
+      FROM d)
+    SELECT doc_id AS id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(frame_idx AS DOUBLE) AS ts_offset_s,
+           CAST(list_sum(list_transform(range(0, 256), i ->
+                (doc_id*2654435761 + (frame_idx*256 + i)*2246822519) % 256))
+                AS BIGINT) AS frame_sum
+    FROM f
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: ONE input row expands to N frame
-    rows inside mapInPandas — the row-expanding UDF shape a real
-    ffmpeg sampler uses (deterministic stub; operators/multimodal.py)."""
-    from wrds2pg_spark.operators.multimodal import sample_frames_stub
+    """REAL frame sampling: synth_frame_container packs fixed-size
+    frames behind a counted header, sample_frames_real parses it and
+    expands every 2nd frame to its own row with an integer checksum —
+    the row-expanding mapInPandas shape of an ffmpeg keyframe sampler
+    (operators/multimodal.py). Oracle predicts index set and checksums."""
+    from wrds2pg_spark.operators.multimodal import (
+        sample_frames_real, synth_frame_container,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    as_bin = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    return sample_frames_real(
+        synth_frame_container(docs, "doc_id"), "payload", "id",
+        every=2, fps=1.0,
     )
-    return sample_frames_stub(as_bin, "payload", "doc_id", fps=1.0)
 
 
 @register(
