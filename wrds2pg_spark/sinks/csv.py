@@ -29,19 +29,32 @@ def update_csv(
     force: bool = False,
     single_file: bool = False,
     header: bool = True,
+    encoding: str | None = None,
 ) -> bool:
     """Write gzip CSV to ``path`` unless the stamp says it is current.
-    Returns True when a write happened."""
+    Returns True when a write happened.
+
+    ``encoding`` is the reference's ``copy_encoding`` knob
+    (wrds2pg/api.py) — SAS names like ``wlatin1`` are normalized to
+    java.nio charsets."""
     if not needs_update(modified, get_modified_csv(path), force):
         print(f"{path} already up to date")
         return False
     out = df.coalesce(1) if single_file else df
-    (
+    writer = (
         out.write.mode("overwrite")
         .option("compression", "gzip")
         .option("header", str(header).lower())
-        .csv(path)
     )
+    if encoding:
+        from wrds2pg_spark.sources.csv import (
+            _enable_full_charsets, normalize_encoding,
+        )
+
+        charset = normalize_encoding(encoding)
+        _enable_full_charsets(df.sparkSession, charset)
+        writer = writer.option("encoding", charset)
+    writer.csv(path)
     if modified:
         set_modified_csv(path, modified)
     return True

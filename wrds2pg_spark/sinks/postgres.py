@@ -140,8 +140,15 @@ def update_postgres(
     execute_sql: Callable[[str], None] | None = None,
     jdbc_options: dict[str, str] | None = None,
     stage_and_rename: bool = False,
+    tz: str = "UTC",
 ) -> bool:
     """Gate + admin DDL + JDBC bulk write + stamp comment.
+
+    ``tz`` mirrors the reference's per-connection
+    ``SET TimeZone TO '{tz}'`` (wrds2pg/postgres/copy.py:42-43,
+    api.py:49): issued via JDBC ``sessionInitStatement`` so every
+    executor's write connection interprets timestamp literals in the
+    same zone the reference would.
 
     ``sink_modified`` is the stamp read from the existing table's
     comment (caller queries it — this module issues, never reads,
@@ -177,6 +184,10 @@ def update_postgres(
         .option("batchsize", "10000")
         .option("reWriteBatchedInserts", "true")
     )
+    if tz:
+        writer = writer.option(
+            "sessionInitStatement", f"SET TimeZone TO '{tz}'"
+        )
     for k, v in (jdbc_options or {}).items():
         writer = writer.option(k, v)
     writer.save()

@@ -30,7 +30,36 @@ from pyspark.sql import types as T
 from wrds2pg_spark.plans.ingest import SAS_SPECIAL_MISSING
 from wrds2pg_spark.plans.types import spark_type_for_pg, struct_type_for
 
-__all__ = ["read_csv_typed", "read_csv_sas_meta"]
+__all__ = ["read_csv_typed", "read_csv_sas_meta", "normalize_encoding"]
+
+# SAS encoding names -> java.nio charset names (the vocabulary Spark's
+# csv reader understands). Identity for names both worlds share.
+_SAS_ENCODINGS = {
+    "wlatin1": "windows-1252",
+    "latin1": "ISO-8859-1",
+    "latin9": "ISO-8859-15",
+    "utf-8": "UTF-8",
+    "utf8": "UTF-8",
+}
+
+
+def normalize_encoding(name: str) -> str:
+    return _SAS_ENCODINGS.get(name.lower(), name)
+
+
+# Spark 4 whitelists only these charsets unless the legacy conf is on.
+_BUILTIN_CHARSETS = {
+    "iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le",
+    "utf-32", "utf-8",
+}
+
+
+def _enable_full_charsets(spark: SparkSession, charset: str) -> None:
+    """windows-1252 (the true wlatin1 equivalent — iso-8859-1 differs
+    in 0x80-0x9F) needs spark.sql.legacy.javaCharsets; flip it only
+    when actually required."""
+    if charset.lower() not in _BUILTIN_CHARSETS:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
 
 
 def read_csv_typed(
@@ -41,6 +70,7 @@ def read_csv_typed(
     fix_missing: bool = False,
     header: bool = True,
     mode: str = "FAILFAST",
+    encoding: str | None = None,
 ) -> DataFrame:
     """Read CSV with an explicit schema given as PG type strings
     (the ``col_types`` vocabulary of the reference's API).
@@ -48,6 +78,11 @@ def read_csv_typed(
     Column order in ``col_types`` defines the file's column order —
     dicts preserve insertion order, mirroring the reference forcing
     canonical names onto the stream (wrds2pg/files/parquet.py:76).
+
+    ``encoding`` mirrors the reference's ``encoding``/``sas_encoding``
+    knobs (wrds2pg/api.py:48,131-139, exercised by test_encoding.ipynb
+    with wlatin1 sources): Spark charset names follow java.nio, so the
+    SAS name ``wlatin1`` is accepted and mapped to ``windows-1252``.
     """
     fields, post_casts = [], {}
     for name, pg in col_types.items():
@@ -67,6 +102,10 @@ def read_csv_typed(
         .option("nullValue", "")
         .option("emptyValue", "")
     )
+    if encoding:
+        charset = normalize_encoding(encoding)
+        _enable_full_charsets(spark, charset)
+        reader = reader.option("encoding", charset)
     df = reader.csv(path)
 
     for name, dt in post_casts.items():

@@ -40,13 +40,26 @@ def source_modified(source_path: str) -> str:
     return modified_decode(os.path.getmtime(source_path))
 
 
-def read_source(spark: SparkSession, source_path: str) -> DataFrame:
-    """Pick a reader from the file extension."""
+def read_source(
+    spark: SparkSession, source_path: str, encoding: str | None = None
+) -> DataFrame:
+    """Pick a reader from the file extension.  ``encoding`` applies to
+    CSV sources (the reference's ``encoding``/``sas_encoding``,
+    wrds2pg/api.py:48; parquet carries its own encoding)."""
     p = source_path.lower()
     if p.endswith((".parquet", ".pq")) or os.path.isdir(source_path):
         return spark.read.parquet(source_path)
     if p.endswith((".csv", ".csv.gz")):
-        return spark.read.option("header", "true").csv(source_path)
+        reader = spark.read.option("header", "true")
+        if encoding:
+            from wrds2pg_spark.sources.csv import (
+                _enable_full_charsets, normalize_encoding,
+            )
+
+            charset = normalize_encoding(encoding)
+            _enable_full_charsets(spark, charset)
+            reader = reader.option("encoding", charset)
+        return reader.csv(source_path)
     raise ValueError(f"Unsupported source: {source_path}")
 
 
@@ -58,14 +71,21 @@ def wrds_update_pq(
     *,
     data_dir: str | None = None,
     force: bool = False,
+    alt_table_name: str | None = None,
+    encoding: str | None = None,
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> parquet lake table, gated on
-    the source's modified stamp (wrds2pg/api.py:238-432)."""
-    pq_path = get_pq_path(table_name, schema, data_dir)
+    the source's modified stamp (wrds2pg/api.py:238-432).
+
+    ``alt_table_name`` renames the table on load (source is read under
+    ``table_name``, the sink lands under the alternate —
+    wrds2pg/api.py:359-362)."""
+    pq_path = get_pq_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
-        read_source(spark, source_path), IngestOptions(**ingest_kwargs)
+        read_source(spark, source_path, encoding),
+        IngestOptions(**ingest_kwargs),
     )
     return update_parquet(df, pq_path, modified, force=force)
 
@@ -79,16 +99,25 @@ def wrds_update_csv(
     data_dir: str | None = None,
     force: bool = False,
     single_file: bool = False,
+    alt_table_name: str | None = None,
+    encoding: str | None = None,
+    copy_encoding: str | None = None,
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> gzip CSV, stamp in mtime
-    (wrds2pg/api.py:434-584)."""
-    csv_path = get_csv_path(table_name, schema, data_dir)
+    (wrds2pg/api.py:434-584).  ``encoding`` types the CSV *source*,
+    ``copy_encoding`` the CSV *output* (reference's identically-named
+    knobs); ``alt_table_name`` renames on load."""
+    csv_path = get_csv_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
-        read_source(spark, source_path), IngestOptions(**ingest_kwargs)
+        read_source(spark, source_path, encoding),
+        IngestOptions(**ingest_kwargs),
     )
-    return update_csv(df, csv_path, modified, force=force, single_file=single_file)
+    return update_csv(
+        df, csv_path, modified,
+        force=force, single_file=single_file, encoding=copy_encoding,
+    )
 
 
 def wrds_update(
@@ -104,21 +133,28 @@ def wrds_update(
     execute_sql=None,
     sink_modified: str = "",
     stage_and_rename: bool = False,
+    alt_table_name: str | None = None,
+    encoding: str | None = None,
+    tz: str = "UTC",
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> PostgreSQL table
     (wrds2pg/api.py:37-236).  ``sink_modified`` is the stamp read from
     the existing table comment (query it with the caller's PG
-    connection; this engine only issues SQL through ``execute_sql``)."""
+    connection; this engine only issues SQL through ``execute_sql``).
+    ``alt_table_name`` renames on load (api.py:168-169); ``tz`` is the
+    per-connection TimeZone for the load (api.py:49)."""
     from wrds2pg_spark.sinks.postgres import update_postgres
 
     modified = source_modified(source_path)
     df = apply_options(
-        read_source(spark, source_path), IngestOptions(**ingest_kwargs)
+        read_source(spark, source_path, encoding),
+        IngestOptions(**ingest_kwargs),
     )
     return update_postgres(
-        df, table_name, schema, jdbc_url,
+        df, alt_table_name or table_name, schema, jdbc_url,
         modified=modified, sink_modified=sink_modified, force=force,
         col_types=col_types, create_roles=create_roles,
         execute_sql=execute_sql, stage_and_rename=stage_and_rename,
+        tz=tz,
     )
