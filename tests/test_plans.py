@@ -190,6 +190,36 @@ def test_partition_pruned_scan(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_ann_index_partition_pruning(spark):
+    """The materialized LSH index must prune to the probe buckets at
+    directory-listing time: the bucket IN-filter belongs in
+    PartitionFilters, and the scan lists only 9 of 256 buckets."""
+    plan = formatted_plan(spark, "similarity_ann_indexed")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """Same for the k-means IVF index: the nprobe cell filter prunes
+    partitions, so a query scans ~nprobe/nlist of the corpus."""
+    from wrds2pg_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_indexed,
+    )
+    from wrds2pg_spark.queries import _QVEC
+    from wrds2pg_spark.sources.testdata import load_table
+
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(load_table(spark, SF, "embeddings"), idx, nlist=8)
+    df = ivf_topk_indexed(spark, idx, _QVEC, k=10, nprobe=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # probed cells may hold fewer than k vectors at tiny SF
+    assert 1 <= df.count() <= 10
+
+
 def test_q9_filter_below_surrogate_aggregate(spark):
     """Q9's part-name filter must sit below BOTH fact passes: no
     SortMergeJoin against an unfiltered lineitem, and the broadcast of

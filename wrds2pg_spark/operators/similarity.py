@@ -24,6 +24,8 @@ from wrds2pg_spark.functions.vector import cosine_similarity, dot, l2_norm
 __all__ = [
     "brute_force_topk", "lsh_topk", "ivf_topk", "blocked_pairs",
     "hyperplane", "probe_buckets",
+    "build_lsh_index", "lsh_topk_indexed",
+    "build_ivf_index", "ivf_topk_indexed",
 ]
 
 
@@ -159,6 +161,140 @@ def blocked_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select(block_col, "id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized ANN indexes: the 100-TB story made executable.
+#
+# Fitting/bucketing per query (lsh_topk / ivf_topk above) demos the
+# query SHAPE; at scale the cell assignment is paid ONCE at ingest and
+# the corpus lands hive-partitioned by cell. A query then computes its
+# probe cells driver-side (tiny) and reads ONLY those directories —
+# partition pruning turns top-k into an O(corpus * nprobe/ncells) scan
+# with zero shuffles. tests/test_plans.py asserts PartitionFilters.
+# ---------------------------------------------------------------------------
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize a hyperplane-LSH index: corpus written partitioned
+    by bucket signature. Planes come from the deterministic integer
+    formula, so NO sidecar state is needed — any reader (or SQL
+    oracle) recomputes them."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = [hyperplane(j, dim) for j in range(nbits)]
+    (
+        df.select(
+            F.col(id_col), F.col(vec_col),
+            _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        )
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nbits: int = 8,
+    radius: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the materialized LSH index: probe buckets are computed
+    driver-side from the query vector alone, and the IN-filter on the
+    partition column prunes to those directories at file-listing time
+    — the scan never opens the other 2^nbits - (1+nbits) buckets."""
+    probes = probe_buckets(query_vec, nbits, radius)
+    q = _query_col(query_vec)
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col), cos)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_fraction: float | None = None,
+) -> list[list[float]]:
+    """Materialize a FAISS-style IVF index: seeded k-means centroids,
+    corpus written partitioned by nearest-centroid cell, centroids
+    persisted in a JSON sidecar next to the data. ``fit_fraction``
+    fits the clustering on a sample (what you'd do at 100 TB — the
+    assignment pass still covers every row)."""
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__feat"),
+    )
+    fit_on = feat.sample(fit_fraction, seed=seed) if fit_fraction else feat
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__feat", predictionCol="__cell"
+    ).fit(fit_on)
+    (
+        model.transform(feat)
+        .select(F.col(id_col), F.col(vec_col), F.col("__cell").alias("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centers, f)
+    return centers
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the materialized IVF index: rank the sidecar centroids
+    against the query driver-side (nlist entries — trivially small),
+    then scan only the nprobe nearest cell partitions."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_ivf_centroids.json")) as f:
+        centers = json.load(f)
+    d2 = [
+        (i, sum((c - q) ** 2 for c, q in zip(center, query_vec)))
+        for i, center in enumerate(centers)
+    ]
+    probe = [i for i, _ in sorted(d2, key=lambda t: t[1])[:nprobe]]
+    q = _query_col(query_vec)
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), cos)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

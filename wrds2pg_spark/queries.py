@@ -909,6 +909,32 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, _QVEC, k=20, nbits=8, radius=1)
 
 
+@register("similarity_ann_indexed", oracle=_lsh_oracle())
+def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k against a MATERIALIZED hyperplane-LSH index: the corpus
+    is written once hive-partitioned by bucket signature
+    (operators/similarity.py build_lsh_index), and the query's
+    IN-filter on the partition column prunes the scan to the probe
+    directories at listing time — the executable form of the 100-TB
+    ANN story (index paid at ingest, queries scan ~(1+nbits)/2^nbits).
+    Deterministic planes keep even this variant value-hash checked:
+    it must return exactly what the unindexed LSH query returns."""
+    import hashlib
+    import os
+
+    from wrds2pg_spark.operators.similarity import (
+        build_lsh_index, lsh_topk_indexed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index = f"/tmp/wrds2pg_spark_fixtures/emb_lsh_idx_{tag}"
+    if not os.path.exists(os.path.join(index, "_SUCCESS")):
+        build_lsh_index(
+            load_table(spark, sf_dir, "embeddings"), index, nbits=8
+        )
+    return lsh_topk_indexed(spark, index, _QVEC, k=20, nbits=8, radius=1)
+
+
 @register("similarity_ivf", oracle=None)  # kmeans cells are engine-specific
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators/similarity.py): seeded k-means

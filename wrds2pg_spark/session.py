@@ -76,8 +76,37 @@ def fan_out(df, min_partitions: int | None = None):
     ~1.5 MB file) arrive as a single input split, which serializes any
     expensive map stage (shingling, hashing, Pandas UDFs) onto one
     task; on a real cluster the same applies to any source with fewer
-    splits than executor slots.  No-op when the input is already wide."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    splits than executor slots.  No-op when the input is already wide.
+
+    Width is estimated from the source file listing (count + sizes vs
+    spark.sql.files.maxPartitionBytes — the same arithmetic Spark's
+    FilePartition packing uses), NOT from ``df.rdd`` — converting the
+    plan to an RDD forces analysis/physical planning twice and leaks
+    out of the pure-DataFrame world."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:  # non-file source (in-memory, stream): leave as-is
         return df
+    if len(files) >= target:
+        return df
+    # fewer files than slots: large files still split by
+    # maxPartitionBytes, so estimate the packed split count
+    max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   str(128 * 1024 * 1024)).rstrip("b"))
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, -(-size // max_bytes))
+            if splits >= target:
+                return df
+    except Exception:
+        pass  # listing-only estimate was already < target
     return df.repartition(target)
