@@ -142,6 +142,12 @@ HEADLINE = [
     "window_first_last",
     "window_lag_lead",
     "winsorize_outliers",
+    "similarity_ann_indexed",
+    # training-shard & mixture batch
+    "shard_global_shuffle",
+    "mixture_weighted_sample",
+    "vocab_induction",
+    "quality_percentile_gate",
 ]
 
 

@@ -664,3 +664,199 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard layout & mixture control
+# ---------------------------------------------------------------------------
+
+@register(
+    "shard_global_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS hx
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+                  AS INTEGER) AS shard,
+             hx
+      FROM h)
+    SELECT doc_id, lang, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def shard_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    (shard, position) from a salted md5 — the epoch-ordering primitive
+    for SGD training (examples must arrive in a reproducible
+    pseudo-random order, decoupled from source layout).
+
+    Scale shape: the hash is a row-local expression; the ONE shuffle
+    is on the 16-way shard key, and position is a row_number within
+    the shard ordered by hash — so shards can be written as separate
+    files in parallel and any worker recomputes the same order.  A
+    materialized id->position map (the naive alternative) would be a
+    second dataset as big as the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")))
+    shard = (
+        F.expr("instr('0123456789abcdef', substring(hx, 1, 1))") - 1
+    ).cast("int")
+    w = W.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        docs.select("doc_id", "lang", hx.alias("hx"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "lang", "shard", "pos")
+    )
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS h4,
+             CASE source
+               WHEN 'web' THEN '4000'      -- keep ~25%
+               WHEN 'books' THEN 'ffff'    -- keep all
+               WHEN 'wiki' THEN 'cccc'     -- keep ~80%
+               ELSE '8000'                 -- keep ~50%
+             END AS band
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_in,
+           COUNT(*) FILTER (WHERE h4 < band) AS n_kept
+    FROM tagged GROUP BY source
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/mixture control: per-source keep-rates (down-weight
+    web crawl, keep books) applied with salted-hash thresholds, so the
+    mixture is reproducible and partitioning-independent — the knob a
+    training pipeline turns to hit a target token mixture.  Pure
+    row-local tagging + one map-side-combined aggregate; at 100 TB
+    this is a single scan, and changing the mixture is a constant
+    edit, not a re-shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 4
+    )
+    band = (
+        F.when(F.col("source") == "web", "4000")
+        .when(F.col("source") == "books", "ffff")
+        .when(F.col("source") == "wiki", "cccc")
+        .otherwise("8000")
+    )
+    return (
+        docs.select("source", h4.alias("h4"), band.alias("band"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count(F.when(F.col("h4") < F.col("band"), 1)).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "vocab_induction",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({{tokens}}) AS token FROM documents),
+    counted AS (
+      SELECT token, COUNT(*) AS freq FROM tok
+      WHERE token <> '' GROUP BY token)
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+             AS rank
+    FROM counted
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: corpus-wide token frequencies,
+    top-100 with a deterministic (freq desc, token) tiebreak — the
+    first pass of any BPE/WordPiece trainer.  explode -> map-side-
+    combined count -> TakeOrdered: the shuffle carries one row per
+    DISTINCT token (not per occurrence), and top-k never sorts the
+    full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    counted = (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.orderBy(F.col("freq").desc(), "token")
+    return (
+        counted.orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("token", "freq", "rank")
+    )
+
+
+@register(
+    "quality_percentile_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, doc_id, {{quality}} AS q
+      FROM documents),
+    ranked AS (
+      SELECT lang, doc_id, q,
+             PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY q, doc_id) AS pr
+      FROM scored)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE pr >= 0.25) AS n_kept,
+           {{dsum_kept}} AS kept_quality
+    FROM ranked GROUP BY lang
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gating: drop the bottom quartile of documents
+    WITHIN each language (absolute thresholds starve low-resource
+    languages — the standard fix is per-group percentile gates).
+    percent_rank needs one shuffle on lang; the manifest agg reuses
+    the same partitioning, and the doc_id tiebreak keeps equal scores
+    deterministic."""
+    from wrds2pg_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    w = W.partitionBy("lang").orderBy("q", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("pr") >= 0.25, 1)).alias("n_kept"),
+        dsum(F.when(F.col("pr") >= 0.25, F.col("q")).otherwise(0.0), 6)
+        .alias("kept_quality"),
+    )
+
+
+def _finalize_curation_oracles() -> None:
+    from wrds2pg_spark.functions.text import QUALITY_SCORE_SQL, TOKENS_SQL
+    from wrds2pg_spark.queries import REGISTRY
+
+    REGISTRY["vocab_induction"].oracle = (
+        REGISTRY["vocab_induction"].oracle.replace(
+            "{tokens}", TOKENS_SQL("text"))
+    )
+    q = QUALITY_SCORE_SQL("text")
+    REGISTRY["quality_percentile_gate"].oracle = (
+        REGISTRY["quality_percentile_gate"].oracle
+        .replace("{quality}", q)
+        .replace("{dsum_kept}", DSUM_SQL("CASE WHEN pr >= 0.25 THEN q ELSE 0.0 END", 6))
+    )
+
+
+_finalize_curation_oracles()
