@@ -99,6 +99,22 @@ SHOWCASE = {
         "post-join projections (bucket both sides to make it "
         "exchange-free at scale)."
     ),
+    "similarity_ann_indexed": (
+        "Materialized ANN index: the probe-bucket IN-filter lands in "
+        "PartitionFilters, so the scan lists only the 9 probe "
+        "directories of 256 — index selectivity is paid at file "
+        "listing, before any I/O."
+    ),
+    "shard_global_shuffle": (
+        "Deterministic training shuffle: hash tagging is row-local "
+        "(fused into the scan); ONE exchange on the 16-way shard key "
+        "feeds the per-shard position window — no global sort."
+    ),
+    "multimodal_image_features": (
+        "Binary decode pipeline: two Arrow-batched mapInPandas stages "
+        "(synthesize -> parse) ride the scan partitioning with zero "
+        "exchanges."
+    ),
     "scan_partition_pruned": (
         "Directory-level pruning: the year predicate sits in "
         "PartitionFilters, so non-matching partition dirs are never "
