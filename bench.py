@@ -148,6 +148,7 @@ HEADLINE = [
     "mixture_weighted_sample",
     "vocab_induction",
     "quality_percentile_gate",
+    "stream_upsert_totals",
 ]
 
 

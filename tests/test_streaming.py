@@ -284,6 +284,43 @@ def test_streaming_purchase_attribution_matches_batch(spark):
     assert got == want and len(want) > 0
 
 
+def test_streaming_foreachbatch_upsert_matches_batch(spark):
+    """The foreachBatch keyed-upsert sink, driven over MULTIPLE
+    micro-batches (maxFilesPerTrigger=1 over 4 files), must converge
+    to exactly the batch per-user totals — proving the merge logic
+    (new-wins coalesce + staging swap) is idempotent across batches."""
+    from wrds2pg_spark.streaming.events import (
+        streaming_foreachbatch_upsert, user_totals,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        events.repartition(4).write.parquet(src)
+        table = os.path.join(tmp, "user_totals_table")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        writer = streaming_foreachbatch_upsert(
+            spark, src, events.schema, table, max_files_per_trigger=1
+        )
+        q = writer.option("checkpointLocation", ckpt).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(table).collect()
+        }
+
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in user_totals(events).collect()
+    }
+    assert got == want
+    assert len(want) >= 10
+
+
 def test_streaming_enrich_static_matches_batch(spark):
     """Stream-static broadcast join + watermarked tumbling agg must
     reproduce the batch enrich_static exactly (no late data in the

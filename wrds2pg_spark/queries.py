@@ -1541,6 +1541,26 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {DSUM_SQL('value', 2)} AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the foreachBatch keyed-upsert streaming sink
+    (streaming/events.py streaming_foreachbatch_upsert): per-user
+    lifetime totals — the serving-table end state the sink maintains
+    incrementally.  tests/test_streaming.py drives the actual
+    foreachBatch MERGE over multiple micro-batches and asserts it
+    converges to exactly this result."""
+    from wrds2pg_spark.streaming.events import user_totals
+
+    return user_totals(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH d AS (

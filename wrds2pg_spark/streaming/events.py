@@ -24,6 +24,7 @@ __all__ = [
     "streaming_user_running_totals", "streaming_dedup",
     "streaming_purchase_attribution",
     "enrich_static", "streaming_enrich_static",
+    "user_totals", "streaming_foreachbatch_upsert",
 ]
 
 
@@ -398,4 +399,79 @@ def streaming_user_running_totals(
             GroupStateTimeout.ProcessingTimeTimeout
             if timeout_ms else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def user_totals(events: DataFrame) -> DataFrame:
+    """Batch twin of the foreachBatch upsert sink's end state: per-user
+    lifetime totals.  One map-side-combined aggregate."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+def streaming_foreachbatch_upsert(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    table_path: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming MERGE sink: update-mode per-user totals land in a
+    parquet table via ``foreachBatch`` keyed upsert — the canonical
+    pattern for maintaining a serving table from a stream when the
+    sink has no native idempotent-upsert support.
+
+    Each micro-batch delivers the NEW cumulative value for every key
+    the batch touched (update output mode), so the upsert is
+    new-wins-per-key: full-outer join against the current table,
+    coalesce toward the batch side, write to a staging directory, and
+    swap.  The swap is driver-side and atomic enough for a local demo;
+    on a real deployment the same ``foreachBatch`` body targets an
+    ACID table format (Delta/Iceberg MERGE) or a keyed store, and
+    nothing upstream changes.  State note: an unwindowed keyed agg
+    keeps one state row per user forever — bound it in production
+    with windowing + watermark or state TTL.
+    """
+    import os
+    import shutil
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        stage = table_path + "__stage"
+        if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+            old = sess.read.parquet(table_path).select(
+                F.col("user_id"),
+                F.col("n_events").alias("__old_n"),
+                F.col("sum_value").alias("__old_s"),
+            )
+            merged = (
+                batch_df.join(old, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    F.coalesce("n_events", "__old_n").alias("n_events"),
+                    F.coalesce("sum_value", "__old_s").alias("sum_value"),
+                )
+            )
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(stage)
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(stage, table_path)
+
+    return (
+        agg.writeStream.outputMode("update").foreachBatch(upsert)
     )
