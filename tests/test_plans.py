@@ -190,6 +190,30 @@ def test_partition_pruned_scan(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_gaps_islands_single_shuffle(spark):
+    """distinct + row_number window + island agg must all reuse ONE
+    user_id exchange (plus AQE reads) — no self-join, no second fact
+    shuffle."""
+    plan = plan_of(spark, "events_gaps_islands")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # user_id hash + final agg partial
+
+
+def test_shard_shuffle_single_exchange(spark):
+    plan = plan_of(spark, "shard_global_shuffle")
+    assert plan.count("Exchange") == 1
+
+
+def test_sql_direct_q6_pushdown(spark):
+    """The spark.sql front door must produce the same pushed-down
+    scan-agg as the DataFrame API: predicates in PushedFilters, two
+    read columns + the filter columns only."""
+    plan = formatted_plan(spark, "sql_q6_direct")
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan) or \
+        re.search(r"PushedFilters: \[.*l_discount.*\]", plan), plan
+    assert "HashAggregate" in plan
+
+
 def test_ann_index_partition_pruning(spark):
     """The materialized LSH index must prune to the probe buckets at
     directory-listing time: the bucket IN-filter belongs in
