@@ -55,6 +55,27 @@ def test_minhash_lsh_consistent_with_exact(spark):
         assert j >= 0.5
 
 
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    """max_bucket_size caps per-bucket pair generation: capped output
+    is a SUBSET of the uncapped pairs (precision preserved — the
+    verify stage is unchanged), and an all-identical corpus slice
+    generates at most cap*(cap-1)/2 pairs instead of n*(n-1)/2."""
+    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    full = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_pairs(
+                  docs, threshold=0.5, max_bucket_size=5).collect()}
+    assert len(full) == 20 * 19 // 2
+    assert len(capped) == 5 * 4 // 2
+    assert capped <= full
+
+
 def test_simhash_identical_docs_share_fingerprint(spark):
     from wrds2pg_spark.operators.dedup import simhash_fingerprints
 

