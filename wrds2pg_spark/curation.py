@@ -631,8 +631,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroid",
     oracle=f"""
     SELECT label, CAST(i AS BIGINT) AS dim,
-           round({DSUM_SQL('CAST(embedding[i] AS DOUBLE)', 6)}
-                 / count(*), 6) AS centroid
+           {DSUM_SQL('CAST(embedding[i] AS DOUBLE)', 6)}
+                 / count(*) AS centroid
     FROM embeddings,
          UNNEST(generate_series(1, len(embedding))) AS g(i)
     GROUP BY label, i
@@ -656,12 +656,14 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("dim"),
         F.col("v").cast("double").alias("v"),
     )
+    # No final round(): the exact scaled-long sum and the two IEEE
+    # divisions are bit-identical on both engines, while a last
+    # round-to-6 can straddle a decimal boundary differently (caught
+    # by the sf0.1 sweep: one dim off by 1e-6).
     return (
         exploded.groupBy("label", "dim")
         .agg(
-            F.round(
-                dsum(F.col("v"), 6) / F.count(F.lit(1)), 6
-            ).alias("centroid")
+            (dsum(F.col("v"), 6) / F.count(F.lit(1))).alias("centroid")
         )
     )
 
