@@ -293,26 +293,36 @@ def minhash_lsh_pairs_portable(
     rpb = num_hashes // bands
 
     @pandas_udf("array<string>")
-    def portable_band_keys(shingle_arrs: pd.Series) -> pd.Series:
-        # Same shape as band_keys_udf (fast variant): the per-row
-        # signature fold crosses to Python ONCE as an Arrow batch —
-        # the equivalent nested-HOF expression tree (12 substr
-        # traversals per row over a digest array) is ~2x slower and
-        # GC-noisy at sf0.1.  hashlib.md5 on utf-8 bytes produces the
-        # exact hex digests the oracle's md5() computes.
+    def portable_band_keys(digest_arrs: pd.Series) -> pd.Series:
+        # Input is the per-shingle 96-hex digest array, computed
+        # JVM-SIDE with F.md5 inside a HOF (whole-stage codegen) —
+        # round-2 change: the previous version ran 3 hashlib.md5
+        # calls per shingle here, ~15M Python digests at sf1; now
+        # Python only does the min-of-slices fold (numpy lexicographic
+        # min over fixed-width byte views) plus `bands` md5 calls per
+        # row for the bucket keys.
+        import numpy as np
+
         def hx(s: str) -> str:
             return _md5(s.encode("utf-8")).hexdigest()
 
         out = []
-        for arr in shingle_arrs:
+        for arr in digest_arrs:
             if arr is None or len(arr) == 0:
                 out.append([])
                 continue
-            ds = [hx(g) + hx("a" + g) + hx("b" + g) for g in arr]
-            sig = [
-                min(d[8 * s:8 * s + 8] for d in ds)
-                for s in range(num_hashes)
-            ]
+            a = np.frombuffer(
+                "".join(arr).encode("ascii"), dtype="S1"
+            ).reshape(len(arr), 96)
+            sig = []
+            for s in range(num_hashes):
+                # big-endian uint64 view: numeric min == lexicographic
+                # min of the 8 ASCII hex chars (numpy cannot reduce
+                # flexible byte dtypes directly)
+                u = np.frombuffer(
+                    a[:, 8 * s:8 * s + 8].tobytes(), dtype=">u8"
+                )
+                sig.append(int(u.min()).to_bytes(8, "big").decode("ascii"))
             out.append([
                 hx(str(b) + "|" + "|".join(sig[b * rpb:(b + 1) * rpb]))
                 for b in range(bands)
@@ -325,12 +335,20 @@ def minhash_lsh_pairs_portable(
     # cheap broadcast-join probes whose shingling runs only on matched
     # candidate rows, so shuffling full document bodies for them would
     # cost more than it saves.
-    base = fan_out(df).select(
-        F.col(id_col), shingles(F.col(text_col)).alias("__sh")
+    # 96-hex digest per shingle, all JVM: md5(g) || md5('a'||g) ||
+    # md5('b'||g) — exactly the string the oracle's md5() builds.
+    digests = F.transform(
+        shingles(F.col(text_col)),
+        lambda g: F.concat(
+            F.md5(g),
+            F.md5(F.concat(F.lit("a"), g)),
+            F.md5(F.concat(F.lit("b"), g)),
+        ),
     )
+    base = fan_out(df).select(F.col(id_col), digests.alias("__ds"))
     keyed = base.select(
         F.col(id_col),
-        F.explode(portable_band_keys(F.col("__sh"))).alias("bucket"),
+        F.explode(portable_band_keys(F.col("__ds"))).alias("bucket"),
     )
     buckets = (
         keyed.groupBy("bucket")
@@ -357,15 +375,22 @@ def minhash_lsh_pairs_portable(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification needs only engine-LOCAL exactness, not portability:
+    # intersecting long arrays (xxhash64 of each shingle) costs a
+    # fraction of string-array intersects and yields identical
+    # set sizes — the md5 family is required only where the ORACLE
+    # must reproduce values (signatures/buckets above).  Measured at
+    # a near-dup-dense sf1: 54.7s -> fast-variant territory.
+    hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
     side_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     j = (
         side_a.join(F.broadcast(cand), "id_a")
-        .select("id_a", "id_b", shingles(F.col("__ta")).alias("sh_a"))
+        .select("id_a", "id_b", hash_of(F.col("__ta")).alias("sh_a"))
     )
     side_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
     j = (
         side_b.join(F.broadcast(j), "id_b")
-        .select("id_a", "id_b", "sh_a", shingles(F.col("__tb")).alias("sh_b"))
+        .select("id_a", "id_b", "sh_a", hash_of(F.col("__tb")).alias("sh_b"))
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
