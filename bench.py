@@ -152,6 +152,7 @@ HEADLINE = [
     "agg_median_mode",
     "events_gaps_islands",
     "sql_q6_direct",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -76,6 +76,42 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     assert capped <= full
 
 
+def test_incremental_dedup_matches_batch_cross_pairs(spark, tmp_path):
+    """Probing the materialized signature index with a new batch must
+    find exactly the (new, old) pairs the batch pipeline finds when
+    run over the union — index staleness aside, incremental == batch."""
+    from wrds2pg_spark.operators.dedup import (
+        build_minhash_bucket_index, dedup_incremental_portable,
+        minhash_lsh_pairs_portable,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "completely different content here today")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+         (11, "nothing like anything indexed at all")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "sigidx")
+    build_minhash_bucket_index(corpus, idx)
+    got = {(r["id_new"], r["id_old"], r["jaccard"])
+           for r in dedup_incremental_portable(
+               spark, idx, corpus, new, threshold=0.5).collect()}
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs_portable(
+                corpus.union(new), threshold=0.5).collect()
+            if r["id_a"] in (10, 11) or r["id_b"] in (10, 11)}
+    # batch emits (min,max) ordering; normalize to (new, old)
+    want = {(b if b >= 10 else a, a if b >= 10 else b, j)
+            for a, b, j in want}
+    assert got == want
+    assert (10, 1, 1.0) in got
+
+
 def test_simhash_identical_docs_share_fingerprint(spark):
     from wrds2pg_spark.operators.dedup import simhash_fingerprints
 

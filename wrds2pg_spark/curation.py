@@ -623,6 +623,78 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_portable(docs, threshold=0.5)
 
 
+@register(
+    "dedup_incremental_minhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+    ng AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS gs(i)
+        WHERE len(t) >= 3),
+    sets AS (
+        SELECT doc_id, list_distinct(list(g)) AS gs FROM ng GROUP BY doc_id),
+    sh AS (
+        SELECT doc_id,
+               md5(g) || md5('a' || g) || md5('b' || g) AS d
+        FROM (SELECT doc_id, UNNEST(gs) AS g FROM sets)),
+    sig AS (
+        SELECT doc_id, s, min(substr(d, s * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST(generate_series(0, 11)) AS ss(s)
+        GROUP BY doc_id, s),
+    bands AS (
+        SELECT doc_id,
+               md5(CAST(s // 3 AS VARCHAR) || '|' ||
+                   string_agg(mh, '|' ORDER BY s)) AS bkey
+        FROM sig GROUP BY doc_id, s // 3),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+        FROM bands a
+        JOIN bands b ON a.bkey = b.bkey
+        WHERE a.doc_id % 17 = 3 AND b.doc_id % 17 <> 3),
+    ver AS (
+        SELECT c.id_new, c.id_old,
+               round(len(list_intersect(sa.gs, sb.gs))
+                     / CAST(len(sa.gs) + len(sb.gs)
+                            - len(list_intersect(sa.gs, sb.gs)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_new
+        JOIN sets sb ON sb.doc_id = c.id_old)
+    SELECT id_new, id_old, jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a MATERIALIZED LSH signature index:
+    the corpus slice (doc_id %% 17 != 3) is indexed once — (bucket,
+    id) posting list on disk — and the 'newly crawled' slice (%% 17
+    == 3) probes it by broadcasting its own bucket keys into the index
+    scan; only matched candidates get exact-Jaccard verification
+    (operators/dedup.py build_minhash_bucket_index /
+    dedup_incremental_portable).  This is the arrival-time hygiene
+    pass that avoids re-shingling the whole corpus per batch at
+    100 TB.  The md5-portable family keeps even the index probe
+    value-hash checked."""
+    import hashlib
+    import os
+
+    from wrds2pg_spark.operators.dedup import (
+        build_minhash_bucket_index, dedup_incremental_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 3)
+    new = docs.filter(F.col("doc_id") % 17 == 3)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index = f"/tmp/wrds2pg_spark_fixtures/minhash_idx_{tag}"
+    if not os.path.exists(os.path.join(index, "_SUCCESS")):
+        build_minhash_bucket_index(corpus, index)
+    return dedup_incremental_portable(
+        spark, index, corpus, new, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding analytics
 # ---------------------------------------------------------------------------

@@ -33,6 +33,8 @@ __all__ = [
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "minhash_lsh_pairs_portable", "simhash_fingerprints",
     "connected_components",
+    "portable_bucket_keys", "build_minhash_bucket_index",
+    "dedup_incremental_portable",
 ]
 
 
@@ -254,6 +256,76 @@ def minhash_lsh_pairs(
     )
 
 
+def portable_bucket_keys(
+    df: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (id, LSH-bucket) posting list with the md5-portable hash
+    family — the shared signature stage of the portable pair finder,
+    the materialized signature index, and the incremental probe.
+
+    96-hex per-shingle digests (md5(g) || md5('a'||g) || md5('b'||g))
+    are computed JVM-side inside a codegen'd HOF; the Arrow UDF does
+    only the min-of-slices fold (vectorized big-endian-uint64 minimum
+    — numeric order == lexicographic order of the 8 ASCII hex chars)
+    plus ``bands`` md5 bucket keys per row."""
+    if num_hashes * 8 > 96:
+        raise ValueError("portable family supports at most 12 hashes")
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from wrds2pg_spark.session import fan_out
+
+    rpb = num_hashes // bands
+
+    @pandas_udf("array<string>")
+    def portable_band_keys(digest_arrs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def hx(s: str) -> str:
+            return _md5(s.encode("utf-8")).hexdigest()
+
+        out = []
+        for arr in digest_arrs:
+            if arr is None or len(arr) == 0:
+                out.append([])
+                continue
+            a = np.frombuffer(
+                "".join(arr).encode("ascii"), dtype="S1"
+            ).reshape(len(arr), 96)
+            sig = []
+            for s in range(num_hashes):
+                u = np.frombuffer(
+                    a[:, 8 * s:8 * s + 8].tobytes(), dtype=">u8"
+                )
+                sig.append(int(u.min()).to_bytes(8, "big").decode("ascii"))
+            out.append([
+                hx(str(b) + "|" + "|".join(sig[b * rpb:(b + 1) * rpb]))
+                for b in range(bands)
+            ])
+        return pd.Series(out)
+
+    digests = F.transform(
+        shingles(F.col(text_col)),
+        lambda g: F.concat(
+            F.md5(g),
+            F.md5(F.concat(F.lit("a"), g)),
+            F.md5(F.concat(F.lit("b"), g)),
+        ),
+    )
+    # fan out ONLY the signature leg: it carries the md5-per-shingle
+    # cost and must use every core even off a single input split.
+    base = fan_out(df).select(F.col(id_col), digests.alias("__ds"))
+    return base.select(
+        F.col(id_col),
+        F.explode(portable_band_keys(F.col("__ds"))).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     threshold: float = 0.5,
@@ -282,73 +354,9 @@ def minhash_lsh_pairs_portable(
     constant, which is why the fast variant stays the default at
     scale.
     """
-    if num_hashes * 8 > 96:
-        raise ValueError("portable family supports at most 12 hashes")
-    from hashlib import md5 as _md5
-
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    from wrds2pg_spark.session import fan_out
-
-    rpb = num_hashes // bands
-
-    @pandas_udf("array<string>")
-    def portable_band_keys(digest_arrs: pd.Series) -> pd.Series:
-        # Input is the per-shingle 96-hex digest array, computed
-        # JVM-SIDE with F.md5 inside a HOF (whole-stage codegen) —
-        # round-2 change: the previous version ran 3 hashlib.md5
-        # calls per shingle here, ~15M Python digests at sf1; now
-        # Python only does the min-of-slices fold (numpy lexicographic
-        # min over fixed-width byte views) plus `bands` md5 calls per
-        # row for the bucket keys.
-        import numpy as np
-
-        def hx(s: str) -> str:
-            return _md5(s.encode("utf-8")).hexdigest()
-
-        out = []
-        for arr in digest_arrs:
-            if arr is None or len(arr) == 0:
-                out.append([])
-                continue
-            a = np.frombuffer(
-                "".join(arr).encode("ascii"), dtype="S1"
-            ).reshape(len(arr), 96)
-            sig = []
-            for s in range(num_hashes):
-                # big-endian uint64 view: numeric min == lexicographic
-                # min of the 8 ASCII hex chars (numpy cannot reduce
-                # flexible byte dtypes directly)
-                u = np.frombuffer(
-                    a[:, 8 * s:8 * s + 8].tobytes(), dtype=">u8"
-                )
-                sig.append(int(u.min()).to_bytes(8, "big").decode("ascii"))
-            out.append([
-                hx(str(b) + "|" + "|".join(sig[b * rpb:(b + 1) * rpb]))
-                for b in range(bands)
-            ])
-        return pd.Series(out)
-
-    # fan out ONLY the signature leg: it carries the md5-per-shingle
-    # cost and must use every core even off a single input split.
-    # The two verification scans stay un-repartitioned — they are
-    # cheap broadcast-join probes whose shingling runs only on matched
-    # candidate rows, so shuffling full document bodies for them would
-    # cost more than it saves.
-    # 96-hex digest per shingle, all JVM: md5(g) || md5('a'||g) ||
-    # md5('b'||g) — exactly the string the oracle's md5() builds.
-    digests = F.transform(
-        shingles(F.col(text_col)),
-        lambda g: F.concat(
-            F.md5(g),
-            F.md5(F.concat(F.lit("a"), g)),
-            F.md5(F.concat(F.lit("b"), g)),
-        ),
-    )
-    base = fan_out(df).select(F.col(id_col), digests.alias("__ds"))
-    keyed = base.select(
-        F.col(id_col),
-        F.explode(portable_band_keys(F.col("__ds"))).alias("bucket"),
+    keyed = portable_bucket_keys(
+        df, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
     )
     buckets = (
         keyed.groupBy("bucket")
@@ -397,6 +405,88 @@ def minhash_lsh_pairs_portable(
     jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
     return (
         j.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def build_minhash_bucket_index(
+    df: DataFrame,
+    path: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus's LSH posting list: (bucket, id) pairs
+    with the portable hash family, written as parquet.  Pay the
+    signature pass ONCE at ingest; every future arrival dedups against
+    the corpus by probing this index instead of re-shingling 100 TB.
+    Append-friendly: indexing a new batch is the same builder in
+    append mode."""
+    (
+        portable_bucket_keys(
+            df, num_hashes=num_hashes, bands=bands,
+            text_col=text_col, id_col=id_col,
+        )
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def dedup_incremental_portable(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup check: flag NEW documents whose text
+    near-duplicates anything already in the indexed corpus — the
+    daily-crawl hygiene pass that makes LSH dedup viable at 100 TB
+    (without an index, every arrival re-pays the full corpus pass).
+
+    Scale shape: the new batch is SMALL next to the corpus, so its
+    (bucket, id) keys BROADCAST into a map-side hash probe of the
+    index scan — no shuffle of the index, no re-shingling of corpus
+    text except for the matched candidates, which the verification
+    joins fetch by id.  Emits (id_new, id_old, jaccard) pairs at or
+    above the threshold, verified exactly."""
+    idx = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("id_old"), "bucket"
+    )
+    new_keyed = portable_bucket_keys(
+        new_docs, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    ).select(F.col(id_col).alias("id_new"), "bucket")
+    cand = (
+        idx.join(F.broadcast(new_keyed), "bucket")
+        .select("id_new", "id_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
+    side_new = new_docs.select(
+        F.col(id_col).alias("id_new"), F.col(text_col).alias("__tn")
+    )
+    j = (
+        side_new.join(F.broadcast(cand), "id_new")
+        .select("id_new", "id_old", hash_of(F.col("__tn")).alias("sh_n"))
+    )
+    side_old = corpus.select(
+        F.col(id_col).alias("id_old"), F.col(text_col).alias("__to")
+    )
+    j = (
+        side_old.join(F.broadcast(j), "id_old")
+        .select("id_new", "id_old", "sh_n",
+                hash_of(F.col("__to")).alias("sh_o"))
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+    union = F.size("sh_n").cast("double") + F.size("sh_o").cast("double") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return (
+        j.select("id_new", "id_old", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
