@@ -153,6 +153,7 @@ HEADLINE = [
     "events_gaps_islands",
     "sql_q6_direct",
     "dedup_incremental_minhash",
+    "dedup_embedding_lsh",
 ]
 
 

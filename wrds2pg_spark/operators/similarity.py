@@ -23,7 +23,7 @@ from wrds2pg_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 __all__ = [
     "brute_force_topk", "lsh_topk", "ivf_topk", "blocked_pairs",
-    "hyperplane", "probe_buckets",
+    "lsh_blocked_pairs", "hyperplane", "probe_buckets",
     "build_lsh_index", "lsh_topk_indexed",
     "build_ivf_index", "ivf_topk_indexed",
 ]
@@ -295,6 +295,52 @@ def ivf_topk_indexed(
         .select(F.col(id_col), cos)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def lsh_blocked_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    nbits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a metadata blocking key:
+    hyperplane-signature buckets replace the label equi-join of
+    :func:`blocked_pairs`, so the operator works on any corpus (labels
+    are a luxury real crawls don't have).  Same sign-bucket family as
+    the ANN path — deterministic planes keep it oracle-checkable.
+
+    Scale shape: signature is a row-local expression; the self-join is
+    an equi-join on the 2^nbits bucket key, so pair generation stays
+    per-bucket quadratic and globally linear in bucket count.  Tune
+    nbits to corpus density (each +1 bit halves expected bucket size,
+    at some recall cost near the planes); AQE skew-join splits any hot
+    bucket.  Exact cosine verifies every emitted pair."""
+    planes = [hyperplane(j, dim) for j in range(nbits)]
+    prepped = df.select(
+        F.col(id_col),
+        _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    a = prepped.select(
+        "bucket", F.col(id_col).alias("id_a"),
+        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    )
+    b = prepped.select(
+        "bucket", F.col(id_col).alias("id_b"),
+        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    prods = F.zip_with("va", "vb", lambda x, y: x * y)
+    d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(d / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("bucket", "id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -909,6 +909,43 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, _QVEC, k=20, nbits=8, radius=1)
 
 
+def _lsh_blocked_oracle(nbits: int = 6, threshold: float = 0.3) -> str:
+    from wrds2pg_spark.operators.similarity import hyperplane
+
+    bits = []
+    for j in range(nbits):
+        p = hyperplane(j, 64)
+        plit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN {_EMB_DOT.format(a='embedding', b=plit)} >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+    SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_emb_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM bk a JOIN bk b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_emb_cos_sql('a.embedding', 'b.embedding')} >= {threshold}
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_lsh_blocked_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup WITHOUT a metadata blocking key: hyperplane
+    sign-buckets replace the label equi-join (real crawls have no
+    labels), pair generation stays per-bucket quadratic, every pair
+    verified with exact cosine (operators/similarity.py
+    lsh_blocked_pairs).  Deterministic planes keep it value-hash
+    checked."""
+    from wrds2pg_spark.operators.similarity import lsh_blocked_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_blocked_pairs(emb, threshold=0.3, dim=64, nbits=6)
+
+
 @register("similarity_ann_indexed", oracle=_lsh_oracle())
 def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k against a MATERIALIZED hyperplane-LSH index: the corpus
