@@ -154,6 +154,7 @@ HEADLINE = [
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",
+    "basket_priority_lift",
 ]
 
 

@@ -3207,6 +3207,75 @@ def rollup_time_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_priority_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT o_custkey, o_orderpriority AS item FROM orders),
+    n AS (SELECT COUNT(DISTINCT o_custkey) AS n_baskets FROM orders),
+    freq AS (
+      SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.o_custkey = b.o_custkey AND a.item < b.item
+      GROUP BY a.item, b.item)
+    SELECT p.item_a, p.item_b, p.n_pair,
+           CAST(p.n_pair AS DOUBLE) / n.n_baskets AS support,
+           CAST(p.n_pair AS DOUBLE) * n.n_baskets
+             / (fa.n_item * fb.n_item) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.item_a
+    JOIN freq fb ON fb.item = p.item_b
+    CROSS JOIN n
+    """,
+)
+def basket_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over (customer, priority) baskets:
+    pair counts, support, and lift — the association-mining shape
+    (frequent itemsets at k=2).
+
+    Scale shape: the distinct (basket, item) table shuffles ONCE on
+    the basket key; the pair self-join reuses that partitioning, so
+    pair generation is per-basket quadratic over a bounded item
+    vocabulary (5 priorities -> <=10 pairs per basket).  Item
+    frequencies and the basket count are tiny aggregates broadcast
+    into the final projection — no second shuffle of the pair table.
+    Division order is pinned identically in both engines (exact
+    integer counts, two IEEE ops) so no rounding is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    items = o.select(
+        F.col("o_custkey"), F.col("o_orderpriority").alias("item")
+    ).distinct()
+    # basket count as a broadcast 1-row aggregate — never a driver
+    # action (no-collect doctrine, tests/test_plans.py)
+    nb = items.agg(F.countDistinct("o_custkey").alias("n_baskets"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("o_custkey", F.col("item").alias("item_a"))
+    b = items.select("o_custkey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "o_custkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    fa = F.broadcast(freq.select(F.col("item").alias("item_a"),
+                                 F.col("n_item").alias("n_a")))
+    fb = F.broadcast(freq.select(F.col("item").alias("item_b"),
+                                 F.col("n_item").alias("n_b")))
+    return (
+        pairs.join(fa, "item_a").join(fb, "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a", "item_b", "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_baskets"))
+            .alias("support"),
+            (F.col("n_pair").cast("double") * F.col("n_baskets")
+             / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+    )
+
+
+@register(
     "agg_median_mode",
     oracle="""
     WITH med AS (
