@@ -505,7 +505,8 @@ def scan_orc_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from wrds2pg_spark.sources.testdata import fixture_tag
+    tag = fixture_tag(sf_dir, "nation")
     orc_dir = f"/tmp/wrds2pg_spark_fixtures/nation_orc_{tag}"
     if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
         (
@@ -547,7 +548,8 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wrds2pg_spark.sinks.parquet import write_partitioned
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from wrds2pg_spark.sources.testdata import fixture_tag
+    tag = fixture_tag(sf_dir, "orders")
     lake = f"/tmp/wrds2pg_spark_fixtures/orders_by_yr_{tag}"
     if not os.path.exists(os.path.join(lake, "_SUCCESS")):
         write_partitioned(
@@ -686,7 +688,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 17 != 3)
     new = docs.filter(F.col("doc_id") % 17 == 3)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from wrds2pg_spark.sources.testdata import fixture_tag
+    tag = fixture_tag(sf_dir, "documents")
     index = f"/tmp/wrds2pg_spark_fixtures/minhash_idx_{tag}"
     if not os.path.exists(os.path.join(index, "_SUCCESS")):
         build_minhash_bucket_index(corpus, index)

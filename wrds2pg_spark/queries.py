@@ -97,7 +97,8 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wrds2pg_spark.sources.csv import read_csv_typed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from wrds2pg_spark.sources.testdata import fixture_tag
+    tag = fixture_tag(sf_dir, "nation")
     csv_dir = f"/tmp/wrds2pg_spark_fixtures/nation_csv_{tag}"
     if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
         (
@@ -963,7 +964,8 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_lsh_index, lsh_topk_indexed,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from wrds2pg_spark.sources.testdata import fixture_tag
+    tag = fixture_tag(sf_dir, "embeddings")
     index = f"/tmp/wrds2pg_spark_fixtures/emb_lsh_idx_{tag}"
     if not os.path.exists(os.path.join(index, "_SUCCESS")):
         build_lsh_index(
@@ -1758,7 +1760,8 @@ def scan_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wrds2pg_spark.sources.json import read_json_typed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from wrds2pg_spark.sources.testdata import fixture_tag
+    tag = fixture_tag(sf_dir, "events")
     json_dir = f"/tmp/wrds2pg_spark_fixtures/events_jsonl_{tag}"
     if not os.path.exists(os.path.join(json_dir, "_SUCCESS")):
         (

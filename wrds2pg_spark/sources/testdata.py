@@ -44,3 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def fixture_tag(sf_dir: str, table: str) -> str:
+    """Cache tag for derived /tmp fixtures (indexes, re-encoded
+    copies): keyed on the SOURCE parquet's identity (path + mtime +
+    size), not just the path — if the testdata were ever regenerated
+    in place, a stale index would otherwise silently poison
+    correctness runs."""
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        ident = f"{p}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = p
+    return hashlib.md5(ident.encode()).hexdigest()[:12]
