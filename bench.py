@@ -155,6 +155,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",
     "basket_priority_lift",
+    "join_asof_tolerance",
 ]
 
 

@@ -423,6 +423,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_S = 90 * 86400  # 90 days
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_o_orderkey,
+           o.o_orderdate AS asof_o_orderdate
+    FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          AND epoch(e.ts) - epoch(o.o_orderdate) <= {_ASOF_TOL_S}
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 90-day tolerance: matches older than
+    the window are VOIDED back to null (left-outer semantics preserved)
+    — the last merge_asof parameter, completing the
+    backward/forward/nearest/tolerance surface (operators/asof.py).
+    The tolerance check is a row-local post-filter on the already-
+    carried match, so the plan is identical to the untoleranced join:
+    one union+window shuffle, no extra join."""
+    from wrds2pg_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return asof_join(
+        e, o,
+        left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+        tolerance=float(_ASOF_TOL_S),
+    )
+
+
 @register(
     "join_asof_nearest",
     oracle="""
