@@ -47,3 +47,13 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_every_registered_key_is_benched():
+    """Drift guard, CI-side: bench.py must time every REGISTRY key
+    (round-2 verdict found join_asof_tolerance registered but
+    unbenched).  Also: nothing benched that isn't registered."""
+    import bench
+
+    assert sorted(set(REGISTRY) - set(bench.HEADLINE)) == []
+    assert sorted(set(bench.HEADLINE) - set(REGISTRY)) == []

@@ -326,3 +326,92 @@ def test_write_sorted_rowgroup_stats_disjoint(spark, tmp_path):
         got._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+# --- A22 read side: comment stamp read-back --------------------------------
+
+def test_get_table_comment_query_and_parse():
+    """get_table_comment (reference postgres/ddl.py:7-23): the query
+    goes through quote_ident/obj_description, and the parse handles
+    rows, scalars, missing table (None/empty) uniformly."""
+    from wrds2pg_spark.sinks.postgres import (
+        get_table_comment, table_comment_query,
+    )
+
+    q = table_comment_query("crsp", "dsf")
+    assert "obj_description" in q and "to_regclass" in q
+    assert "quote_ident('crsp')" in q and "quote_ident('dsf')" in q
+
+    assert get_table_comment("s", "t", lambda sql: [(STAMP,)]) == STAMP
+    assert get_table_comment("s", "t", lambda sql: [[STAMP]]) == STAMP
+    assert get_table_comment("s", "t", lambda sql: [(None,)]) == ""
+    assert get_table_comment("s", "t", lambda sql: []) == ""
+    assert get_table_comment("s", "t", lambda sql: None) == ""
+
+
+def test_wrds_update_self_resolves_sink_stamp(spark, tmp_path):
+    """With an execute_query seam, wrds_update reads the sink stamp
+    itself (reference api.py:175) — the second call short-circuits
+    without the caller passing sink_modified."""
+    from wrds2pg_spark.sinks.postgres import table_comment_query
+    from wrds2pg_spark.update import source_modified, wrds_update
+
+    src = tmp_path / "src.parquet"
+    spark.range(3).write.parquet(str(src))
+    stamp = source_modified(str(src))
+
+    comments = {("s", "t"): stamp}  # simulated live table comment
+
+    def execute_query(sql):
+        assert sql == table_comment_query("s", "t")
+        return [(comments.get(("s", "t")),)]
+
+    called = []
+    assert wrds_update(
+        spark, str(src), "t", "s", "jdbc:postgresql://nowhere/db",
+        execute_sql=called.append, execute_query=execute_query,
+    ) is False
+    assert called == []
+
+    # absent comment -> gate opens (DDL starts; JDBC write to nowhere
+    # then fails, which is fine — the gate decision already happened)
+    comments[("s", "t")] = ""
+    try:
+        wrds_update(
+            spark, str(src), "t", "s", "jdbc:postgresql://nowhere:1/db",
+            execute_sql=called.append, execute_query=execute_query,
+        )
+    except Exception:
+        pass
+    assert any("CREATE TABLE" in s for s in called)
+
+
+# --- sas_encoding kwarg parity --------------------------------------------
+
+def test_sas_encoding_alias(spark, tmp_path, recwarn):
+    """sas_encoding (reference api.py:48) is accepted as an alias of
+    encoding; both set and differing warns and encoding wins."""
+    import warnings
+
+    from wrds2pg_spark.update import resolve_encoding, wrds_update_csv
+
+    assert resolve_encoding(None, "latin1") == "latin1"
+    assert resolve_encoding("utf-8", None) == "utf-8"
+    assert resolve_encoding(None, None) is None
+    with pytest.warns(UserWarning, match="differ"):
+        assert resolve_encoding("utf-8", "latin1") == "utf-8"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # same value: no warning
+        assert resolve_encoding("utf-8", "utf-8") == "utf-8"
+
+    src = tmp_path / "enc.csv"
+    src.write_bytes("id,name\n1,Café\n".encode("windows-1252"))
+    out = str(tmp_path / "lake")
+    assert wrds_update_csv(
+        spark, str(src), "enc", "s", data_dir=out,
+        sas_encoding="wlatin1", single_file=True,
+    ) is True
+    part = glob.glob(os.path.join(out, "s", "enc.csv.gz", "*.csv.gz"))
+    assert part, "csv sink missing"
+    with gzip.open(part[0], "rt", encoding="utf-8") as f:
+        assert "Café" in f.read()

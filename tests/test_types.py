@@ -16,6 +16,10 @@ CASES = [
     ("timecol", 1, "TIME8.", 8, 0, "time"),
     ("datecol", 1, "YYMMDD10.", 10, 0, "date"),
     ("mmddyy", 1, "MMDDYY10.", 10, 0, "date"),
+    # case parity with metadata.py:276-277 (fmt.upper() before the
+    # exact TOD/TIME8. checks): lower-case 'tod' is still a time
+    ("todlow", 1, "tod", 0, 0, "time"),
+    ("todup", 1, "TOD", 0, 0, "time"),
     ("bestcol", 1, "BEST", 0, 0, "float8"),
     # quirk: BEST12. != BEST exactly -> falls through to formatl rule
     ("best12", 1, "BEST12.", 12, 0, "integer"),

@@ -184,10 +184,11 @@ def minhash_lsh_pairs(
     generation.  Pairs per bucket are then <= cap^2/2 instead of
     unbounded; a giant near-dup cluster still surfaces (its members
     co-occur across many bands) but can no longer generate O(n^2)
-    work in one task.  NOT silent: dropped-id totals per run are
-    observable via the ``__bucket_overflow`` accumulator column
-    pattern (filter ``size(ids) > cap`` upstream to audit).  Off by
-    default so the oracle-checked behavior is exact."""
+    work in one task.  The truncation itself is SILENT in the pair
+    output — to audit dropped ids, re-run the bucket aggregation
+    upstream and filter ``size(ids) > cap`` (one extra job over the
+    same shuffle).  Off by default so the oracle-checked behavior is
+    exact."""
     base = df.select(
         F.col(id_col),
         F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(

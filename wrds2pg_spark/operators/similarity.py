@@ -182,17 +182,25 @@ def build_lsh_index(
     nbits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> None:
     """Materialize a hyperplane-LSH index: corpus written partitioned
     by bucket signature. Planes come from the deterministic integer
     formula, so NO sidecar state is needed — any reader (or SQL
     oracle) recomputes them."""
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = [hyperplane(j, dim) for j in range(nbits)]
+    # 'b' prefix keeps the partition value unambiguously a STRING:
+    # an all-digit bit-string like '01100001' would be read back as
+    # IntegerType by partition-type inference (leading zeros
+    # stripped), leaving isin(string probes) to work only through
+    # implicit coercion.
     (
         df.select(
             F.col(id_col), F.col(vec_col),
-            _bucket_expr(F.col(vec_col), planes).alias("bucket"),
+            F.concat(F.lit("b"),
+                     _bucket_expr(F.col(vec_col), planes)).alias("bucket"),
         )
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
     )
@@ -212,7 +220,7 @@ def lsh_topk_indexed(
     driver-side from the query vector alone, and the IN-filter on the
     partition column prunes to those directories at file-listing time
     — the scan never opens the other 2^nbits - (1+nbits) buckets."""
-    probes = probe_buckets(query_vec, nbits, radius)
+    probes = ["b" + p for p in probe_buckets(query_vec, nbits, radius)]
     q = _query_col(query_vec)
     cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
     return (

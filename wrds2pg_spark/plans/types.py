@@ -44,7 +44,10 @@ def pg_type_for_sas_row(row: dict[str, str | int]) -> str:
         return "text"
     if _DATETIME_RE.search(fmt):
         return "timestamp"
-    if fmt in ("TIME8.", "TOD") or _TIME_RE.search(fmt):
+    # upper() before the exact matches mirrors metadata.py:276-277
+    # (``fmt.upper() == "TIME8." or fmt.upper() == "TOD"``) — a
+    # lower-case 'tod' format string must still map to time.
+    if fmt.upper() in ("TIME8.", "TOD") or _TIME_RE.search(fmt):
         return "time"
     if _DATE_RE.search(fmt):
         return "date"

@@ -1008,24 +1008,43 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wrds2pg_spark.sources.testdata import fixture_tag
     tag = fixture_tag(sf_dir, "embeddings")
-    index = f"/tmp/wrds2pg_spark_fixtures/emb_lsh_idx_{tag}"
+    # v2: partition values are 'b'-prefixed strings (see
+    # build_lsh_index); the path bump keeps any v1 index from a prior
+    # run from being probed with the new key format.
+    index = f"/tmp/wrds2pg_spark_fixtures/emb_lsh_idx_v2_{tag}"
     if not os.path.exists(os.path.join(index, "_SUCCESS")):
         build_lsh_index(
-            load_table(spark, sf_dir, "embeddings"), index, nbits=8
+            load_table(spark, sf_dir, "embeddings"), index, nbits=8, dim=64
         )
     return lsh_topk_indexed(spark, index, _QVEC, k=20, nbits=8, radius=1)
 
 
 @register("similarity_ivf", oracle=None)  # kmeans cells are engine-specific
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (operators/similarity.py): seeded k-means
-    cells, scan only the nprobe nearest cells.  Cell boundaries depend
-    on the clustering implementation, so the driver records the
-    rows-only check; tests assert recall against brute force."""
-    from wrds2pg_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k against the MATERIALIZED index
+    (operators/similarity.py build_ivf_index / ivf_topk_indexed):
+    seeded k-means cells written hive-partitioned once, centroid
+    sidecar ranked driver-side, only the nprobe nearest cell
+    partitions scanned — the 100-TB serving path (index cost paid at
+    ingest, queries prune at file-listing time).  Cell boundaries
+    depend on the clustering implementation, so the driver records
+    the rows-only check; tests assert recall against brute force and
+    the fit-per-query demo form (ivf_topk) stays available for
+    ad-hoc use."""
+    import os
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _QVEC, k=20, nlist=16, nprobe=2)
+    from wrds2pg_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_indexed,
+    )
+    from wrds2pg_spark.sources.testdata import fixture_tag
+
+    tag = fixture_tag(sf_dir, "embeddings")
+    index = f"/tmp/wrds2pg_spark_fixtures/emb_ivf_idx_{tag}"
+    if not os.path.exists(os.path.join(index, "_ivf_centroids.json")):
+        build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), index, nlist=16
+        )
+    return ivf_topk_indexed(spark, index, _QVEC, k=20, nprobe=2)
 
 
 @register(

@@ -70,6 +70,33 @@ def get_spark(
     return spark
 
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_bytes(value, default: int = 128 * 1024 * 1024) -> int:
+    """Parse a Spark byte-string conf value ('134217728', '128m',
+    '64MB') the way JavaUtils.byteStringAsBytes does; fall back to
+    ``default`` on anything unparseable rather than raising."""
+    try:
+        s = str(value).strip().lower()
+        i = len(s)
+        while i > 0 and not s[i - 1].isdigit():
+            i -= 1
+        mult = _BYTE_SUFFIXES.get(s[i:].strip())
+        if mult is None or i == 0:
+            return default
+        return int(s[:i]) * mult
+    except Exception:
+        return default
+
+
 def fan_out(df, min_partitions: int | None = None):
     """Repartition a narrow input so heavy per-row map work uses every
     core.  Small reference tables (the sf0.1 documents parquet is one
@@ -95,8 +122,9 @@ def fan_out(df, min_partitions: int | None = None):
         return df
     # fewer files than slots: large files still split by
     # maxPartitionBytes, so estimate the packed split count
-    max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                   str(128 * 1024 * 1024)).rstrip("b"))
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes",
+                       str(128 * 1024 * 1024)))
     try:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()

@@ -90,6 +90,42 @@ def comment_sql(schema: str, table_name: str, comment: str) -> str:
     )
 
 
+def table_comment_query(schema: str, table_name: str) -> str:
+    """The stamp read-back query (wrds2pg/postgres/ddl.py:7-23):
+    ``obj_description`` over ``to_regclass`` with ``quote_ident`` on
+    both parts, so odd identifiers round-trip exactly as the write
+    side's quoted DDL created them."""
+    s = schema.replace("'", "''")
+    t = table_name.replace("'", "''")
+    return (
+        "SELECT obj_description(to_regclass("
+        f"quote_ident('{s}') || '.' || quote_ident('{t}')"
+        "), 'pg_class')"
+    )
+
+
+def get_table_comment(
+    schema: str,
+    table_name: str,
+    execute_query: Callable[[str], object],
+) -> str:
+    """Read the table's comment stamp, '' when the table or comment is
+    absent (reference ddl.py:7-23 returns '' likewise).  The injected
+    ``execute_query`` runs one SQL string and returns rows
+    (list-of-tuples / cursor-like) — the read-side twin of the
+    ``execute_sql`` seam, so this module still owns no connections."""
+    rows = execute_query(table_comment_query(schema, table_name))
+    try:
+        rows = list(rows) if rows is not None else []
+    except TypeError:
+        rows = []
+    if not rows:
+        return ""
+    first = rows[0]
+    val = first[0] if isinstance(first, (tuple, list)) else first
+    return val if isinstance(val, str) else ""
+
+
 def ddl_script(
     schema: str,
     table_name: str,

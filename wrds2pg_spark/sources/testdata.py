@@ -20,8 +20,37 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Analyzed-DataFrame memo: (appId, sf_dir, table, file-identity) -> DataFrame.
+# A DataFrame is an immutable logical plan over the file path — reusing it
+# re-reads the DATA on every execution, so this caches only the metadata
+# step (directory listing + parquet footer schema inference, ~75 ms per
+# spark.read call locally, and a driver-side listing job on a real
+# cluster).  This is exactly what a production deployment gets for free
+# from a metastore catalog (saveAsTable: schema known, no per-query
+# footer reads), and mirrors the DuckDB oracle harness, which registers
+# each parquet file as a view once per connection.  The file's
+# mtime+size is part of the key, so a regenerated fixture can never
+# serve a stale schema.
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        ident = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = None
+    key = (spark.sparkContext.applicationId, sf_dir, name, ident)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        df = _DF_MEMO[key] = _load_table_uncached(spark, sf_dir, name)
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     if name == "events":
         # events.ts is parquet timestamp[ns], which Spark's vectorized
         # reader rejects ([PARQUET_TYPE_ILLEGAL]); read the raw int64

@@ -451,6 +451,15 @@ def streaming_foreachbatch_upsert(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         stage = table_path + "__stage"
+        old_aside = table_path + "__old"
+        # Heal leftovers from a crash mid-swap: a stranded __old means
+        # the serving rename never completed — restore it; a stranded
+        # __stage is a dead write — drop it before re-staging.
+        if os.path.exists(old_aside) and not os.path.exists(table_path):
+            os.rename(old_aside, table_path)
+        for leftover in (stage, old_aside):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
         if os.path.exists(os.path.join(table_path, "_SUCCESS")):
             old = sess.read.parquet(table_path).select(
                 F.col("user_id"),
@@ -468,9 +477,14 @@ def streaming_foreachbatch_upsert(
         else:
             merged = batch_df
         merged.write.mode("overwrite").parquet(stage)
+        # Two renames instead of rmtree-then-rename: the serving path
+        # is missing only between the two renames (both metadata-only
+        # ops), never across a full directory delete; a crash in the
+        # window is healed by the __old restore above on next batch.
         if os.path.exists(table_path):
-            shutil.rmtree(table_path)
+            os.rename(table_path, old_aside)
         os.rename(stage, table_path)
+        shutil.rmtree(old_aside, ignore_errors=True)
 
     return (
         agg.writeStream.outputMode("update").foreachBatch(upsert)

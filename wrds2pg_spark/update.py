@@ -40,6 +40,27 @@ def source_modified(source_path: str) -> str:
     return modified_decode(os.path.getmtime(source_path))
 
 
+def resolve_encoding(
+    encoding: str | None, sas_encoding: str | None
+) -> str | None:
+    """Reconcile the reference's two encoding knobs (wrds2pg/api.py:48:
+    ``encoding`` re-encodes the output, ``sas_encoding`` sets the SAS
+    session charset).  This world has a single charset boundary — the
+    source file read — so the two collapse to one value; when both are
+    given and differ, ``encoding`` wins (it is the knob the reference
+    applies last) and a warning records the discarded value."""
+    if sas_encoding and encoding and sas_encoding != encoding:
+        import warnings
+
+        warnings.warn(
+            f"encoding={encoding!r} and sas_encoding={sas_encoding!r} "
+            "differ; this engine has one charset boundary (the source "
+            f"read) — using encoding={encoding!r}",
+            stacklevel=3,
+        )
+    return encoding or sas_encoding
+
+
 def read_source(
     spark: SparkSession, source_path: str, encoding: str | None = None
 ) -> DataFrame:
@@ -73,6 +94,7 @@ def wrds_update_pq(
     force: bool = False,
     alt_table_name: str | None = None,
     encoding: str | None = None,
+    sas_encoding: str | None = None,
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> parquet lake table, gated on
@@ -81,6 +103,7 @@ def wrds_update_pq(
     ``alt_table_name`` renames the table on load (source is read under
     ``table_name``, the sink lands under the alternate —
     wrds2pg/api.py:359-362)."""
+    encoding = resolve_encoding(encoding, sas_encoding)
     pq_path = get_pq_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
@@ -101,6 +124,7 @@ def wrds_update_csv(
     single_file: bool = False,
     alt_table_name: str | None = None,
     encoding: str | None = None,
+    sas_encoding: str | None = None,
     copy_encoding: str | None = None,
     **ingest_kwargs,
 ) -> bool:
@@ -108,6 +132,7 @@ def wrds_update_csv(
     (wrds2pg/api.py:434-584).  ``encoding`` types the CSV *source*,
     ``copy_encoding`` the CSV *output* (reference's identically-named
     knobs); ``alt_table_name`` renames on load."""
+    encoding = resolve_encoding(encoding, sas_encoding)
     csv_path = get_csv_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
@@ -131,21 +156,32 @@ def wrds_update(
     col_types: dict[str, str] | None = None,
     create_roles: bool = False,
     execute_sql=None,
+    execute_query=None,
     sink_modified: str = "",
     stage_and_rename: bool = False,
     alt_table_name: str | None = None,
     encoding: str | None = None,
+    sas_encoding: str | None = None,
     tz: str = "UTC",
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> PostgreSQL table
     (wrds2pg/api.py:37-236).  ``sink_modified`` is the stamp read from
-    the existing table comment (query it with the caller's PG
-    connection; this engine only issues SQL through ``execute_sql``).
-    ``alt_table_name`` renames on load (api.py:168-169); ``tz`` is the
-    per-connection TimeZone for the load (api.py:49)."""
-    from wrds2pg_spark.sinks.postgres import update_postgres
+    the existing table comment; when it is not supplied and an
+    ``execute_query`` seam is, the stamp is resolved here via
+    ``get_table_comment`` (reference api.py:175 + postgres/ddl.py:7-23)
+    so the update gate is self-contained.  ``alt_table_name`` renames
+    on load (api.py:168-169); ``tz`` is the per-connection TimeZone
+    for the load (api.py:49)."""
+    from wrds2pg_spark.sinks.postgres import (
+        get_table_comment, update_postgres,
+    )
 
+    encoding = resolve_encoding(encoding, sas_encoding)
+    if not sink_modified and execute_query is not None:
+        sink_modified = get_table_comment(
+            schema, alt_table_name or table_name, execute_query
+        )
     modified = source_modified(source_path)
     df = apply_options(
         read_source(spark, source_path, encoding),
