@@ -67,40 +67,37 @@ def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: per document, the fraction of
     tokens covered by the single most frequent word bigram (Rae et al.
     2021 'top 2-gram fraction'); aggregated per source with a flag
-    count at the 0.1 threshold.  The bigram generator is a codegen'd
-    higher-order transform fused with the scan — documents explode to
-    (doc, bigram) pairs that feed a map-side-combined count, a per-doc
-    max, and a tiny per-source agg.  Shuffle volume is bounded by the
-    distinct (doc, bigram) pairs (each row a few bytes — the document
-    body itself never shuffles), so at 100 TB the plan is two
-    partial-agg shuffles of compact keys, no N^2 step, no UDF."""
+    count at the 0.1 threshold.  The top-bigram count is a ROW-LOCAL
+    computation, so it never shuffles: per document the bigram array
+    is sorted and a codegen'd aggregate() fold finds the longest
+    equal-run (= max frequency) in one pass.  The document body never
+    leaves its input partition; the only exchange in the whole plan is
+    the per-source partial aggregate (bytes per source).  At 100 TB
+    that beats the explode->groupBy(doc, bigram) formulation by the
+    entire token-count shuffle it avoids."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
     )
-    bg = (
-        toks.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            "source",
-            F.size("t").alias("n_tok"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), i -> "
-                    "concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
-                )
-            ).alias("bigram"),
-        )
-    )
-    per_doc = (
-        bg.groupBy("doc_id", "source", "n_tok", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "source")
-        .agg(
-            F.round(
-                2.0 * F.max("c") / F.max("n_tok").cast("double"), 6
-            ).alias("top_frac")
-        )
+    per_doc = toks.filter(F.size("t") >= 2).select(
+        "source",
+        F.round(
+            2.0
+            * F.expr(
+                "aggregate("
+                "  array_sort(transform(sequence(1, size(t) - 1), i -> "
+                "    concat_ws(' ', element_at(t, i), element_at(t, i + 1)))),"
+                "  named_struct('prev', '', 'run', 0, 'best', 0),"
+                "  (acc, x) -> named_struct("
+                "    'prev', x,"
+                "    'run', IF(x = acc.prev, acc.run + 1, 1),"
+                "    'best', GREATEST(acc.best,"
+                "                     IF(x = acc.prev, acc.run + 1, 1))),"
+                "  acc -> acc.best)"
+            )
+            / F.size("t").cast("double"),
+            6,
+        ).alias("top_frac"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

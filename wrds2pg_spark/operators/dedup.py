@@ -573,23 +573,32 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
+        # Convergence detection is FUSED into the label-update
+        # aggregate: the old label rides along as a tagged union
+        # branch (is_old=1) so min(old) is recoverable from the same
+        # groupBy that computes min(all) — no second join per round.
+        # The per-round driver work is then one checkpoint job plus a
+        # limit(1) scan of the (already materialized) checkpoint,
+        # instead of a join+shuffle convergence probe.
         nbr = (
             sym.join(labels, sym.v == labels.id)
-            .select(F.col("u").alias("id"), "comp")
+            .select(F.col("u").alias("id"), "comp",
+                    F.lit(0).alias("is_old"))
         )
         new_labels = (
-            labels.unionByName(nbr)
+            labels.select("id", "comp", F.lit(1).alias("is_old"))
+            .unionByName(nbr)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                (F.min("comp")
+                 < F.min(F.when(F.col("is_old") == 1, F.col("comp")))
+                 ).alias("__changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__changed").limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels

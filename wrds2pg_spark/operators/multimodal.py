@@ -17,6 +17,7 @@ import hashlib
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,8 +41,12 @@ LCG_B = 2246822519
 
 
 def _lcg_bytes(seed: int, start: int, count: int) -> bytes:
-    base = seed * LCG_A
-    return bytes((base + j * LCG_B) % 256 for j in range(start, start + count))
+    # Vectorized: all intermediates fit int64 for realistic ids
+    # (seed*A ~ 1e14, j*B ~ 1e13), so numpy reproduces the Python-int
+    # arithmetic exactly.
+    base = np.int64(seed) * np.int64(LCG_A)
+    j = np.arange(start, start + count, dtype=np.int64)
+    return ((base + j * np.int64(LCG_B)) % 256).astype(np.uint8).tobytes()
 
 
 def binary_stats(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
@@ -246,14 +251,18 @@ def decode_image_bmp(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 if bpp != 24:
                     raise ValueError(f"unsupported bpp {bpp}")
                 stride = (width * 3 + 3) // 4 * 4
-                luma_sum = 0
-                for y in range(abs(height)):
-                    row = b[data_off + y * stride:
-                            data_off + y * stride + width * 3]
-                    for x in range(width):
-                        bb, gg, rr = row[3 * x], row[3 * x + 1], row[3 * x + 2]
-                        luma_sum += 114 * bb + 587 * gg + 299 * rr
-                n = width * abs(height)
+                h = abs(height)
+                # strided view drops the row padding; one integer
+                # matmul with the BT.601 weights replaces the
+                # per-pixel Python loop (exact: sum < 2^40)
+                px = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=data_off
+                ).reshape(h, stride)[:, :width * 3]
+                bgr = px.reshape(-1, 3).astype(np.int64)
+                luma_sum = int(
+                    (bgr @ np.array([114, 587, 299], np.int64)).sum()
+                )
+                n = width * h
                 out["id"].append(int(rid))
                 out["n_bytes"].append(len(b))
                 out["width"].append(width)
@@ -298,11 +307,11 @@ def _build_wav(seed: int) -> bytes:
     LCG byte-pair ((seed*A + k*B) % 65536) - 32768, little-endian."""
     rate, channels, n_frames = _wav_shape(seed)
     n_samples = n_frames * channels
-    base = seed * LCG_A
-    data = b"".join(
-        (((base + k * LCG_B) % 65536) - 32768).to_bytes(2, "little", signed=True)
-        for k in range(n_samples)
-    )
+    base = np.int64(seed) * np.int64(LCG_A)
+    k = np.arange(n_samples, dtype=np.int64)
+    data = (
+        ((base + k * np.int64(LCG_B)) % 65536) - 32768
+    ).astype("<i2").tobytes()
     byte_rate = rate * channels * 2
     fmt = (
         b"fmt " + (16).to_bytes(4, "little")
@@ -361,11 +370,12 @@ def decode_audio_wav(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
                 if rate is None or data is None:
                     raise ValueError("missing fmt/data chunk")
                 n_samples = len(data) // 2
-                sq = 0
-                for k in range(n_samples):
-                    s = int.from_bytes(data[2 * k:2 * k + 2], "little",
-                                       signed=True)
-                    sq += s * s
+                # int64 sum of int32 squares: exact (|s| <= 32768,
+                # so s*s*n_samples stays far below 2^63)
+                s = np.frombuffer(
+                    data, dtype="<i2", count=n_samples
+                ).astype(np.int64)
+                sq = int((s * s).sum())
                 n_frames = n_samples // channels
                 out["id"].append(int(rid))
                 out["n_bytes"].append(len(b))
@@ -425,21 +435,29 @@ def sample_frames_real(
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, offs, sums = [], [], [], []
+            ids, idxs, sums = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(payload)
                 if b[:4] != b"FRMS":
                     raise ValueError("not a FRMS payload")
                 n = int.from_bytes(b[4:8], "little")
-                for f in range(0, n, every):
-                    frame = b[8 + f * FRAME_BYTES:8 + (f + 1) * FRAME_BYTES]
-                    ids.append(int(rid))
-                    idxs.append(f)
-                    offs.append(f / fps)
-                    sums.append(sum(frame))
+                # frame matrix view + strided row-sum: one numpy
+                # reduction per document instead of a Python loop
+                # over every sampled byte
+                frames = np.frombuffer(
+                    b, dtype=np.uint8, count=n * FRAME_BYTES, offset=8
+                ).reshape(n, FRAME_BYTES)[::every]
+                fi = np.arange(0, n, every, dtype=np.int64)
+                ids.append(np.full(len(fi), int(rid), dtype=np.int64))
+                idxs.append(fi)
+                sums.append(frames.sum(axis=1, dtype=np.int64))
+            fid = np.concatenate(idxs) if idxs else np.array([], np.int64)
             yield pd.DataFrame({
-                "id": ids, "frame_idx": idxs,
-                "ts_offset_s": offs, "frame_sum": sums,
+                "id": np.concatenate(ids) if ids else np.array([], np.int64),
+                "frame_idx": fid.astype(np.int32),
+                "ts_offset_s": fid / fps,
+                "frame_sum": (np.concatenate(sums) if sums
+                              else np.array([], np.int64)),
             })
 
     return df.select(id_col, bin_col).mapInPandas(

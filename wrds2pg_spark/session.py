@@ -38,11 +38,18 @@ def get_spark(
         ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        # Coalesce post-shuffle partitions by SIZE (64 MB advisory),
-        # not by parallelism — the Spark tuning guide's recommendation
-        # for clusters, and it also cuts per-task scheduler overhead
-        # when a stage's output is small.
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # Keep Spark's default parallelism-first coalescing: shrink
+        # post-shuffle partitions only down to the cluster's slot
+        # count, never below.  Size-only coalescing (parallelismFirst
+        # =false) packs a small shuffle output into 1-2 partitions,
+        # which serializes every downstream window/sort/agg onto one
+        # core — measured 2-3x slower on window and as-of stages at
+        # bench scale, and the same utilization cliff appears on a
+        # real cluster whenever a stage's output is under
+        # slots x advisory size.  CPU utilization beats per-task
+        # overhead until tasks are far smaller than the ~ms scheduler
+        # cost.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Single-machine local mode has no data locality to wait for;
         # on a real cluster delay scheduling trades 3s/stage for
