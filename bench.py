@@ -156,6 +156,10 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "basket_priority_lift",
     "join_asof_tolerance",
+    # round-3 additions
+    "dedup_exact_substr",
+    "text_hapax_ratio",
+    "overlap_source_trigram",
 ]
 
 

@@ -544,3 +544,214 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_customers")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: passage-level exact-substring dedup, hapax quality signal,
+# cross-source n-gram overlap (train/eval leakage matrix)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 3   # fixture-scaled; production default is ~50 tokens
+_SUBSTR_S = 2   # (Lee et al. 2022 use 50-token windows, stride 50)
+
+
+@register(
+    "dedup_exact_substr",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        FROM documents),
+    win AS (
+        SELECT doc_id, source,
+               md5(array_to_string(t[i:i+{_SUBSTR_W - 1}], ' ')) AS h
+        FROM toks,
+             UNNEST(generate_series(1, len(t) - {_SUBSTR_W - 1},
+                                    {_SUBSTR_S})) AS g(i)
+        WHERE len(t) >= {_SUBSTR_W}),
+    flagged AS (
+        SELECT doc_id, source,
+               min(doc_id) OVER (PARTITION BY h)
+               <> max(doc_id) OVER (PARTITION BY h) AS shared
+        FROM win),
+    per_doc AS (
+        SELECT doc_id, source, max(shared) AS has_shared
+        FROM flagged GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE has_shared) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source
+    """,
+)
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): slide a fixed token window over each document, hash
+    every passage, and flag documents that share any passage hash with
+    a DIFFERENT document.  Window/stride are fixture-scaled here
+    (3/2); the operator shape is identical at the paper's 50/50.
+
+    Plan: the window generator is a codegen'd HOF fused with the scan;
+    only (md5, doc_id, source) triples shuffle — ONE hash-partitioned
+    exchange where a window min/max-over-hash marks shared passages
+    without a self-join or a second scan; per-doc and per-source aggs
+    ride the same partitioning.  At 100 TB the shuffle is bounded by
+    passage count x 24 bytes, and the classic hot key (an empty or
+    boilerplate passage shared by millions of docs) hits AQE skew
+    splitting because min/max windows are decomposable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    w, s = _SUBSTR_W, _SUBSTR_S
+    win = (
+        toks.filter(F.size("t") >= w)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {w - 1}, {s}), i -> "
+                    f"md5(array_join(slice(t, i, {w}), ' ')))"
+                )
+            ).alias("h"),
+        )
+    )
+    hw = W.partitionBy("h")
+    flagged = win.select(
+        "doc_id", "source",
+        (F.min("doc_id").over(hw) != F.max("doc_id").over(hw)).alias("shared"),
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.max("shared").alias("has_shared"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("has_shared"), 1).otherwise(0))
+        .cast("long").alias("n_flagged"),
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+    cnt AS (
+        SELECT doc_id, source, token, count(*) AS c
+        FROM tok GROUP BY doc_id, source, token),
+    per_doc AS (
+        SELECT doc_id, source,
+               round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / sum(c), 6) AS hapax_ratio
+        FROM cnt GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {DAVG_SQL('hapax_ratio', 6)} AS avg_hapax_ratio
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon ratio per document (share of tokens occurring
+    exactly once — a lexical-diversity / quality signal: boilerplate
+    and spam skew low, natural prose skews high), averaged per source.
+
+    Like text_repetition_topgram, the per-document statistic is
+    ROW-LOCAL: sort the token array once and count length-1 runs in a
+    codegen'd aggregate() fold — the document body never shuffles, and
+    the only exchange is the per-source partial agg.  The ratio is an
+    exact small-int rational, so both engines compute bit-identical
+    doubles before the 6-dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    # fold state: (prev token, current run length, hapax count so far);
+    # run = 0 marks "no previous token" so a leading '' token cannot
+    # collide with the sentinel
+    hapax = F.expr(
+        "aggregate("
+        "  array_sort(t),"
+        "  named_struct('prev', '', 'run', 0, 'hapax', 0),"
+        "  (acc, x) -> IF(x = acc.prev AND acc.run > 0,"
+        "    named_struct('prev', x, 'run', acc.run + 1, 'hapax', acc.hapax),"
+        "    named_struct('prev', x, 'run', 1,"
+        "      'hapax', acc.hapax + IF(acc.run = 1, 1, 0))),"
+        "  acc -> acc.hapax + IF(acc.run = 1, 1, 0))"
+    )
+    per_doc = toks.select(
+        "source",
+        F.round(hapax.cast("double") / F.size("t"), 6).alias("hapax_ratio"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        davg(F.col("hapax_ratio"), 6).alias("avg_hapax_ratio"),
+    )
+
+
+_OVERLAP_N = 3
+
+
+@register(
+    "overlap_source_trigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS t
+        FROM documents),
+    ds AS (
+        SELECT DISTINCT source,
+               array_to_string(t[i:i+{_OVERLAP_N - 1}], ' ') AS g
+        FROM toks,
+             UNNEST(generate_series(1, len(t) - {_OVERLAP_N - 1})) AS s(i)
+        WHERE len(t) >= {_OVERLAP_N})
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ds a JOIN ds b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def overlap_source_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the train/eval LEAKAGE
+    inventory: for every pair of sources, how many distinct word
+    trigrams they share.  Decontamination (decontaminate_ngram) asks
+    "is this doc contaminated?"; this asks "which corpus slices bleed
+    into each other?" — the audit you run before choosing holdout
+    slices at all.
+
+    Plan: distinct (source, gram) pairs -> groupBy(gram) collecting
+    the sorted source set -> pair expansion per gram -> pair counts.
+    The expansion is bounded by |sources|^2/2 per gram (sources number
+    in the tens, never corpus-scale), so the heavy exchange is the
+    distinct — compact (source, gram) pairs, map-side combined.  A
+    self-join on gram would shuffle the same data TWICE and build a
+    join hash table per partition; the collect_set form is strictly
+    cheaper and cannot skew (set size is capped by source count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = _OVERLAP_N
+    grams = docs.select(
+        "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= n).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}), i -> "
+                f"array_join(slice(t, i, {n}), ' '))"
+            )
+        ).alias("g"),
+    ).distinct()
+    by_gram = grams.groupBy("g").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    ).filter(F.size("ss") > 1)
+    pairs = by_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ss) - 1), i -> "
+                "  transform(slice(ss, 1, i), a -> "
+                "    named_struct('source_a', a,"
+                "                 'source_b', element_at(ss, i + 1)))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
