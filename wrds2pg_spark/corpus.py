@@ -718,12 +718,13 @@ def overlap_source_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     into each other?" — the audit you run before choosing holdout
     slices at all.
 
-    Plan: distinct (source, gram) pairs -> groupBy(gram) collecting
-    the sorted source set -> pair expansion per gram -> pair counts.
-    The expansion is bounded by |sources|^2/2 per gram (sources number
-    in the tens, never corpus-scale), so the heavy exchange is the
-    distinct — compact (source, gram) pairs, map-side combined.  A
-    self-join on gram would shuffle the same data TWICE and build a
+    Plan: ONE exchange — (source, gram) occurrences go straight into
+    groupBy(gram).collect_set(source), whose set semantics absorb the
+    per-source duplicate grams a separate DISTINCT would have paid a
+    second shuffle to remove (per-row array_distinct upstream trims
+    the map-side payload first).  Pair expansion per gram is bounded
+    by |sources|^2/2 (sources number in the tens, never corpus-scale).
+    A self-join on gram would shuffle the same data TWICE and build a
     join hash table per partition; the collect_set form is strictly
     cheaper and cannot skew (set size is capped by source count)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -734,11 +735,11 @@ def overlap_source_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(t) - {n - 1}), i -> "
-                f"array_join(slice(t, i, {n}), ' '))"
+                f"array_distinct(transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> array_join(slice(t, i, {n}), ' ')))"
             )
         ).alias("g"),
-    ).distinct()
+    )
     by_gram = grams.groupBy("g").agg(
         F.array_sort(F.collect_set("source")).alias("ss")
     ).filter(F.size("ss") > 1)
