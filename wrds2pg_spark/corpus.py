@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.queries import register
+from wrds2pg_spark.session import fan_out
 from wrds2pg_spark.sources.testdata import load_table
 
 
@@ -75,7 +76,7 @@ def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source partial aggregate (bytes per source).  At 100 TB
     that beats the explode->groupBy(doc, bigram) formulation by the
     entire token-count shuffle it avoids."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
     )
@@ -145,7 +146,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     never repartitioned.  The 1-row total joins the same way.  At 100
     TB the vocab table is the only state that must fit per executor
     (standard for LM tokenization), everything else streams."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = _tokens(docs)
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("total"))
@@ -201,7 +202,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops are the two count aggregates plus the per-doc top-k window
     (which reuses the tf shuffle's doc_id partitioning).  No UDF —
     ln() and the window stay in codegen."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = _tokens(docs)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(
@@ -280,7 +281,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contaminated doc-ids then dedupe and count per source.  Swap the
     literal benchmark slice for an external eval table and nothing in
     the plan changes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
     )
@@ -598,7 +599,7 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     passage count x 24 bytes, and the classic hot key (an empty or
     boilerplate passage shared by millions of docs) hits AQE skew
     splitting because min/max windows are decomposable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
     )
@@ -662,7 +663,7 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange is the per-source partial agg.  The ratio is an
     exact small-int rational, so both engines compute bit-identical
     doubles before the 6-dp round."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
     )
@@ -727,7 +728,7 @@ def overlap_source_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     A self-join on gram would shuffle the same data TWICE and build a
     join hash table per partition; the collect_set form is strictly
     cheaper and cannot skew (set size is capped by source count)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     n = _OVERLAP_N
     grams = docs.select(
         "source", F.split(F.lower(F.col("text")), " ").alias("t")

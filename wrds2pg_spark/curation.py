@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.queries import register
+from wrds2pg_spark.session import fan_out
 from wrds2pg_spark.sources.testdata import load_table
 
 
@@ -124,7 +125,7 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the gate is a narrow map over the corpus scan, so it
     pipelines ahead of any downstream dedup/tokenize stage at any
     scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     n_words = F.size(F.split(F.col("text"), " ")).cast("long")
     n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
     n_symbols = (
@@ -178,7 +179,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately engine-portable (character classes + bounded
     quantifiers only, no lookaround) so the oracle runs the exact same
     automaton."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     num = r"[0-9]{7,}"
     scrubbed = F.regexp_replace(
@@ -862,7 +863,7 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined count -> TakeOrdered: the shuffle carries one row per
     DISTINCT token (not per occurrence), and top-k never sorts the
     full vocabulary."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     counted = (
         docs.select(F.explode(toks).alias("token"))
@@ -906,7 +907,7 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     from wrds2pg_spark.functions.text import quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
         "lang", "doc_id", quality_score(F.col("text")).alias("q")
     )
