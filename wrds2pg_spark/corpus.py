@@ -146,7 +146,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     never repartitioned.  The 1-row total joins the same way.  At 100
     TB the vocab table is the only state that must fit per executor
     (standard for LM tokenization), everything else streams."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs)
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("total"))
@@ -202,7 +202,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops are the two count aggregates plus the per-doc top-k window
     (which reuses the tf shuffle's doc_id partitioning).  No UDF —
     ln() and the window stay in codegen."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(

@@ -863,7 +863,7 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined count -> TakeOrdered: the shuffle carries one row per
     DISTINCT token (not per occurrence), and top-k never sorts the
     full vocabulary."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     counted = (
         docs.select(F.explode(toks).alias("token"))
