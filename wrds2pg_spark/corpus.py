@@ -34,6 +34,41 @@ def _tokens(docs: DataFrame, *extra_cols: str) -> DataFrame:
     )
 
 
+def max_run_expr(arr_sql: str):
+    """Longest equal-run length in ``array_sort(<arr_sql>)`` — i.e. the
+    max multiplicity of any element — as a codegen'd aggregate() fold
+    (0 for an empty array).  Row-local: no shuffle, no UDF."""
+    return F.expr(
+        f"aggregate("
+        f"  array_sort({arr_sql}),"
+        f"  named_struct('prev', '', 'run', 0, 'best', 0),"
+        f"  (acc, x) -> named_struct("
+        f"    'prev', x,"
+        f"    'run', IF(x = acc.prev AND acc.run > 0, acc.run + 1, 1),"
+        f"    'best', GREATEST(acc.best,"
+        f"      IF(x = acc.prev AND acc.run > 0, acc.run + 1, 1))),"
+        f"  acc -> acc.best)"
+    )
+
+
+def hapax_count_expr(arr_sql: str):
+    """Count of elements with multiplicity exactly 1 in ``<arr_sql>``,
+    as a codegen'd fold over the sorted array (run = 0 marks "no
+    previous element" so a leading '' cannot collide with the
+    sentinel).  Row-local: no shuffle, no UDF."""
+    return F.expr(
+        f"aggregate("
+        f"  array_sort({arr_sql}),"
+        f"  named_struct('prev', '', 'run', 0, 'hapax', 0),"
+        f"  (acc, x) -> IF(x = acc.prev AND acc.run > 0,"
+        f"    named_struct('prev', x, 'run', acc.run + 1,"
+        f"                 'hapax', acc.hapax),"
+        f"    named_struct('prev', x, 'run', 1,"
+        f"      'hapax', acc.hapax + IF(acc.run = 1, 1, 0))),"
+        f"  acc -> acc.hapax + IF(acc.run = 1, 1, 0))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition scoring (Gopher repetition filters)
 # ---------------------------------------------------------------------------
@@ -84,17 +119,9 @@ def text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(
             2.0
-            * F.expr(
-                "aggregate("
-                "  array_sort(transform(sequence(1, size(t) - 1), i -> "
-                "    concat_ws(' ', element_at(t, i), element_at(t, i + 1)))),"
-                "  named_struct('prev', '', 'run', 0, 'best', 0),"
-                "  (acc, x) -> named_struct("
-                "    'prev', x,"
-                "    'run', IF(x = acc.prev, acc.run + 1, 1),"
-                "    'best', GREATEST(acc.best,"
-                "                     IF(x = acc.prev, acc.run + 1, 1))),"
-                "  acc -> acc.best)"
+            * max_run_expr(
+                "transform(sequence(1, size(t) - 1), i -> "
+                "concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
             )
             / F.size("t").cast("double"),
             6,
@@ -667,19 +694,7 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.col("text")), " ").alias("t")
     )
-    # fold state: (prev token, current run length, hapax count so far);
-    # run = 0 marks "no previous token" so a leading '' token cannot
-    # collide with the sentinel
-    hapax = F.expr(
-        "aggregate("
-        "  array_sort(t),"
-        "  named_struct('prev', '', 'run', 0, 'hapax', 0),"
-        "  (acc, x) -> IF(x = acc.prev AND acc.run > 0,"
-        "    named_struct('prev', x, 'run', acc.run + 1, 'hapax', acc.hapax),"
-        "    named_struct('prev', x, 'run', 1,"
-        "      'hapax', acc.hapax + IF(acc.run = 1, 1, 0))),"
-        "  acc -> acc.hapax + IF(acc.run = 1, 1, 0))"
-    )
+    hapax = hapax_count_expr("t")
     per_doc = toks.select(
         "source",
         F.round(hapax.cast("double") / F.size("t"), 6).alias("hapax_ratio"),
