@@ -157,6 +157,7 @@ HEADLINE = [
     "basket_priority_lift",
     "join_asof_tolerance",
     # round-3 additions
+    "join_interval_overlap",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

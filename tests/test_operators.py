@@ -440,3 +440,33 @@ def test_hll_sketch_estimate_accuracy(spark):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Pairs spanning many shared bins must be emitted exactly once
+    (first-common-bin rule), and the result must equal the brute-force
+    non-equi join."""
+    from wrds2pg_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 60), (3, 200, 210)],
+        "a long, s_a long, e_a long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 150), (11, 0, 300), (12, 400, 410)],
+        "b long, s_b long, e_b long",
+    )
+    got = sorted(
+        (r["a"], r["b"])
+        for r in interval_overlap_join(
+            left, right, "s_a", "e_a", "s_b", "e_b", bin_width=10
+        ).collect()
+    )
+    brute = sorted(
+        (a, b)
+        for (a, sa, ea) in left.collect()
+        for (b, sb, eb) in right.collect()
+        if sa <= eb and sb <= ea
+    )
+    assert got == brute
+    assert len(got) == len(set(got))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["band_join"]
+__all__ = ["band_join", "interval_overlap_join"]
 
 
 def band_join(
@@ -55,3 +55,57 @@ def band_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return l_df.join(r_df, on="__bucket", how="inner").filter(cond).drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str, l_end: str,
+    r_start: str, r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Inner join of two INTERVAL sets on overlap
+    (``l.start <= r.end AND r.start <= l.end``) — the genomics /
+    session-log / validity-window join Spark has no native operator
+    for (a raw non-equi join nested-loops).
+
+    Scale shape: both sides explode to the fixed-width bins their
+    interval covers and equi-join on the bin id (hash shuffle,
+    co-located).  A pair of overlapping intervals shares every bin in
+    the overlap region, so the join would emit it once per shared bin;
+    instead of a dropDuplicates shuffle, the pair is kept only in its
+    FIRST common bin — ``max(floor(l.start/w), floor(r.start/w))`` —
+    which the post-filter computes from the row itself.  Exactly-once
+    without a second exchange.  ``bin_width`` ~ the typical interval
+    length keeps duplication ~2 bins/interval; intervals much longer
+    than the width fan out proportionally (cap them upstream or raise
+    the width).
+    """
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / F.lit(bin_width)),
+                    F.floor(F.col(end) / F.lit(bin_width)),
+                )
+            ),
+        )
+
+    cond = (
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (
+            F.col("__bin")
+            == F.greatest(
+                F.floor(F.col(l_start) / F.lit(bin_width)),
+                F.floor(F.col(r_start) / F.lit(bin_width)),
+            )
+        )
+    )
+    return (
+        binned(left, l_start, l_end)
+        .join(binned(right, r_start, r_end), on="__bin", how="inner")
+        .filter(cond)
+        .drop("__bin")
+    )

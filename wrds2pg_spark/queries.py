@@ -391,6 +391,72 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_overlap",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey AS a_key,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS s_a,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE))
+                   + 1 + o_orderkey % 30 AS e_a
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0),
+    l AS (
+        SELECT o_orderkey AS b_key,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS s_b,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE))
+                   + 1 + o_orderkey % 30 AS e_b
+        FROM orders
+        WHERE o_orderpriority = '5-LOW' AND o_orderkey % 20 = 0)
+    SELECT a_key, b_key,
+           CAST(least(e_a, e_b) - greatest(s_a, s_b) + 1 AS BIGINT)
+               AS overlap_days
+    FROM u JOIN l ON s_a <= e_b AND s_b <= e_a
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (validity windows, sessions,
+    genomic ranges): urgent-order activity windows joined to low-
+    priority windows they overlap, with the overlap length in days.
+    Spark plans the raw ``s_a <= e_b AND s_b <= e_a`` predicate as a
+    nested loop; operators/rangejoin.py interval_overlap_join turns it
+    into a binned hash equi-join emitting each pair exactly once via
+    the first-common-bin rule — no dedup pass, one shuffle per side."""
+    from wrds2pg_spark.operators.rangejoin import interval_overlap_join
+
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    dur = 1 + F.col("o_orderkey") % 30
+
+    def side(priority: str, key: str, s: str, e: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderpriority") == priority)
+                & (F.col("o_orderkey") % 20 == 0)
+            )
+            .select(
+                F.col("o_orderkey").alias(key),
+                days.cast("long").alias(s),
+                (days + dur).cast("long").alias(e),
+            )
+        )
+
+    u = side("1-URGENT", "a_key", "s_a", "e_a")
+    low = side("5-LOW", "b_key", "s_b", "e_b")
+    joined = interval_overlap_join(u, low, "s_a", "e_a", "s_b", "e_b", 32)
+    return joined.select(
+        "a_key",
+        "b_key",
+        (F.least("e_a", "e_b") - F.greatest("s_a", "s_b") + 1)
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
+@register(
     "join_asof",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,
