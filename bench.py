@@ -158,6 +158,7 @@ HEADLINE = [
     "join_asof_tolerance",
     # round-3 additions
     "join_interval_overlap",
+    "dedup_ngram_containment",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

@@ -30,7 +30,8 @@ from wrds2pg_spark.functions.expr import let_
 from wrds2pg_spark.functions.text import shingles, tokens
 
 __all__ = [
-    "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dedup_exact", "ngram_jaccard_pairs", "ngram_containment_pairs",
+    "minhash_lsh_pairs",
     "minhash_lsh_pairs_portable", "simhash_fingerprints",
     "connected_components",
     "portable_bucket_keys", "build_minhash_bucket_index",
@@ -602,3 +603,53 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed token-set CONTAINMENT over pairs sharing a blocking
+    key: C(a in b) = |A n B| / |A| (Broder 1997's containment, the
+    asymmetric twin of resemblance/Jaccard).  Near-dup measures miss
+    quote inclusion — a document that swallows another whole scores a
+    LOW Jaccard when their sizes differ, but containment of the
+    smaller side is 1.0.  This is the quote / benchmark-inclusion /
+    subset-document detector.
+
+    Emits each unordered pair once with BOTH directions as columns,
+    filtered on the larger of the two — half the join work of a
+    directed emit, and the consumer sees which side is the contained
+    one.  Same blocking + codegen'd array_intersect scale shape as
+    :func:`ngram_jaccard_pairs`."""
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+    )
+    a = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"), F.col("__toks").alias("toks_a"),
+    )
+    b = base.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"), F.col("__toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    c_ab = F.round(inter / F.size("toks_a").cast("double"), 6)
+    c_ba = F.round(inter / F.size("toks_b").cast("double"), 6)
+    return (
+        a.join(b, on=block_cols, how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            *block_cols, "id_a", "id_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .filter(
+            F.greatest("contain_a_in_b", "contain_b_in_a") >= threshold
+        )
+    )

@@ -909,6 +909,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, ["lang", "source"], threshold=0.7)
 
 
+_CONTAIN_SQL = """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+      FROM documents),
+    p AS (
+      SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(a.toks), 6) AS contain_a_in_b,
+             ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(b.toks), 6) AS contain_b_in_a
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT * FROM p
+    WHERE greatest(contain_a_in_b, contain_b_in_a) >= 0.9
+"""
+
+
+@register("dedup_ngram_containment", oracle=_CONTAIN_SQL)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-set containment pairs (Broder's containment,
+    |A n B| / |A|): the quote / subset-document detector Jaccard
+    misses when document sizes differ (operators/dedup.py
+    ngram_containment_pairs — same blocking + codegen'd intersect
+    scale shape as the Jaccard twin, both directions in one pair
+    row)."""
+    from wrds2pg_spark.operators.dedup import ngram_containment_pairs
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(docs, ["lang", "source"], threshold=0.9)
+
+
 @register("dedup_minhash_lsh", oracle=None)  # engine-specific hashes
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified at
