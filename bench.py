@@ -159,6 +159,7 @@ HEADLINE = [
     # round-3 additions
     "join_interval_overlap",
     "dedup_ngram_containment",
+    "embedding_covariance_exact",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

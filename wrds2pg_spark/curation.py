@@ -938,3 +938,117 @@ def _finalize_curation_oracles() -> None:
 
 
 _finalize_curation_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Exact embedding covariance matrix (whitening / PCA prep)
+# ---------------------------------------------------------------------------
+
+_COV_DIM = 64
+_COV_SCALE = 1_000_000  # float32 carries ~7 decimal digits
+
+
+@register(
+    "embedding_covariance_exact",
+    oracle=f"""
+    WITH e AS (
+        SELECT list_transform(embedding, x ->
+            CAST(CASE WHEN CAST(x AS DOUBLE) >= 0
+                 THEN floor(CAST(x AS DOUBLE) * {_COV_SCALE} + 0.5)
+                 ELSE -floor(-CAST(x AS DOUBLE) * {_COV_SCALE} + 0.5)
+            END AS BIGINT)) AS v
+        FROM embeddings),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    idx AS (SELECT unnest(range({_COV_DIM})) AS i),
+    sums AS (
+        SELECT i.i, CAST(sum(v[i.i + 1]) AS BIGINT) AS s
+        FROM e, idx i GROUP BY i.i),
+    prods AS (
+        SELECT i.i, j.i AS j,
+               CAST(sum(v[i.i + 1] * v[j.i + 1]) AS BIGINT) AS ss
+        FROM e, idx i, idx j GROUP BY i.i, j.i)
+    SELECT p.i, p.j,
+           CAST(p.ss AS DOUBLE) / n.n / {_COV_SCALE * _COV_SCALE}.0
+           - (CAST(si.s AS DOUBLE) / n.n / {_COV_SCALE}.0)
+             * (CAST(sj.s AS DOUBLE) / n.n / {_COV_SCALE}.0) AS cov
+    FROM prods p
+    JOIN sums si ON si.i = p.i
+    JOIN sums sj ON sj.i = p.j
+    CROSS JOIN n
+    """,
+)
+def embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DxD covariance matrix of the embedding column — the
+    whitening / PCA-prep statistic — computed EXACTLY and fully
+    distributed: each partition folds its rows into one (n, sum-vec,
+    outer-product-matrix) partial with a vectorized integer numpy
+    kernel (values scaled to ints at float32 precision, so the sums
+    are exact longs and bit-stable under any partitioning), and only
+    ~partitions x D^2 longs shuffle to the combiner.  The corpus never
+    shuffles and the driver never sees data — at 100 TB the reduce
+    side is still D^2 numbers.  The final covariance runs the same
+    IEEE op sequence as the oracle on identical integers, so no
+    rounding is needed (functions/numeric.py doctrine).
+
+    The D^2 shuffle-free partial is the map-side-combine pattern exact
+    second-moment statistics need; the same kernel shape yields Gram
+    matrices and exact PCA inputs."""
+    import numpy as np
+    import pandas as pd
+
+    dim, scale = _COV_DIM, _COV_SCALE
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim, np.int64)
+        ss = np.zeros((dim, dim), np.int64)
+        for pdf in batches:
+            arr = np.stack(
+                [np.asarray(v, np.float64) for v in pdf["embedding"]]
+            ) if len(pdf) else np.zeros((0, dim))
+            y = arr * scale
+            # round-half-away-from-zero, matching both engines' round()
+            q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            n += q.shape[0]
+            s += q.sum(axis=0)
+            ss += q.T @ q
+        yield pd.DataFrame({
+            "n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()],
+        })
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    part = emb.select("embedding").mapInPandas(
+        partials, schema="n long, s array<long>, ss array<long>"
+    )
+    n_tot = part.agg(F.sum("n").cast("double").alias("n"))
+    s_tot = (
+        part.select(F.posexplode("s").alias("i", "sv"))
+        .groupBy("i").agg(F.sum("sv").alias("s"))
+    )
+    ss_tot = (
+        part.select(F.posexplode("ss").alias("k", "ssv"))
+        .groupBy("k").agg(F.sum("ssv").alias("ss"))
+    )
+    si = s_tot.select(F.col("i").alias("__i"), F.col("s").alias("s_i"))
+    sj = s_tot.select(F.col("i").alias("__j"), F.col("s").alias("s_j"))
+    return (
+        ss_tot.select(
+            (F.col("k") / dim).cast("long").alias("i"),
+            (F.col("k") % dim).cast("long").alias("j"),
+            "ss",
+        )
+        .join(F.broadcast(si), F.col("i") == F.col("__i"))
+        .join(F.broadcast(sj), F.col("j") == F.col("__j"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "i", "j",
+            (
+                F.col("ss").cast("double") / F.col("n")
+                / F.lit(float(scale * scale))
+                - (F.col("s_i").cast("double") / F.col("n")
+                   / F.lit(float(scale)))
+                * (F.col("s_j").cast("double") / F.col("n")
+                   / F.lit(float(scale)))
+            ).alias("cov"),
+        )
+    )
