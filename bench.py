@@ -160,6 +160,7 @@ HEADLINE = [
     "join_interval_overlap",
     "dedup_ngram_containment",
     "embedding_covariance_exact",
+    "embedding_quantize_int8",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

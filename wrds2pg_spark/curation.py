@@ -1052,3 +1052,69 @@ def embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               list_transform(embedding, x ->
+                   CAST(CASE WHEN list_max(list_transform(embedding,
+                            y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 0
+                        WHEN CAST(x AS DOUBLE) >= 0
+                        THEN floor(CAST(x AS DOUBLE) * 127
+                             / list_max(list_transform(embedding,
+                                   y -> abs(CAST(y AS DOUBLE)))) + 0.5)
+                        ELSE -floor(-CAST(x AS DOUBLE) * 127
+                             / list_max(list_transform(embedding,
+                                   y -> abs(CAST(y AS DOUBLE)))) + 0.5)
+                   END AS BIGINT)) AS qv
+        FROM embeddings)
+    SELECT vec_id, label, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT)
+               AS q_l1,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization of the embedding column —
+    the storage/ANN-serving prep that cuts vector bytes 4x (FAISS
+    IndexScalarQuantizer / vector-DB ingestion shape).  Per vector:
+    scale = max|x|, q_i = round_half_away(127 * x_i / scale).
+
+    Entirely row-local JVM HOFs — no shuffle, no UDF; the plan is a
+    map over the scan.  The hash-checked output carries the scale and
+    integer summaries of the quantized vector (sum, L1, min, max) so
+    the oracle verifies the quantized VALUES, not just the shape.
+    Zero vectors quantize to zeros (scale 0 kept for the dequant
+    contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs))
+    half_away = lambda y: (
+        F.when(y >= 0, F.floor(y + F.lit(0.5)))
+        .otherwise(-F.floor(-y + F.lit(0.5)))
+    )
+    qv = F.transform(
+        x,
+        lambda v: F.when(scale == 0, F.lit(0).cast("long")).otherwise(
+            half_away(v * 127 / scale).cast("long")
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, b: a + b)
+        .alias("q_sum"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, b: a + F.abs(b))
+        .alias("q_l1"),
+        F.array_min(qv).cast("long").alias("q_min"),
+        F.array_max(qv).cast("long").alias("q_max"),
+    )
