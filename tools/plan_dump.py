@@ -120,6 +120,18 @@ SHOWCASE = {
         "PartitionFilters, so non-matching partition dirs are never "
         "listed; the aggregate on top still map-side combines."
     ),
+    "join_interval_overlap": (
+        "Interval x interval overlap as a binned hash equi-join: both "
+        "sides explode to covered bins, join on the bin id, and the "
+        "first-common-bin filter makes each pair exactly-once without "
+        "a dedup exchange — no BroadcastNestedLoopJoin anywhere."
+    ),
+    "embedding_covariance_exact": (
+        "Exact DxD covariance via map-side matrix partials: one "
+        "mapInPandas stage folds each partition to a single "
+        "(n, sums, outer-products) row, so the exchanges above it "
+        "carry ~partitions x D^2 longs, never the corpus."
+    ),
 }
 
 
