@@ -161,6 +161,7 @@ HEADLINE = [
     "dedup_ngram_containment",
     "embedding_covariance_exact",
     "embedding_quantize_int8",
+    "anomaly_mad",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

@@ -772,3 +772,64 @@ def overlap_source_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared")
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type,
+               quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(d.med) AS med,
+           min(m.mad) AS mad,
+           CAST(count(*) FILTER (WHERE d.adev > 4.4478 * m.mad)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags per group — the robust
+    twin of anomaly_zscore (a z-score's mean/stdev are themselves
+    dragged by the outliers they hunt; median/MAD have a 50%
+    breakdown point).  Threshold 3 sigma-equivalents = 3 x 1.4826 =
+    4.4478 x MAD (the Gaussian consistency constant).
+
+    Two-pass shape like winsorize_outliers: per-group exact
+    interpolated medians (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the already-proven pairing) broadcast back onto
+    the fact stream twice — group medians first, then deviation
+    medians; counts are integers and every float comparison runs the
+    same IEEE ops both engines, so no rounding is needed anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 4.4478 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
