@@ -162,6 +162,7 @@ HEADLINE = [
     "embedding_covariance_exact",
     "embedding_quantize_int8",
     "anomaly_mad",
+    "text_zipf_slope",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

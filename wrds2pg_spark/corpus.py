@@ -833,3 +833,75 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, token) AS r
+        FROM freq),
+    pts AS (
+        SELECT round(ln(CAST(r AS DOUBLE)), 6) AS x,
+               round(ln(CAST(c AS DOUBLE)), 6) AS y
+        FROM ranked),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               {DSUM_SQL('x', 6)} AS sx, {DSUM_SQL('y', 6)} AS sy,
+               {DSUM_SQL('x * x', 6)} AS sxx,
+               {DSUM_SQL('x * y', 6)} AS sxy
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token frequencies: least-squares
+    slope of ln(freq) on ln(rank) — natural language sits near -1;
+    boilerplate-heavy or synthetic corpora drift off, making the slope
+    a one-number corpus-health probe (plus the intercept = ln of the
+    fitted top-frequency).
+
+    Scale shape: the corpus collapses to the VOCABULARY before
+    anything expensive happens — one token agg, then a vocab-sized
+    global ranking window (vocabulary is the only state, exactly the
+    LM-tokenizer bound of text_unigram_logprob), then the
+    agg_corr_exact trick: ln values rounded to 6 dp (the proven
+    cross-engine ln contract) feed exact scaled-long moments, so the
+    regression is bit-stable under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = _tokens(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("c"))
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("token")))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x"), 6).alias("sx"),
+        dsum(F.col("y"), 6).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
