@@ -1,10 +1,12 @@
-"""Corpus-statistics & data-quality query batch (round 2).
+"""Corpus-statistics & data-quality query batch.
 
-Extends the registry with the remaining operators an LLM-training-data
-pipeline runs corpus-wide: Gopher-style repetition scoring, unigram
-language-model scoring, TF-IDF term extraction, benchmark
-decontamination, context-window sequence packing, robust-statistics
-cleanup (winsorizing, exact z-score anomaly flags), and sketch-based
+Extends the registry with the operators an LLM-training-data pipeline
+runs corpus-wide: Gopher-style repetition scoring, hapax-ratio lexical
+diversity, unigram language-model scoring, Zipf-law fitting, TF-IDF
+term extraction, benchmark decontamination, passage-level
+exact-substring dedup, the cross-source n-gram leakage matrix,
+context-window sequence packing, robust-statistics cleanup
+(winsorizing, exact z-score and MAD anomaly flags), and sketch-based
 distinct counting.  The reference (iangow/wrds2pg) has none of these —
 they are north-star additions per SURVEY.md §2 Part B.
 
