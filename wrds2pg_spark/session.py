@@ -51,6 +51,14 @@ def get_spark(
         # cost.
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # 32 MB broadcast threshold (Spark's 10 MB default dates from
+        # far smaller driver/executor memory): dimension tables up to
+        # 32 MB hash-join in place of a two-sided shuffle.  With 64 g
+        # driver memory the build side is trivially safe, and on a
+        # cluster the same setting removes an exchange from every
+        # fact-dim join whose dim fits — the single biggest stage-count
+        # lever in the TPC-H-shaped plans.
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
         # Single-machine local mode has no data locality to wait for;
         # on a real cluster delay scheduling trades 3s/stage for
         # locality — irrelevant with modern disaggregated storage.
