@@ -163,6 +163,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "anomaly_mad",
     "text_zipf_slope",
+    "similarity_recall_at_k",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

@@ -1037,6 +1037,59 @@ def _lsh_oracle() -> str:
     """
 
 
+def _recall_oracle() -> str:
+    from wrds2pg_spark.operators.similarity import hyperplane, probe_buckets
+
+    nbits, dim, k = 8, 64, 20
+    bits = []
+    for j in range(nbits):
+        p = hyperplane(j, dim)
+        plit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN {_EMB_DOT.format(a='embedding', b=plit)} >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    probes = ", ".join(f"'{b}'" for b in probe_buckets(_QVEC, nbits, radius=1))
+    return f"""
+    WITH exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY {_emb_cos_sql('embedding', _QVEC_SQL)} DESC, vec_id
+      LIMIT {k}),
+    approx AS (
+      SELECT vec_id FROM embeddings
+      WHERE ({bucket}) IN ({probes})
+      ORDER BY {_emb_cos_sql('embedding', _QVEC_SQL)} DESC, vec_id
+      LIMIT {k})
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / {k} AS recall_at_k
+    FROM exact JOIN approx USING (vec_id)
+    """
+
+
+@register("similarity_recall_at_k", oracle=_recall_oracle())
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@20 of the multi-probe LSH top-k
+    against the exact brute-force top-k for the same query — the
+    metric that decides nbits/radius before anyone trusts the
+    approximate path in production.  Engines ship ANN operators;
+    auditing their recall in the same engine closes the loop.
+    Both sides are deterministic (integer-formula hyperplanes), so
+    even the approximation's QUALITY is oracle-checkable."""
+    from wrds2pg_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 20
+    exact = brute_force_topk(emb, _QVEC, k=k).select("vec_id")
+    approx = lsh_topk(emb, _QVEC, k=k, nbits=8, radius=1).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k"),
+    )
+
+
 @register("similarity_ann_lsh", oracle=_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-probe
