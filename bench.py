@@ -79,12 +79,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_portable",
     "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_ann_lsh",
     "text_stats",
     "text_langid",
     "text_fingerprint",
+    "text_entropy",
     "text_token_bpe",
     "text_rolling_hash",
     "multimodal_binary_stats",
@@ -221,6 +223,7 @@ def main() -> None:
         for name in (
             "dedup_minhash_lsh", "dedup_minhash_portable",
             "dedup_ngram_jaccard", "dedup_simhash",
+            "dedup_simhash_portable",
             "dedup_embedding_cosine", "dedup_levenshtein",
             "text_stats", "text_ngram_topk",
             # the flagship runs FIRST in the timed loop: warm it at the

@@ -15,7 +15,7 @@ from wrds2pg_spark.functions.expr import let_
 __all__ = [
     "tokens", "token_count", "stopword_hits", "punct_ratio",
     "quality_score", "lang_scores", "shingles", "fingerprint",
-    "STOPWORDS",
+    "char_entropy", "STOPWORDS",
 ]
 
 # Tiny per-language stopword lists (public knowledge; the heuristic is
@@ -184,4 +184,39 @@ def fingerprint(text: Column) -> Column:
 def FINGERPRINT_SQL(expr: str = "text") -> str:
     return (
         f"md5(array_to_string(list_sort(list_distinct({TOKENS_SQL(expr)})), ' '))"
+    )
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-level Shannon entropy in bits — the classic gibberish
+    / boilerplate signal for corpus quality gates (low entropy =
+    repeated filler, high = random bytes).
+
+    Map-only and fully codegen'd: per-row higher-order functions over
+    the char array, no explode, no shuffle, no UDF — at 100 TB this is
+    a pure scan-side column.  The distinct alphabet is SORTED before
+    the fold so the float accumulation order is deterministic and
+    identical to the SQL twin (list_sort there), keeping the 6-dp
+    rounding oracle-stable.  Per-row cost is O(alphabet * len); for
+    natural-language bytes the alphabet is ~30-100 symbols."""
+    cs = F.split(text, "")
+    n = F.size(cs).cast("double")
+    probs = F.transform(
+        F.array_sort(F.array_distinct(cs)),
+        lambda c: F.size(F.filter(cs, lambda x: x == c)) / n,
+    )
+    h = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p))
+    return F.round(h, 6)
+
+
+def CHAR_ENTROPY_SQL(expr: str = "text") -> str:
+    return (
+        f"round(-list_sum(list_transform("
+        f"list_sort(list_distinct(string_split({expr}, ''))), "
+        f"c -> (CAST(len(list_filter(string_split({expr}, ''), "
+        f"x -> x = c)) AS DOUBLE) / len(string_split({expr}, ''))) "
+        f"* log2(CAST(len(list_filter(string_split({expr}, ''), "
+        f"x -> x = c)) AS DOUBLE) / len(string_split({expr}, '')))))"
+        f", 6)"
     )

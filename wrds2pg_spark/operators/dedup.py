@@ -33,6 +33,7 @@ __all__ = [
     "dedup_exact", "ngram_jaccard_pairs", "ngram_containment_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_portable", "simhash_fingerprints",
+    "simhash_fingerprints_portable",
     "connected_components",
     "portable_bucket_keys", "build_minhash_bucket_index",
     "dedup_incremental_portable",
@@ -536,6 +537,61 @@ def simhash_fingerprints(
     # window count, NOT a groupBy+self-join: the join would re-execute
     # the fold for its second input; the window shares one evaluation
     # and one shuffle on the fingerprint
+    return out.select(
+        id_col, "simhash",
+        F.count(F.lit(1)).over(W.partitionBy("simhash")).alias("n_same"),
+    )
+
+
+def simhash_fingerprints_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Portable SimHash twin of ``simhash_fingerprints``: per-token
+    bits come from md5 hex-digit parity instead of xxhash64, so an
+    external SQL engine can recompute the fingerprint exactly and the
+    driver's oracle can hash-check it (same doctrine as
+    ``minhash_lsh_pairs_portable``).
+
+    bit_i = sign of sum over distinct tokens of
+    (2 * parity(hex digit i of md5(token)) - 1), i in [0, bits).
+    md5 gives 32 hex digits, so bits <= 32.
+
+    Same scale shape as the fast twin: tokenization + md5 stay
+    JVM-side (codegen), the bit-fold is one Arrow-batched map-only
+    pandas UDF (numpy parity fold over the hex-char matrix), and the
+    only shuffle is the window count on the fingerprint."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if not 1 <= bits <= 32:
+        raise ValueError("bits must be in [1, 32] (md5 hex width)")
+
+    @pandas_udf("string")
+    def _fold(hexes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hexes:
+            if arr is None or len(arr) == 0:
+                out.append("0" * bits)
+                continue
+            a = np.frombuffer(
+                "".join(h[:bits] for h in arr).encode("ascii"),
+                dtype=np.uint8,
+            ).reshape(-1, bits)
+            # hex nibble value: '0'-'9' -> c-48, 'a'-'f' -> c-87
+            vals = np.where(a >= 97, a - 87, a - 48).astype(np.int64)
+            s = (2 * (vals & 1) - 1).sum(axis=0)
+            out.append("".join("1" if v > 0 else "0" for v in s))
+        return pd.Series(out)
+
+    tok_hashes = F.transform(
+        F.array_distinct(tokens(F.col(text_col))),
+        lambda t: F.md5(F.encode(t, "UTF-8")),
+    )
+    out = df.select(F.col(id_col), _fold(tok_hashes).alias("simhash"))
+    # window count (not groupBy+self-join) for the same single-eval,
+    # single-shuffle reason as the fast twin
     return out.select(
         id_col, "simhash",
         F.count(F.lit(1)).over(W.partitionBy("simhash")).alias("n_same"),

@@ -961,6 +961,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs)
 
 
+@register(
+    "dedup_simhash_portable",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(trim(text)),
+                                                '\\s+')) AS t
+        FROM documents),
+    h AS (
+        SELECT doc_id, md5(g) AS d
+        FROM (SELECT doc_id, UNNEST(t) AS g FROM toks)),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN strpos('13579bdf', substr(d, i + 1, 1)) > 0
+                    THEN 1 ELSE -1 END AS s
+        FROM h, UNNEST(generate_series(0, 31)) AS gs(i)),
+    sums AS (
+        SELECT doc_id, i, sum(s) AS ss FROM bits GROUP BY doc_id, i),
+    fp AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN ss > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY i) AS simhash
+        FROM sums GROUP BY doc_id)
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS n_same
+    FROM fp
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5-parity SimHash — the oracle-CHECKED member of the
+    simhash family (the xxhash64 variant `dedup_simhash` is faster but
+    engine-specific, so the driver can only rows-check it).  Same
+    doctrine as dedup_minhash_portable: a hash family an external SQL
+    engine can recompute digit-for-digit proves the pipeline, while
+    the engine-hash twin carries the throughput
+    (operators/dedup.py:simhash_fingerprints_portable)."""
+    from wrds2pg_spark.operators.dedup import simhash_fingerprints_portable
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return simhash_fingerprints_portable(docs)
+
+
 _EMB_DOT = ("list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
             "list_transform({b}, x -> CAST(x AS DOUBLE)))")
 
@@ -1274,6 +1316,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _entropy_oracle() -> str:
+    from wrds2pg_spark.functions.text import CHAR_ENTROPY_SQL
+
+    return f"""
+    SELECT doc_id, {CHAR_ENTROPY_SQL('text')} AS char_entropy
+    FROM documents
+    """
+
+
+@register("text_entropy", oracle=_entropy_oracle())
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    boilerplate quality signal (functions/text.py char_entropy).
+    Map-only HOF fold in whole-stage codegen: no explode, no shuffle,
+    no UDF — a pure scan-side column at any scale."""
+    from wrds2pg_spark.functions.text import char_entropy
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", char_entropy(F.col("text")).alias("char_entropy"))
 
 
 @register(
