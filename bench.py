@@ -76,6 +76,7 @@ HEADLINE = [
     # north-star ops
     "pipeline_training_data",
     "dedup_exact",
+    "dedup_exact_normalized",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -123,6 +124,7 @@ HEADLINE = [
     "agg_grouping_sets",
     "agg_hll_sketch",
     "agg_stats",
+    "agg_higher_moments",
     "anomaly_zscore",
     "decontaminate_ngram",
     "dedup_cluster_exact",
@@ -148,6 +150,7 @@ HEADLINE = [
     # training-shard & mixture batch
     "shard_global_shuffle",
     "mixture_weighted_sample",
+    "mixture_temperature_sample",
     "vocab_induction",
     "quality_percentile_gate",
     "stream_upsert_totals",

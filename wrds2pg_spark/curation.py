@@ -841,6 +841,90 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_temperature_sample",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s
+        FROM documents GROUP BY source),
+    t AS (
+        SELECT CAST(SUM(n_s) AS DOUBLE) AS tot_n,
+               {DSUM_SQL('SQRT(n_s)', 6)} AS tot_sqrt
+        FROM c),
+    r AS (
+        SELECT c.source, c.n_s,
+               LEAST(1.0, 0.5 * t.tot_n * (SQRT(c.n_s) / t.tot_sqrt)
+                          / c.n_s) AS rate
+        FROM c, t),
+    tagged AS (
+        SELECT d.source, r.rate,
+               substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)
+                   AS h8,
+               printf('%08x',
+                      LEAST(CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT),
+                            4294967295)) AS band
+        FROM documents d JOIN r ON d.source = r.source)
+    SELECT source,
+           COUNT(*) AS n_in,
+           COUNT(*) FILTER (WHERE h8 < band) AS n_kept,
+           ROUND(ANY_VALUE(rate), 6) AS rate
+    FROM tagged GROUP BY source
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (T=2, i.e. weights
+    proportional to sqrt of source size — the standard multilingual /
+    multi-source rebalancing rule): per-source keep-rates are COMPUTED
+    from the corpus so small sources are up-weighted relative to their
+    share, targeting half the corpus overall.  sqrt (not pow) keeps
+    every arithmetic step a correctly-rounded IEEE op, so the rates —
+    and therefore the hash bands — are bit-identical in the oracle.
+    Plan: one tiny per-source agg, a 1-row total broadcast back over
+    it, rates broadcast-joined onto the fact scan, one final
+    map-side-combined agg — the corpus is scanned once and never
+    shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("double").alias("tot_n"),
+        # dsum, not SUM(double): the sqrt terms are irrational, so a
+        # raw float sum is order-dependent in the ULP that seeds the
+        # hash-band boundary — the exact scaled-long sum is not
+        dsum(F.sqrt(F.col("n_s")), 6).alias("tot_sqrt"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) * F.col("tot_n")
+                * (F.sqrt(F.col("n_s")) / F.col("tot_sqrt"))
+                / F.col("n_s"),
+            ).alias("rate"),
+        )
+    )
+    h8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))),
+        1, 8)
+    band = F.format_string(
+        "%08x",
+        F.least(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"),
+                F.lit(4294967295)),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("source", F.col("rate"), h8.alias("h8"), band.alias("band"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count(F.when(F.col("h8") < F.col("band"), 1)).alias("n_kept"),
+            F.round(F.any_value(F.col("rate")), 6).alias("rate"),
+        )
+    )
+
+
+@register(
     "vocab_induction",
     oracle=f"""
     WITH tok AS (

@@ -640,6 +640,64 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_higher_moments",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {DSUM_SQL('l_discount', 2)} AS s1,
+               {DSUM_SQL('l_discount * l_discount', 4)} AS s2,
+               {DSUM_SQL('l_discount * l_discount * l_discount', 6)} AS s3,
+               {DSUM_SQL(
+                   'l_discount * l_discount * l_discount * l_discount', 8
+               )} AS s4
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(s1 / n, 6) AS mean_disc,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * SQRT(s2 / n - (s1 / n) * (s1 / n))), 6) AS skew_disc,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6) AS kurt_disc
+    FROM s
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group, computed
+    from exact scaled-long power sums (the agg_stats determinism trick
+    extended to 3rd/4th moments).  Engine-native skewness()/kurtosis()
+    use Welford-style merge whose float order is partition-dependent
+    AND whose bias conventions differ across engines; raw-moment
+    algebra over associative integer sums is bit-identical on any
+    partitioning and in the oracle.  One map-side-combined shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_discount")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, 2).alias("s1"),
+        dsum(x * x, 4).alias("s2"),
+        dsum(x * x * x, 6).alias("s3"),
+        dsum(x * x * x * x, 8).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3) * m * (s2 / n) + F.lit(2) * m * m * m
+    m4 = (s4 / n - F.lit(4) * m * (s3 / n)
+          + F.lit(6) * m * m * (s2 / n) - F.lit(3) * m * m * m * m)
+    return agg.select(
+        "l_returnflag", n.cast("long").alias("n"),
+        F.round(m, 6).alias("mean_disc"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_disc"),
+        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurt_disc"),
+    )
+
+
+@register(
     "agg_stats",
     oracle=f"""
     SELECT l_returnflag,
@@ -877,6 +935,37 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.dedup import dedup_exact
 
     return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                   AS t
+        FROM documents)
+    SELECT MIN(doc_id) AS doc_id, md5(t) AS text_hash,
+           COUNT(*) AS n_dups
+    FROM norm GROUP BY md5(t)
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tolerant exact dedup: lowercase + collapse every
+    non-alphanumeric run to one space before hashing, so casing,
+    punctuation and whitespace variants of the same content collapse
+    into one group (the standard first pass before near-dup LSH).
+    Same scale shape as dedup_exact — the normalization is a scan-side
+    regexp in codegen and only (hash, id) travels in the shuffle."""
+    from wrds2pg_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                "[^a-z0-9]+", " ")).alias("text"),
+    )
+    return dedup_exact(norm)
 
 
 _JACCARD_SQL = """
