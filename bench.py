@@ -94,6 +94,7 @@ HEADLINE = [
     "udf_pandas_scalar",
     "stream_tumbling_counts",
     "stream_sliding_counts",
+    "stream_topk_per_window",
     "stream_session_window",
     "stream_dedup",
     # time-series / stats batch
@@ -142,6 +143,7 @@ HEADLINE = [
     "stream_enrich_static",
     "text_repetition_topgram",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "tfidf_top_terms",
     "window_first_last",
     "window_lag_lead",

@@ -359,3 +359,47 @@ def test_streaming_enrich_static_matches_batch(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_windowed_topk_matches_batch(spark):
+    """The streaming leaderboard (update-mode window counts upserted
+    per key via foreachBatch, rank applied at serving read) must equal
+    the batch windowed_topk over the same events, across multiple
+    micro-batches."""
+    from wrds2pg_spark.streaming.events import (
+        streaming_windowed_topk, topk_from_serving, windowed_topk,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        events.repartition(4).write.parquet(src)
+        table = os.path.join(tmp, "window_counts_table")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        # the 4-file replay is event-time-shuffled, so any realistic
+        # watermark would (correctly) drop "late" rows — use an
+        # effectively unbounded one here; the dropping behavior itself
+        # is covered by test_watermark_drops_late_events
+        writer = streaming_windowed_topk(
+            spark, src, events.schema, table,
+            watermark="8760 hours", max_files_per_trigger=1
+        )
+        q = writer.option("checkpointLocation", ckpt).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (str(r["window_start"]), r["event_type"]):
+                (r["n"], r["sum_value"], r["rk"])
+            for r in topk_from_serving(spark, table).collect()
+        }
+
+    want = {
+        (str(r["window_start"]), r["event_type"]):
+            (r["n"], r["sum_value"], r["rk"])
+        for r in windowed_topk(events).collect()
+    }
+    assert got == want
+    assert len(want) > 0

@@ -193,6 +193,96 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents),
+    big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS gs(i)
+        WHERE len(t) >= 2),
+    uni AS (
+        SELECT token, count(*) AS c1
+        FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+    v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+    bif AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    scored AS (
+        SELECT big.doc_id,
+               round(-ln((bif.c12 + 1) / (uni.c1 + v.vocab)), 6) AS nll
+        FROM big
+        JOIN bif USING (w1, w2)
+        JOIN uni ON uni.token = big.w1
+        CROSS JOIN v),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS c,
+               SUM(CAST(round(nll * 1000000.0, 0) AS BIGINT)) AS s
+        FROM scored GROUP BY doc_id)
+    SELECT doc_id, c AS n_bigrams,
+           CAST((2 * s + c) // (2 * c) AS DOUBLE) / 1000000.0 AS avg_nll
+    FROM agg
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing:
+    nll(w1 w2) = -ln((c(w1,w2) + 1) / (c(w1) + V)) averaged per
+    document — one LM order above `text_unigram_logprob`, the same
+    quality-ranking slot with context sensitivity (catches shuffled-
+    token junk a unigram LM scores as fluent).
+
+    Plan shape: the bigram stream is built row-locally (zip_with over
+    the shifted token array — no self-join, no shuffle to form pairs),
+    then joined against the broadcast bigram/unigram count tables; the
+    per-doc agg is the only corpus-sized shuffle.  The bigram vocab is
+    the one state that must fit per executor — at 100 TB swap the
+    broadcast for a sort-merge join on (w1, w2) and the rest of the
+    plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("vocab"))
+    bif = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        big.join(F.broadcast(bif), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("token", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("c12") + F.lit(1))
+                       / (F.col("c1") + F.col("vocab"))), 6
+            ).alias("nll"),
+        )
+    )
+    # the mean's 6-dp rounding runs in exact integer math — a double
+    # round() of a value sitting ON the half boundary (seen at sf0.1:
+    # 3.4140895) rounds differently in Spark's BigDecimal HALF_UP vs
+    # the oracle's binary-double round; (2s + c) div (2c) is half-up
+    # on the exact rational and bit-identical everywhere
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.round(F.col("nll") * F.lit(1e6), 0).cast("long")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("c").alias("n_bigrams"),
+        (F.expr("CAST((2 * s + c) DIV (2 * c) AS DOUBLE)")
+         / F.lit(1e6)).alias("avg_nll"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------

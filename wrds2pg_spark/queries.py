@@ -1527,6 +1527,33 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_topk_per_window",
+    oracle=f"""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n, {DSUM_SQL('value', 2)} AS sum_value
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT window_start, event_type, n, sum_value,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, sum_value DESC, event_type
+               ) AS BIGINT) AS rk
+        FROM counts)
+    SELECT * FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k leaderboard (batch twin of the streaming
+    update-mode upsert + serving-read rank in streaming/events.py
+    streaming_windowed_topk; equivalence-tested in
+    tests/test_streaming.py)."""
+    from wrds2pg_spark.streaming.events import windowed_topk
+
+    return windowed_topk(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "stream_sliding_counts",
     oracle=f"""
     WITH starts AS (

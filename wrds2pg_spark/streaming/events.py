@@ -25,6 +25,7 @@ __all__ = [
     "streaming_purchase_attribution",
     "enrich_static", "streaming_enrich_static",
     "user_totals", "streaming_foreachbatch_upsert",
+    "windowed_topk", "streaming_windowed_topk", "topk_from_serving",
 ]
 
 
@@ -488,4 +489,115 @@ def streaming_foreachbatch_upsert(
 
     return (
         agg.writeStream.outputMode("update").foreachBatch(upsert)
+    )
+
+
+def windowed_topk(
+    events: DataFrame, duration: str = "1 hour", k: int = 3
+) -> DataFrame:
+    """Top-k event types per tumbling window — the leaderboard shape
+    (batch twin of :func:`streaming_windowed_topk`).  Rank ties break
+    on event_type so the result is deterministic.  One shuffle for the
+    window counts, one for the per-window rank."""
+    counts = tumbling_counts(events, duration)
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n"), F.desc("sum_value"), "event_type")
+    return (
+        counts.select(
+            "window_start", "event_type", "n", "sum_value",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def streaming_windowed_topk(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    table_path: str,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming leaderboard: windowed counts maintained in update
+    mode through the same keyed foreachBatch upsert as
+    :func:`streaming_foreachbatch_upsert` (key = window_start +
+    event_type), with the top-k RANK applied at serving-read time
+    (:func:`topk_from_serving`).  Ranking cannot run inside the
+    stream: a window's ordering is only final once the watermark
+    closes it, and update mode re-emits growing counts per key — so
+    the stream maintains the monotone state and the cheap rank runs
+    on read, the standard serving split for streaming top-k."""
+    import os
+    import shutil
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        stage = table_path + "__stage"
+        old_aside = table_path + "__old"
+        if os.path.exists(old_aside) and not os.path.exists(table_path):
+            os.rename(old_aside, table_path)
+        for leftover in (stage, old_aside):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+            old = sess.read.parquet(table_path)
+            # new-wins-per-key: update mode re-emits the full cumulative
+            # row for every touched key, so max(n) picks the newest
+            merged = (
+                batch_df.unionByName(old)
+                .groupBy("window_start", "event_type")
+                .agg(F.max(F.struct("n", "sum_value")).alias("s"))
+                .select(
+                    "window_start", "event_type",
+                    F.col("s.n").alias("n"),
+                    F.col("s.sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(stage)
+        if os.path.exists(table_path):
+            os.rename(table_path, old_aside)
+        os.rename(stage, table_path)
+        shutil.rmtree(old_aside, ignore_errors=True)
+
+    return agg.writeStream.outputMode("update").foreachBatch(upsert)
+
+
+def topk_from_serving(
+    spark: SparkSession, table_path: str, k: int = 3
+) -> DataFrame:
+    """Serving-read rank over the streaming-maintained window counts:
+    the cheap half of the streaming top-k split (see
+    :func:`streaming_windowed_topk`)."""
+    counts = spark.read.parquet(table_path)
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n"), F.desc("sum_value"), "event_type")
+    return (
+        counts.select(
+            "window_start", "event_type", "n", "sum_value",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
     )
