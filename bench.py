@@ -73,6 +73,7 @@ HEADLINE = [
     "join_salted_skew",
     "explode_unnest",
     "scan_json_typed",
+    "scan_binaryfile",
     # north-star ops
     "pipeline_training_data",
     "dedup_exact",
@@ -99,6 +100,7 @@ HEADLINE = [
     "stream_dedup",
     # time-series / stats batch
     "ts_resample_ffill",
+    "ts_interpolate_linear",
     "text_ngram_topk",
     "dedup_levenshtein",
     "agg_corr_exact",
@@ -158,6 +160,7 @@ HEADLINE = [
     "stream_upsert_totals",
     "agg_median_mode",
     "events_gaps_islands",
+    "events_threshold_crossings",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",

@@ -2132,6 +2132,62 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT 'blob_' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-lake ingest path: the built-in ``binaryFile`` DataSource
+    scans a directory of opaque payload files into (path,
+    modificationTime, length, content) rows — the front door for
+    image/audio/video corpora feeding the multimodal operators
+    (operators/multimodal.py).  Files split across tasks by Spark's
+    normal file-listing parallelism; ``pathGlobFilter`` prunes
+    non-media files at listing time, before any bytes are read.
+
+    The fixture writes one file per document whose bytes are the
+    document text (cached by source identity, same doctrine as the
+    JSONL/CSV scan fixtures), so the oracle can predict every file's
+    name, size and md5 from the documents table — proving the scan
+    delivers payloads byte-exactly."""
+    import os
+
+    from wrds2pg_spark.sources.testdata import fixture_tag
+    tag = fixture_tag(sf_dir, "documents")
+    blob_dir = f"/tmp/wrds2pg_spark_fixtures/doc_blobs_{tag}"
+    marker = os.path.join(blob_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        os.makedirs(blob_dir, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            with open(os.path.join(blob_dir, f"blob_{doc_id}.txt"),
+                      "wb") as f:
+                f.write(text.encode("utf-8"))
+        with open(marker, "w"):
+            pass
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(blob_dir)
+        .select(
+            F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )
+
+
+@register(
     "scan_json_typed",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value
@@ -3421,6 +3477,97 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH b AS (SELECT date_trunc('day', min(ts)) AS d0,
+                      date_trunc('day', max(ts)) AS d1 FROM events),
+    days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM b),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                     {DSUM_SQL('value', 2)} AS day_value
+              FROM events GROUP BY user_id, date_trunc('day', ts)),
+    spine AS (
+        SELECT u.user_id, d.day, dv.day_value
+        FROM users u
+        CROSS JOIN days d
+        LEFT JOIN daily dv ON dv.user_id = u.user_id AND dv.day = d.day),
+    ctx AS (
+        SELECT user_id, day, day_value,
+               last_value(day_value IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN day_value IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER wp AS pd,
+               first_value(day_value IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN day_value IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER wn AS nd
+        FROM spine
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day, day_value,
+           round(CASE
+               WHEN day_value IS NOT NULL THEN day_value
+               WHEN pv IS NULL OR nv IS NULL THEN COALESCE(pv, nv)
+               ELSE pv + (nv - pv)
+                    * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                       / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END, 6) AS interp_value
+    FROM ctx
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense per-user daily grid — the
+    gap-fill one rung above forward-fill (ts_resample_ffill): missing
+    days take the value linearly between the surrounding known days,
+    edge gaps take the nearest known value.  Same scale shape as the
+    ffill twin — one fact shuffle for the daily agg, then two frames
+    of ONE user-partitioned window (prev/next carriers ride the same
+    exchange and sort); the interpolation arithmetic is row-local
+    above it."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
+        .alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum(F.col("value"), 2).alias("day_value"))
+    spine = (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+    )
+    wp = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    known_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    ctx = spine.select(
+        "user_id", "day", "day_value",
+        F.last("day_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    frac = (F.datediff(F.col("day"), F.col("pd")).cast("double")
+            / F.datediff(F.col("nd"), F.col("pd")).cast("double"))
+    interp = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(),
+              F.coalesce("pv", "nv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "user_id", "day", "day_value",
+        F.round(interp, 6).alias("interp_value"),
+    )
+
+
+@register(
     "text_ngram_topk",
     oracle="""
     WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
@@ -3761,6 +3908,36 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("anchor")
     )
+
+
+@register(
+    "events_threshold_crossings",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_value
+        FROM events)
+    SELECT user_id, event_id, ts, value, prev_value
+    FROM seq
+    WHERE value >= 8.0 AND prev_value < 8.0
+    """,
+)
+def events_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward threshold-crossing detection (the alerting primitive:
+    fire once when a per-user metric first exceeds the limit, not on
+    every high sample).  One user_id shuffle carries the lag window;
+    the crossing filter is row-local above it.  The same shape runs
+    unchanged as a stream with applyInPandasWithState holding
+    prev_value per key."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    return seq.filter(
+        (F.col("value") >= 8.0) & (F.col("prev_value") < 8.0))
 
 
 @register(
