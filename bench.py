@@ -161,6 +161,7 @@ HEADLINE = [
     "agg_median_mode",
     "events_gaps_islands",
     "events_threshold_crossings",
+    "graph_pagerank",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",

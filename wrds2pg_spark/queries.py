@@ -3910,6 +3910,97 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    body = """
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+        SELECT c AS src, s + 1000000 AS dst FROM e0
+        UNION ALL
+        SELECT s + 1000000 AS src, c AS dst FROM e0),
+    deg AS (
+        SELECT src, count(*) AS outdeg
+        FROM edges GROUP BY src),
+    c0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rs, outdeg
+           FROM deg)"""
+    for i in range(iters):
+        body += f""",
+    r{i + 1} AS (
+        SELECT e.dst AS node,
+               150000 + (85 * SUM(c.rs // c.outdeg)) // 100 AS rs
+        FROM edges e JOIN c{i} c ON e.src = c.node
+        GROUP BY e.dst),
+    c{i + 1} AS (
+        SELECT r.node, r.rs, d.outdeg
+        FROM r{i + 1} r JOIN deg d ON d.src = r.node)"""
+    return body + f"""
+    SELECT node, round(CAST(rs AS DOUBLE) / 1e6, 6) AS pagerank
+    FROM c{iters}
+    """
+
+
+@register("graph_pagerank", oracle=None)  # placeholder, set below
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled power iterations, damping 0.85) over the
+    bipartite customer<->supplier trade graph derived from
+    orders x lineitem — the iterative-algorithm shape (like
+    connected_components) but with fractional state, made
+    oracle-checkable by quantizing the rank to a scaled BIGINT
+    (micro-ranks, 1e6): per-edge contribution is integer division
+    `rs div outdeg`, the per-node sum is an exact BIGINT sum, and the
+    damping step is `150000 + (85*S) div 100` — every op associative
+    integer arithmetic, so the ranks are bit-identical on any
+    partitioning and in DuckDB's unrolled-CTE replica (doubles only
+    appear in the final `/1e6` display cast, a single IEEE op).
+
+    Scale shape per iteration: ranks shuffle-join onto the edge list
+    (edges are the big side and keep a stable src partitioning across
+    iterations), one map-side-combined agg on dst, and a broadcast
+    re-attach of out-degrees.  The driver never sees data; iteration
+    count is a constant, not data-dependent."""
+    OFF = 1000000
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("c").alias("src"), (F.col("s") + OFF).alias("dst"))
+        .unionByName(
+            e0.select((F.col("s") + OFF).alias("src"),
+                      F.col("c").alias("dst")))
+        .repartition("src")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    state = deg.select(
+        F.col("src").alias("node"),
+        F.lit(1000000).cast("long").alias("rs"),
+        "outdeg",
+    )
+    for _ in range(3):
+        contrib = edges.join(
+            state, edges.src == state.node
+        ).select("dst", F.expr("rs div outdeg").alias("w"))
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(150000) + F.expr("85 * sum(w) div 100"))
+            .cast("long")
+            .alias("rs")
+        )
+        state = ranks.join(
+            F.broadcast(deg), ranks.dst == deg.src
+        ).select(F.col("dst").alias("node"), "rs", "outdeg")
+    return state.select(
+        "node",
+        F.round(F.col("rs").cast("double") / F.lit(1e6), 6).alias("pagerank"),
+    )
+
+
+REGISTRY["graph_pagerank"].oracle = _pagerank_oracle()
+
+
 @register(
     "events_threshold_crossings",
     oracle="""
