@@ -162,6 +162,10 @@ HEADLINE = [
     "events_gaps_islands",
     "events_threshold_crossings",
     "graph_pagerank",
+    "graph_jaccard_neighbors",
+    "profile_table",
+    "dedup_survivorship",
+    "stream_late_drop_counts",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",

@@ -403,3 +403,92 @@ def test_streaming_windowed_topk_matches_batch(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_late_drop_matches_batch_twin(spark):
+    """Append-mode watermarked stream vs the micro-batch-granular
+    batch twin (late_drop_counts with file-aligned batch ids).
+
+    Captures Spark's TWO-watermark design: late-row filtering in
+    batch k uses the watermark as of the START of batch k-1 (max
+    event time over batches <= k-2, minus delay), one trigger behind
+    the eviction watermark.  So the very-late 08:30 row arriving in
+    batch 2 is judged against max(batch 0) - 10 min = 10:40: its
+    window [08:00, 09:00) is closed -> DROPPED, while the 10:20 row
+    in the same batch ([10:00, 11:00) still open by 10:40) is
+    aggregated — and because its window was already emitted after
+    batch 1, append mode EMITS THE WINDOW AGAIN with the partial
+    count, which is why the comparison sums per window."""
+    from wrds2pg_spark.streaming.events import (
+        late_drop_counts,
+        streaming_late_drop_counts,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["event_id", "ts", "event_type", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    f0 = mk([
+        (0, "2024-01-01 10:00:00", "a", 1.0),
+        (1, "2024-01-01 10:05:00", "a", 1.0),
+        (2, "2024-01-01 10:50:00", "a", 1.0),
+    ])
+    f1 = mk([(256, "2024-01-01 11:30:00", "a", 1.0)])
+    f2 = mk([
+        # late-event watermark for batch 2 = max(batch 0) - 10 min
+        # = 10:40 (NOT 11:20: one-trigger lag)
+        (512, "2024-01-01 08:30:00", "a", 1.0),  # window closed: DROP
+        (513, "2024-01-01 10:20:00", "a", 1.0),  # window open: KEEP
+    ])
+    f3 = mk([(768, "2024-01-01 20:00:00", "a", 1.0)])  # flush
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        os.makedirs(src)
+        for i, df in enumerate([f0, f1, f2, f3]):
+            part = os.path.join(tmp, f"stage{i}")
+            df.coalesce(1).write.parquet(part)
+            pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"batch{i}.parquet")
+            os.rename(os.path.join(part, pq), dst)
+            os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+
+        sdf = streaming_late_drop_counts(spark, src, schema=f0.schema)
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory").queryName("late_drop_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            dropped = sum(
+                so.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for so in p["stateOperators"]
+            )
+            got = {
+                (str(r["window_start"]), r["event_type"]):
+                    (r["n"], r["sum_value"])
+                for r in spark.sql(
+                    "SELECT window_start, event_type, SUM(n) AS n, "
+                    "round(SUM(sum_value), 2) AS sum_value "
+                    "FROM late_drop_out GROUP BY 1, 2"
+                ).collect()
+            }
+        finally:
+            q.stop()
+
+    assert dropped == 1  # the 08:30 row, and only it
+    events = f0.unionByName(f1).unionByName(f2).unionByName(f3)
+    twin = late_drop_counts(events, batch_col=F.expr("event_id div 256"))
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in twin.collect()
+        if str(r["window_start"]) < "2024-01-01 12:00:00"  # flush still open
+    }
+    assert got == want
+    # the very-late row is gone, the mildly-late row is counted
+    assert got[("2024-01-01 10:00:00", "a")][0] == 4
+    assert ("2024-01-01 08:00:00", "a") not in got
+    assert got[("2024-01-01 11:00:00", "a")][0] == 1

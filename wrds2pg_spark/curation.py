@@ -1220,3 +1220,149 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["q_min"].alias("q_min"),
         out["q_max"].alias("q_max"),
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name,
+           COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+           COUNT(DISTINCT l_orderkey) AS n_distinct,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT l_quantity),
+           MIN(l_quantity), MAX(l_quantity), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag), NULL, NULL,
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate), NULL, NULL,
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (the lakehouse `ANALYZE`/data-
+    quality primitive): per column, null count, exact distinct count,
+    and min/max — numerics as doubles, strings/timestamps as strings
+    — emitted as one tall (col_name, metrics) frame.
+
+    One aggregate over one scan computes every metric; the multiple
+    exact COUNT(DISTINCT)s compile to Spark's Expand operator (rows
+    duplicated k ways pre-shuffle, partial-aggregated map-side), so
+    the exchange carries one row per distinct (column, value), never
+    the table.  At 100 TB swap the exact distincts for
+    approx_count_distinct and Expand disappears entirely — the
+    output contract is unchanged.  The tall shape comes from
+    F.inline over the single agg row: a driver-side pivot of 1 row,
+    not a second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = F.count(F.lit(1))
+    num_cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
+    aggs = []
+    for c in num_cols:
+        aggs += [
+            (total - F.count(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+        ]
+    aggs += [
+        (total - F.count("l_returnflag")).alias("l_returnflag__nn"),
+        F.count_distinct(F.col("l_returnflag")).alias("l_returnflag__nd"),
+        F.min("l_returnflag").alias("l_returnflag__mn"),
+        F.max("l_returnflag").alias("l_returnflag__mx"),
+        (total - F.count("l_shipdate")).alias("l_shipdate__nn"),
+        F.count_distinct(F.col("l_shipdate")).alias("l_shipdate__nd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("l_shipdate__mn"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("l_shipdate__mx"),
+    ]
+    row = li.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def entry(c, numeric):
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nn").alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.col(f"{c}__mn") if numeric else null_d).alias("min_num"),
+            (F.col(f"{c}__mx") if numeric else null_d).alias("max_num"),
+            (null_s if numeric else F.col(f"{c}__mn")).alias("min_str"),
+            (null_s if numeric else F.col(f"{c}__mx")).alias("max_str"),
+        )
+
+    return row.select(F.inline(F.array(
+        *[entry(c, True) for c in num_cols],
+        entry("l_returnflag", False),
+        entry("l_shipdate", False),
+    )))
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, n_chars,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                       'g'))) AS h
+        FROM documents)
+    SELECT doc_id,
+           first_value(doc_id) OVER w AS canon_id,
+           doc_id = first_value(doc_id) OVER w AS is_canonical
+    FROM n
+    WINDOW w AS (PARTITION BY h ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: after normalization-tolerant clustering (same
+    lowercase/collapse-punctuation key as dedup_exact_normalized),
+    elect ONE canonical document per duplicate cluster — the longest
+    original text, ties to the smallest doc_id — and map every member
+    to its survivor.  This is the step real pipelines run between
+    duplicate DETECTION and duplicate REMOVAL: keep the best
+    representative, not an arbitrary one.
+
+    The shuffle carries only (doc_id, n_chars, 32-char hash) — the
+    normalization regexp runs scan-side in codegen and full text
+    never moves.  One hash-partitioned window (first_value over the
+    quality ordering) resolves the election; no self-join, no
+    collect.  Cluster sizes are organic-duplicate sized (bounded),
+    so no per-partition blowup at scale; a pathological single-key
+    cluster would surface in AQE skew metrics and is exactly the
+    case the upstream exact-dedup pass collapses first."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                    "[^a-z0-9]+", " "))
+        ).alias("h"),
+    )
+    w = W.partitionBy("h").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    canon = F.first("doc_id").over(w)
+    return n.select(
+        "doc_id",
+        canon.alias("canon_id"),
+        (F.col("doc_id") == canon).alias("is_canonical"),
+    )

@@ -1527,6 +1527,49 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_late_drop_counts",
+    oracle=f"""
+    WITH b AS (
+        SELECT ts, event_type, value,
+               CAST(floor((epoch(date_trunc('second', ts))
+                    + (strpos('0123456789abcdef',
+                              substr(md5(CAST(event_id AS VARCHAR)), 1, 1))
+                       - 1) * 900) / 3600) AS BIGINT) AS bid
+        FROM events),
+    bmax AS (SELECT bid, MAX(ts) AS mx FROM b GROUP BY bid),
+    wm AS (SELECT bid,
+                  MAX(mx) OVER (ORDER BY bid RANGE BETWEEN UNBOUNDED
+                                PRECEDING AND 2 PRECEDING)
+                  - INTERVAL '10 minutes' AS wmk
+           FROM bmax),
+    kept AS (SELECT b.ts, b.event_type, b.value
+             FROM b JOIN wm ON b.bid = wm.bid
+             WHERE wm.wmk IS NULL
+                OR date_trunc('hour', b.ts) + INTERVAL '1 hour' > wm.wmk)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {DSUM_SQL('value', 2)} AS sum_value
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def stream_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, batch twin: the fixture is
+    event-time-sorted (no natural late data), so arrival is simulated
+    with a deterministic per-event delay (md5 nibble -> 0..225 min)
+    and hourly triggers; an arrival is dropped iff its tumbling
+    WINDOW is wholly behind the LATE-EVENT watermark — which in
+    Spark's two-watermark design lags one full trigger behind the
+    eviction watermark (max event time over batches <= k-2, minus
+    10 min; verified empirically against 4.1 in
+    tests/test_streaming.py) — late rows into still-open windows are
+    aggregated, exactly the engine's rule; then tumbling counts of
+    the survivors (streaming/events.py late_drop_counts; the real
+    append-mode watermarked stream is streaming_late_drop_counts)."""
+    from wrds2pg_spark.streaming.events import late_drop_counts
+
+    return late_drop_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "stream_topk_per_window",
     oracle=f"""
     WITH counts AS (
@@ -4006,6 +4049,71 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["graph_pagerank"].oracle = _pagerank_oracle()
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    deg AS (SELECT s, COUNT(*) AS d FROM ps GROUP BY s),
+    com AS (
+        SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_common
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s)
+    SELECT s_a, s_b, n_common,
+           CAST(n_common AS DOUBLE)
+               / (da.d + db.d - n_common) AS jaccard
+    FROM com
+    JOIN deg da ON da.s = s_a
+    JOIN deg db ON db.s = s_b
+    ORDER BY jaccard DESC, s_a, s_b LIMIT 100
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the part<->supplier
+    bipartite graph: for every supplier pair sharing at least one
+    part, |parts_a INTERSECT parts_b| / |parts_a UNION parts_b|,
+    top-100 — the co-occurrence-mining shape (also: related-items,
+    you-may-also-like, entity resolution blocking stats).
+
+    Scale shape: candidate pairs are generated by a self-join blocked
+    on the shared PART — block size is a part's supplier count
+    (bounded, ~4 in TPC-H-like data), so pair generation is
+    sum-over-parts of deg^2 with a small deg, globally linear — NOT
+    a supplier-side self-join (supplier part-lists are large and
+    unbounded).  Degrees re-attach via broadcast; the Jaccard is a
+    single integer division, bit-identical on both engines with no
+    rounding needed.  A hub part (thousands of suppliers) would make
+    deg^2 blow up; production variant caps block size exactly like
+    minhash_lsh_pairs' max_bucket_size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = ps.alias("a")
+    b = ps.alias("b")
+    com = (
+        a.join(b, (F.col("a.p") == F.col("b.p"))
+               & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("s").alias("__sa"), F.col("d").alias("__da"))
+    db = deg.select(F.col("s").alias("__sb"), F.col("d").alias("__db"))
+    return (
+        com.join(F.broadcast(da), F.col("s_a") == F.col("__sa"))
+        .join(F.broadcast(db), F.col("s_b") == F.col("__sb"))
+        .select(
+            "s_a", "s_b", "n_common",
+            (F.col("n_common").cast("double")
+             / (F.col("__da") + F.col("__db") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s_a", "s_b")
+        .limit(100)
+    )
 
 
 @register(

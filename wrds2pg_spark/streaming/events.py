@@ -601,3 +601,126 @@ def topk_from_serving(
         )
         .filter(F.col("rk") <= k)
     )
+
+
+def jittered_arrival_batch(delay_spread_minutes: int = 240) -> "F.Column":
+    """Simulated out-of-order arrival for an event-time-sorted fixture:
+    each event's ARRIVAL time is its event time plus a deterministic
+    per-event delay (md5 first hex nibble -> 0..15 x spread/16, the
+    repo's portable-hash idiom), and the stream triggers hourly — the
+    micro-batch id is the arrival hour.  Entirely row-local, engine-
+    portable (md5/instr/floor exist on both sides), and it creates
+    genuinely late rows: the spread must exceed window + delay + one
+    trigger of late-watermark lag (here up to 225 min vs 60 + 10 +
+    60) or nothing can ever drop — an event is discarded only when
+    its whole WINDOW is behind the lagged late-event watermark, not
+    merely delay behind the newest event."""
+    idx = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1),
+    ) - 1
+    step = delay_spread_minutes * 60 // 16
+    return F.floor(
+        (F.unix_timestamp("ts") + idx * step) / F.lit(3600)
+    ).alias("__bid")
+
+
+def late_filtered(
+    events: DataFrame,
+    delay_minutes: int = 10,
+    batch_col: "F.Column | None" = None,
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Micro-batch-granular watermark drop, batch form: assign every
+    event to a micro-batch (``batch_col``; defaults to the simulated
+    jittered hourly arrival) and drop an event exactly when the
+    engine would: when the END of its tumbling window is at-or-behind
+    the LATE-EVENT watermark of its batch (a late row whose window is
+    still open by that watermark is accepted and aggregated).
+
+    Spark keeps TWO watermark values per batch (its deterministic-
+    replay design, observed empirically on 4.1 and modeled here):
+    state EVICTION in batch k uses max event time over batches
+    <= k-1, but LATE-ROW FILTERING in batch k uses the watermark as
+    of the START of batch k-1 — i.e. max event time over batches
+    <= k-2, one full trigger of extra lag.  The filter predicate is
+    therefore max(ts | batch <= k-2) - delay, expressed as a RANGE
+    frame (2 PRECEDING on the numeric batch id) so trigger gaps —
+    hours with no arrivals, where the real watermark does not move —
+    lag correctly too.
+
+    Scale shape: the batch id is row-local, the per-batch max is a
+    map-side-combined agg keyed by batch id, the running max is a
+    window over the BATCH TABLE (metadata-sized: one row per
+    micro-batch, not per event), and the per-batch watermark
+    broadcasts back onto the event scan — the events themselves are
+    never globally sorted or shuffled."""
+    step = window_minutes * 60
+    b = events.withColumn(
+        "__bid",
+        batch_col if batch_col is not None else jittered_arrival_batch(),
+    )
+    bmax = b.groupBy("__bid").agg(F.max("ts").alias("__mx"))
+    w = W.orderBy("__bid").rangeBetween(W.unboundedPreceding, -2)
+    wm = bmax.select(
+        "__bid",
+        (F.max("__mx").over(w)
+         - F.expr(f"INTERVAL {delay_minutes} MINUTES")).alias("__wmk"),
+    )
+    win_end = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("ts") / step) + 1) * step
+    ).cast(dict(events.dtypes)["ts"])
+    return (
+        b.join(F.broadcast(wm), "__bid")
+        .filter(F.col("__wmk").isNull() | (win_end > F.col("__wmk")))
+        .drop("__bid", "__wmk")
+    )
+
+
+def late_drop_counts(
+    events: DataFrame,
+    delay_minutes: int = 10,
+    batch_col: "F.Column | None" = None,
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling counts, batch twin: drop late arrivals at
+    micro-batch granularity (:func:`late_filtered`), then the same
+    tumbling aggregate as :func:`tumbling_counts`."""
+    return tumbling_counts(
+        late_filtered(events, delay_minutes, batch_col), duration
+    )
+
+
+def streaming_late_drop_counts(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    delay: str = "10 minutes",
+    duration: str = "1 hour",
+):
+    """Real watermarked stream in APPEND mode: a window is emitted
+    exactly once — when the watermark passes its end — and input rows
+    behind the watermark are dropped, never updating a closed window.
+    One file per micro-batch (maxFilesPerTrigger=1) so arrival order
+    is the file order, making the engine's between-batch watermark
+    advance reproducible; the batch twin with matching chunking is
+    :func:`late_drop_counts` (equivalence-tested in
+    tests/test_streaming.py)."""
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+    )
+    return (
+        ev.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
