@@ -166,6 +166,8 @@ HEADLINE = [
     "profile_table",
     "dedup_survivorship",
     "stream_late_drop_counts",
+    "cdc_apply_changelog",
+    "ts_downsample_m4",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",
