@@ -168,6 +168,7 @@ HEADLINE = [
     "stream_late_drop_counts",
     "cdc_apply_changelog",
     "ts_downsample_m4",
+    "events_markov_transitions",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",

@@ -1257,43 +1257,61 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass column profiling (the lakehouse `ANALYZE`/data-
-    quality primitive): per column, null count, exact distinct count,
-    and min/max — numerics as doubles, strings/timestamps as strings
-    — emitted as one tall (col_name, metrics) frame.
+    """Column profiling (the lakehouse `ANALYZE`/data-quality
+    primitive): per column, null count, exact distinct count, and
+    min/max — numerics as doubles, strings/timestamps as strings —
+    emitted as one tall (col_name, metrics) frame.
 
-    The naive form — one agg with five COUNT(DISTINCT)s — compiles to
-    Spark's Expand with a SIX-column grouping key (including
-    normalized doubles) that planning lowers to SortAggregate: the
-    5x-expanded table gets range-sorted twice (measured 8.5 s at
-    sf0.1 vs DuckDB's 0.08).  This implementation is the manual
-    distinct rewrite instead: explode each row into 5 (col_name,
-    typed-value) structs scan-side (row-local), hash-aggregate once
-    on (col_name, value) — the map-side combine collapses to the
-    distinct pairs, so the only exchange carries ~distinct-values
-    rows — then a tiny second agg per col_name folds null counts,
-    distinct counts and min/max.  Two HashAggregates, one narrow
-    shuffle, no sort, no Expand (~0.5 s; beats the oracle's 5-scan
-    plan shape at any scale where the table no longer fits cache).
-    Exact distincts are the contract here; at 100 TB swap the pair
-    agg for approx_count_distinct and the exchange shrinks to one
-    sketch per column."""
+    Two shapes were measured before settling here (sf0.1, honest
+    re-execution under a noop sink):
+    - one agg with five COUNT(DISTINCT)s -> Expand with a SIX-column
+      grouping key that planning lowers to paired SortAggregates over
+      the 5x-expanded table: 8.5 s (DuckDB: 0.08 s);
+    - one scan exploded into (col_name, value) structs, single pair
+      agg: 2.0 s — the 3M-row 4-key hash probe dominates.
+    This implementation is a UNION of five per-column aggregates
+    instead: each branch is a column-pruned scan -> groupBy(value)
+    (map-side combine collapses to the distinct values, so each
+    exchange carries one row per distinct value) -> a one-row fold of
+    null count / distinct count / min / max.  The union branches
+    schedule as parallel stages of one job: 0.77 s measured, and at
+    100 TB each branch reads exactly one column's pages.  Exact
+    distincts are the contract; swap the groupBy for
+    approx_count_distinct and each exchange shrinks to one sketch."""
     li = load_table(spark, sf_dir, "lineitem")
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
 
-    def pack(c, kind):
+    def branch(c, kind):
+        g = li.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        agg = g.agg(
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("n_nulls"),
+            F.sum(F.when(F.col("v").isNotNull(), F.lit(1))
+                  .otherwise(F.lit(0))).alias("n_distinct"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        name = F.lit(c).alias("col_name")
         if kind == "num":
-            vd, vs = F.col(c).cast("double"), null_s
-        elif kind == "str":
-            vd, vs = null_d, F.col(c)
-        else:  # timestamp: cast-string is injective and order-preserving
-            vd, vs = null_d, F.col(c).cast("string")
-        return F.struct(
-            F.lit(c).alias("col_name"),
-            vd.alias("vd"),
-            vs.alias("vs"),
-            F.col(c).isNull().alias("is_null"),
+            return agg.select(
+                name, "n_nulls", "n_distinct",
+                F.col("mn").cast("double").alias("min_num"),
+                F.col("mx").cast("double").alias("max_num"),
+                null_s.alias("min_str"), null_s.alias("max_str"),
+            )
+        if kind == "str":
+            return agg.select(
+                name, "n_nulls", "n_distinct",
+                null_d.alias("min_num"), null_d.alias("max_num"),
+                F.col("mn").alias("min_str"), F.col("mx").alias("max_str"),
+            )
+        return agg.select(
+            name, "n_nulls", "n_distinct",
+            null_d.alias("min_num"), null_d.alias("max_num"),
+            F.date_format("mn", "yyyy-MM-dd HH:mm:ss").alias("min_str"),
+            F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("max_str"),
         )
 
     cols = [
@@ -1301,30 +1319,10 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_extendedprice", "num"), ("l_returnflag", "str"),
         ("l_shipdate", "ts"),
     ]
-    tall = li.select(F.inline(F.array(*[pack(c, k) for c, k in cols])))
-    pairs = tall.groupBy("col_name", "vd", "vs", "is_null").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    prof = pairs.groupBy("col_name").agg(
-        F.sum(F.when(F.col("is_null"), F.col("cnt")).otherwise(F.lit(0)))
-        .alias("n_nulls"),
-        F.sum(F.when(~F.col("is_null"), F.lit(1)).otherwise(F.lit(0)))
-        .alias("n_distinct"),
-        F.min("vd").alias("min_num"),
-        F.max("vd").alias("max_num"),
-        F.min("vs").alias("min_str"),
-        F.max("vs").alias("max_str"),
-    )
-    # timestamp min/max leave as the canonical strftime rendering
-    is_ts = F.col("col_name") == "l_shipdate"
-    fmt = lambda c: F.when(
-        is_ts, F.date_format(F.col(c).cast("timestamp"),
-                             "yyyy-MM-dd HH:mm:ss")
-    ).otherwise(F.col(c))
-    return prof.select(
-        "col_name", "n_nulls", "n_distinct", "min_num", "max_num",
-        fmt("min_str").alias("min_str"), fmt("max_str").alias("max_str"),
-    )
+    out = branch(*cols[0])
+    for c, k in cols[1:]:
+        out = out.unionByName(branch(c, k))
+    return out
 
 
 @register(
@@ -1482,4 +1480,53 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("r")["value"].alias("v_first"),
         F.max("r")["value"].alias("v_last"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+    cnt AS (
+        SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type, nxt),
+    tot AS (SELECT src, SUM(n) AS t FROM cnt GROUP BY src)
+    SELECT c.src, c.dst, c.n,
+           CAST(c.n AS DOUBLE) / t.t AS p
+    FROM cnt c JOIN tot t ON t.src = c.src
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of consecutive events per user (ts then event_id as
+    the deterministic tie-break), count src -> dst transitions and
+    row-normalize into probabilities — the journey-modeling /
+    next-action primitive (also the bigram LM shape applied to event
+    streams instead of tokens).
+
+    One user-partitioned window (lead) forms the pairs — the shuffle
+    carries (user, type, ts) only — then a ~|types|^2-key map-side-
+    combined count and a broadcast-sized row-normalization join.  The
+    probability is a single integer-count division, bit-identical on
+    both engines — no rounding, the raw quotient matches bitwise."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("t"))
+    return (
+        cnt.join(F.broadcast(tot), "src")
+        .select(
+            "src", "dst", "n",
+            (F.col("n").cast("double") / F.col("t")).alias("p"),
+        )
     )
