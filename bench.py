@@ -169,6 +169,7 @@ HEADLINE = [
     "cdc_apply_changelog",
     "ts_downsample_m4",
     "events_markov_transitions",
+    "similarity_maxsim",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",

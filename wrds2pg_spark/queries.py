@@ -1145,6 +1145,66 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _QVEC, k=20)
 
 
+def _maxsim_oracle(n_chunks: int = 8, dim: int = 64, k: int = 20) -> str:
+    step = dim // n_chunks
+    terms = []
+    for i in range(n_chunks):
+        q_i = _QVEC[i * step:(i + 1) * step]
+        qlit = "[" + ", ".join(repr(x) for x in q_i) + "]"
+        dots = []
+        for j in range(n_chunks):
+            a, b = j * step + 1, (j + 1) * step
+            dots.append(_EMB_DOT.format(
+                a=f"embedding[{a}:{b}]", b=qlit))
+        terms.append("GREATEST(" + ", ".join(dots) + ")")
+    score = " + ".join(terms)
+    return f"""
+    SELECT vec_id, ROUND({score}, 6) AS maxsim
+    FROM embeddings
+    ORDER BY maxsim DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("similarity_maxsim", oracle=None)  # generated below
+def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: treat each
+    64-dim embedding as 8 token-subvectors of 8 dims; score(query,
+    doc) = sum over query subvectors of the MAX dot product against
+    any doc subvector.  This is the multi-vector scoring that beats
+    single-vector cosine on fine-grained relevance, expressed without
+    any UDF: slice + zip_with/aggregate dot products and greatest()
+    all run in whole-stage codegen, so the plan is a narrow map over
+    the scan followed by TakeOrderedAndProject — no corpus shuffle,
+    identical shape to brute-force cosine and the same 100-TB path
+    (LSH/IVF block the corpus first, MaxSim re-scores the candidates).
+    """
+    from wrds2pg_spark.functions.vector import dot
+
+    n_chunks, dim, k = 8, 64, 20
+    step = dim // n_chunks
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    score = None
+    for i in range(n_chunks):
+        q_i = _QVEC[i * step:(i + 1) * step]
+        qlit = F.array(*[F.lit(float(v)) for v in q_i])
+        dots = [
+            dot(F.slice(x, j * step + 1, step), qlit)
+            for j in range(n_chunks)
+        ]
+        term = F.greatest(*dots)
+        score = term if score is None else score + term
+    return (
+        emb.select("vec_id", F.round(score, 6).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), "vec_id")
+        .limit(k)
+    )
+
+
+REGISTRY["similarity_maxsim"].oracle = _maxsim_oracle()
+
+
 def _lsh_oracle() -> str:
     from wrds2pg_spark.operators.similarity import hyperplane, probe_buckets
 
