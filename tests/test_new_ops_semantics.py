@@ -1,0 +1,164 @@
+"""Semantic/property checks for the round-3 operator additions —
+invariants that must hold on any data, complementing the value-exact
+oracle checks in test_queries_oracle.py."""
+
+from pyspark.sql import functions as F
+
+from wrds2pg_spark.queries import REGISTRY
+from wrds2pg_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(name, spark, sf=SF):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_pagerank_invariants(spark):
+    rows = run("graph_pagerank", spark).collect()
+    assert len(rows) > 0
+    # every node keeps at least the teleport mass; nothing explodes
+    assert all(0.15 <= r["pagerank"] for r in rows)
+    assert all(r["pagerank"] < len(rows) for r in rows)
+    # total mass is conserved up to integer-truncation loss: each of
+    # the 3 iterations truncates at most ~1 micro-rank per edge-term
+    total = sum(r["pagerank"] for r in rows)
+    assert 0.9 * len(rows) < total <= len(rows) + 1e-6
+
+
+def test_pagerank_partition_independent(spark):
+    """Integer state must make ranks bit-identical under any input
+    partitioning (the whole point of the scaled-BIGINT design)."""
+    base = {r["node"]: r["pagerank"] for r in run("graph_pagerank", spark).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        alt = {r["node"]: r["pagerank"]
+               for r in run("graph_pagerank", spark).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
+
+
+def test_jaccard_neighbors_bounds(spark):
+    rows = run("graph_jaccard_neighbors", spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["s_a"] < r["s_b"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["n_common"] >= 1
+    # sorted by jaccard desc with deterministic tie-break
+    js = [r["jaccard"] for r in rows]
+    assert js == sorted(js, reverse=True)
+
+
+def test_survivorship_one_canonical_per_cluster(spark):
+    df = run("dedup_survivorship", spark)
+    # exactly one canonical member per canon_id, and it is itself
+    per = df.groupBy("canon_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.count(F.lit(1)).alias("sz"),
+    ).collect()
+    assert all(r["n_canon"] == 1 for r in per)
+    canon_rows = df.filter("is_canonical").collect()
+    assert all(r["doc_id"] == r["canon_id"] for r in canon_rows)
+    # total membership preserved
+    assert df.count() == load_table(spark, SF, "documents").count()
+
+
+def test_late_filtered_is_subset_and_monotone_in_delay(spark):
+    from wrds2pg_spark.streaming.events import late_filtered
+
+    ev = load_table(spark, SF, "events")
+    n_all = ev.count()
+    kept_10 = late_filtered(ev, delay_minutes=10).count()
+    kept_120 = late_filtered(ev, delay_minutes=120).count()
+    assert kept_10 <= n_all
+    # a larger watermark delay can only keep MORE events
+    assert kept_10 <= kept_120 <= n_all
+
+
+def test_late_filtered_first_batch_never_dropped(spark):
+    from wrds2pg_spark.streaming.events import jittered_arrival_batch, late_filtered
+
+    ev = load_table(spark, SF, "events")
+    first_bid = (
+        ev.select(jittered_arrival_batch().alias("b"))
+        .agg(F.min("b")).collect()[0][0]
+    )
+    in_first = ev.withColumn("__b", jittered_arrival_batch()).filter(
+        F.col("__b") == first_bid
+    ).count()
+    kept_first = (
+        late_filtered(ev)
+        .withColumn("__b", jittered_arrival_batch())
+        .filter(F.col("__b") == first_bid)
+        .count()
+    )
+    assert kept_first == in_first  # no watermark exists yet
+
+
+def test_markov_rows_normalize(spark):
+    rows = run("events_markov_transitions", spark).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9
+        assert all(r["n"] >= 1 for r in rs)
+
+
+def test_cdc_apply_semantics(spark):
+    out = run("cdc_apply_changelog", spark)
+    rows = out.collect()
+    assert all(r["last_op"] in ("I", "U") for r in rows)  # no tombstones
+    ev = load_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert out.count() <= n_users
+    # last_seq really is the max event_id for surviving keys
+    mx = {r["user_id"]: r["mx"] for r in
+          ev.groupBy("user_id").agg(F.max("event_id").alias("mx")).collect()}
+    assert all(r["last_seq"] == mx[r["user_id"]] for r in rows)
+
+
+def test_m4_envelope(spark):
+    rows = run("ts_downsample_m4", spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]
+        assert r["n"] >= 1
+    total = sum(r["n"] for r in rows)
+    assert total == load_table(spark, SF, "events").count()
+
+
+def test_profile_table_consistency(spark):
+    rows = {r["col_name"]: r for r in run("profile_table", spark).collect()}
+    li_n = load_table(spark, SF, "lineitem").count()
+    assert set(rows) == {"l_orderkey", "l_quantity", "l_extendedprice",
+                         "l_returnflag", "l_shipdate"}
+    for r in rows.values():
+        assert 0 <= r["n_distinct"] <= li_n
+        assert 0 <= r["n_nulls"] <= li_n
+    assert rows["l_orderkey"]["min_num"] <= rows["l_orderkey"]["max_num"]
+    assert rows["l_returnflag"]["min_str"] <= rows["l_returnflag"]["max_str"]
+
+
+def test_maxsim_ordering_and_bound(spark):
+    rows = run("similarity_maxsim", spark).collect()
+    assert len(rows) == 20
+    scores = [r["maxsim"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_late_drop_counts_conserves_when_no_late_data(spark):
+    """With an infinite delay nothing is ever late: the watermarked
+    counts must equal the plain tumbling counts."""
+    from wrds2pg_spark.streaming.events import late_drop_counts, tumbling_counts
+
+    ev = load_table(spark, SF, "events")
+    a = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+         for r in late_drop_counts(ev, delay_minutes=10**6).collect()}
+    b = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+         for r in tumbling_counts(ev).collect()}
+    assert a == b
