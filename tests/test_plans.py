@@ -250,3 +250,65 @@ def test_q9_filter_below_surrogate_aggregate(spark):
     the filtered partkey set appears twice (once per pass)."""
     plan = plan_of(spark, "tpch_q9_shape")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_profile_table_no_expand_no_sortagg(spark):
+    """The union-of-branches profile must never regress to the
+    Expand + SortAggregate multi-distinct plan (8.5 s vs 0.77 s at
+    sf0.1) and each branch must read exactly one column."""
+    plan = plan_of(spark, "profile_table")
+    assert "Expand" not in plan
+    # the per-value collapse must be hash aggregation (a SortAggregate
+    # is acceptable only for the final one-row fold, whose min/max
+    # string buffers force the sort-based fallback on a single row)
+    assert plan.count("HashAggregate") >= 10
+    fplan = formatted_plan(spark, "profile_table")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fplan)
+    assert schemas and all(len(s.split(",")) == 1 for s in schemas)
+
+
+def test_jaccard_neighbors_shuffle_hash_join(spark):
+    """The part-blocked self-join must stay a hash join (its output
+    feeds a hash aggregate; SMJ's sorts are pure overhead) and the
+    degree re-attach must broadcast."""
+    plan = plan_of(spark, "graph_jaccard_neighbors")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_maxsim_no_shuffle(spark):
+    """MaxSim is a narrow map + TakeOrdered over the scan: no
+    Exchange of the corpus, no UDF — everything codegen."""
+    plan = plan_of(spark, "similarity_maxsim")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_apply_map_side_combine(spark):
+    """Last-wins must stay a TWO-PHASE aggregate (partial before the
+    exchange), never a window sort over the whole changelog.  The
+    struct-max buffer is not hash-mutable, so Spark lowers it to
+    SortAggregate — acceptable: the sort is per-partition on the
+    group key and the exchange still carries one row per key per
+    partition, which is the invariant that matters at scale."""
+    plan = plan_of(spark, "cdc_apply_changelog")
+    assert "Window" not in plan
+    assert "partial_max" in plan          # map-side combine
+    assert plan.count("SortAggregate") == 2  # partial + final, no extra
+
+
+def test_m4_map_side_combine_no_window(spark):
+    """Same contract as CDC apply: two-phase struct-min/max aggregate
+    with map-side combine, no Window operator."""
+    plan = plan_of(spark, "ts_downsample_m4")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert plan.count("SortAggregate") == 2
+
+
+def test_pagerank_broadcast_state_no_cartesian(spark):
+    plan = plan_of(spark, "graph_pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1408,7 +1408,11 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(struct(seq, op, value)) — lexicographic struct max on the
     unique seq — NOT a row_number window, so partial states combine
     associatively on the map side and the exchange carries one row
-    per key per partition.  At 100 TB of changelog that is the
+    per key per partition.  (The struct buffer is not hash-mutable,
+    so Spark lowers this to a two-phase SortAggregate — the
+    per-partition sort is the price of the struct ordering; the
+    map-side combine and keyset-only exchange, which are what matter
+    at scale, are preserved — plan-asserted in tests/test_plans.py.)  At 100 TB of changelog that is the
     difference between shuffling the log and shuffling the keyset;
     the same plan is exchange-free when the log lands bucketed by key
     (sinks/bucketed.py).  Delete tombstones filter AFTER the agg —
@@ -1462,8 +1466,9 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     extrema.  One map-side-combined aggregate per (series, bucket):
     first/last ride lexicographic struct min/max on (ts, event_id,
     value) — event_id breaks timestamp ties deterministically — so
-    there is no per-bucket sort and no window, just partial-agg
-    states combining.  LTTB (the other popular downsampler) is
+    there is no window operator, just two-phase partial-agg states
+    combining (struct buffers lower to SortAggregate: a per-partition
+    sort, but the exchange still carries one row per bucket).  LTTB (the other popular downsampler) is
     inherently sequential per series and CANNOT map-side combine;
     M4 is the scale-correct choice and dominates it for extrema
     fidelity."""
