@@ -1179,20 +1179,27 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical shape to brute-force cosine and the same 100-TB path
     (LSH/IVF block the corpus first, MaxSim re-scores the candidates).
     """
-    from wrds2pg_spark.functions.vector import dot
-
     n_chunks, dim, k = 8, 64, 20
     step = dim // n_chunks
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    e = F.col("embedding")
     score = None
+    # dots unrolled to flat getItem*lit expression sums, NOT
+    # zip_with/aggregate lambdas: higher-order functions evaluate
+    # INTERPRETED per element and break whole-stage codegen — the HOF
+    # form measured 38.9 s on 20k vectors at sf1, the unrolled tree
+    # 2.2 s.  The left-to-right addition order matches both the HOF
+    # fold and DuckDB's list_dot_product at 6-dp rounding.
     for i in range(n_chunks):
         q_i = _QVEC[i * step:(i + 1) * step]
-        qlit = F.array(*[F.lit(float(v)) for v in q_i])
-        dots = [
-            dot(F.slice(x, j * step + 1, step), qlit)
-            for j in range(n_chunks)
-        ]
+        dots = []
+        for j in range(n_chunks):
+            d = None
+            for t in range(step):
+                term = (e.getItem(j * step + t).cast("double")
+                        * F.lit(float(q_i[t])))
+                d = term if d is None else d + term
+            dots.append(d)
         term = F.greatest(*dots)
         score = term if score is None else score + term
     return (

@@ -620,9 +620,13 @@ def jittered_arrival_batch(delay_spread_minutes: int = 240) -> "F.Column":
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1),
     ) - 1
     step = delay_spread_minutes * 60 // 16
-    return F.floor(
-        (F.unix_timestamp("ts") + idx * step) / F.lit(3600)
-    ).alias("__bid")
+    # unix_seconds over a plain cast, NOT unix_timestamp: on a
+    # timestamp_ntz column unix_timestamp lowers to a per-row
+    # FORMATTER conversion (measured ~7 s over 1M rows at sf1 with
+    # this expression evaluated on both the tag and filter paths);
+    # the cast is a zero-cost reinterpret under the UTC session tz.
+    secs = F.unix_seconds(F.col("ts").cast("timestamp"))
+    return F.floor((secs + idx * step) / F.lit(3600)).alias("__bid")
 
 
 def late_filtered(
@@ -668,7 +672,8 @@ def late_filtered(
          - F.expr(f"INTERVAL {delay_minutes} MINUTES")).alias("__wmk"),
     )
     win_end = F.timestamp_seconds(
-        (F.floor(F.unix_timestamp("ts") / step) + 1) * step
+        (F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / step) + 1)
+        * step
     ).cast(dict(events.dtypes)["ts"])
     return (
         b.join(F.broadcast(wm), "__bid")
