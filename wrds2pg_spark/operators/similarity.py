@@ -43,7 +43,9 @@ def brute_force_topk(
     """Exact cosine top-k: narrow projection + TakeOrderedAndProject
     (no full sort, no shuffle of the corpus)."""
     q = _query_col(query_vec)
-    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    cos = F.round(
+        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
+    ).alias("cos_sim")
     return (
         df.select(F.col(id_col), cos)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -60,7 +62,7 @@ def hyperplane(plane_idx: int, dim: int) -> list[float]:
 def _bucket_expr(vec, planes: list[list[float]]):
     bits = []
     for p in planes:
-        d = dot(vec, F.array(*[F.lit(x) for x in p]))
+        d = dot(vec, F.array(*[F.lit(x) for x in p]), dim=len(p))
         bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -109,7 +111,9 @@ def lsh_topk(
     planes = [hyperplane(j, dim) for j in range(nbits)]
     probes = probe_buckets(query_vec, nbits, radius)
     q = _query_col(query_vec)
-    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    cos = F.round(
+        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
+    ).alias("cos_sim")
     return (
         df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
         .filter(F.col("__bucket").isin(probes))
@@ -125,6 +129,7 @@ def blocked_pairs(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = 64,
 ) -> DataFrame:
     """All-pairs cosine >= threshold within each block: equi-join on the
     block key keeps the pair count per-block quadratic only."""
@@ -134,7 +139,7 @@ def blocked_pairs(
         F.col(block_col),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        l2_norm(F.col(vec_col), dim).alias("__n"),
     )
     a = prepped.select(
         F.col(block_col), F.col(id_col).alias("id_a"),
@@ -144,8 +149,12 @@ def blocked_pairs(
         F.col(block_col), F.col(id_col).alias("id_b"),
         F.col("__v").alias("vb"), F.col("__n").alias("nb"),
     )
-    prods = F.zip_with("va", "vb", lambda x, y: x * y)
-    d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    # pair dot stays the HOF form deliberately: unrolled 64-term
+    # expressions on BOTH join sides push the whole-stage method past
+    # Janino's compile limits (observed InternalCompilerException ->
+    # interpreted fallback, 40x slower); the scan-side query dots are
+    # unrolled, the per-pair dot is the HOF fold.
+    d = dot(F.col("va"), F.col("vb"))
     cos = F.round(d / (F.col("na") * F.col("nb")), 6)
     # Broadcast the build side: block keys are FEW (that is what makes
     # blocking effective), so a hash-shuffle on the block key would
@@ -222,7 +231,9 @@ def lsh_topk_indexed(
     — the scan never opens the other 2^nbits - (1+nbits) buckets."""
     probes = ["b" + p for p in probe_buckets(query_vec, nbits, radius)]
     q = _query_col(query_vec)
-    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    cos = F.round(
+        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
+    ).alias("cos_sim")
     return (
         spark.read.parquet(index_path)
         .filter(F.col("bucket").isin(probes))
@@ -296,7 +307,9 @@ def ivf_topk_indexed(
     ]
     probe = [i for i, _ in sorted(d2, key=lambda t: t[1])[:nprobe]]
     q = _query_col(query_vec)
-    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    cos = F.round(
+        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
+    ).alias("cos_sim")
     return (
         spark.read.parquet(index_path)
         .filter(F.col("cell").isin(probe))
@@ -331,7 +344,7 @@ def lsh_blocked_pairs(
         F.col(id_col),
         _bucket_expr(F.col(vec_col), planes).alias("bucket"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        l2_norm(F.col(vec_col), dim).alias("__n"),
     )
     a = prepped.select(
         "bucket", F.col(id_col).alias("id_a"),
@@ -341,8 +354,12 @@ def lsh_blocked_pairs(
         "bucket", F.col(id_col).alias("id_b"),
         F.col("__v").alias("vb"), F.col("__n").alias("nb"),
     )
-    prods = F.zip_with("va", "vb", lambda x, y: x * y)
-    d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    # pair dot stays the HOF form deliberately: unrolled 64-term
+    # expressions on BOTH join sides push the whole-stage method past
+    # Janino's compile limits (observed InternalCompilerException ->
+    # interpreted fallback, 40x slower); the scan-side query dots are
+    # unrolled, the per-pair dot is the HOF fold.
+    d = dot(F.col("va"), F.col("vb"))
     cos = F.round(d / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, "bucket")
@@ -394,7 +411,9 @@ def ivf_topk(
     probe = [i for i, _ in sorted(d2, key=lambda t: t[1])[:nprobe]]
 
     q = _query_col(query_vec)
-    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    cos = F.round(
+        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
+    ).alias("cos_sim")
     return (
         model.transform(feat)
         .filter(F.col("__cell").isin(probe))
