@@ -126,6 +126,43 @@ SHOWCASE = {
         "first-common-bin filter makes each pair exactly-once without "
         "a dedup exchange — no BroadcastNestedLoopJoin anywhere."
     ),
+    "graph_pagerank": (
+        "Iterative graph algorithm: the edge list is a checkpointed "
+        "scan (lineage cut once), each of the 3 iterations is a "
+        "BroadcastHashJoin of the node state onto stationary edges "
+        "plus one map-side-combined agg — no per-iteration edge "
+        "shuffle, no cartesian."
+    ),
+    "graph_jaccard_neighbors": (
+        "Co-occurrence mining: candidate pairs via a SHUFFLE-HASH "
+        "self-join blocked on the shared part (its output feeds a "
+        "hash agg, so sort-merge's sorts would be pure overhead); "
+        "degree re-attach broadcasts; top-100 is TakeOrdered."
+    ),
+    "profile_table": (
+        "Union of five per-column profiling branches, each a pruned "
+        "one-column scan + groupBy(value) hash collapse — no Expand, "
+        "no multi-distinct SortAggregate; branches schedule as "
+        "parallel stages of one job."
+    ),
+    "similarity_maxsim": (
+        "Late-interaction MaxSim: 64 unrolled dot products + "
+        "greatest() as ONE codegen'd projection over the scan, "
+        "then TakeOrderedAndProject — no Exchange, no HOF lambdas "
+        "(interpreted HOFs measured 18x slower), no Python."
+    ),
+    "cdc_apply_changelog": (
+        "Changelog last-wins as a two-phase struct-max aggregate: "
+        "partial_max before the exchange (keyset-only shuffle), "
+        "tombstone filter after — never a row_number window sort "
+        "over the log."
+    ),
+    "stream_late_drop_counts": (
+        "Watermark late-drop, batch form: per-micro-batch max rides "
+        "a metadata-sized window (one row per batch), the lagged "
+        "late-event watermark broadcasts back onto the event scan; "
+        "events never globally sort."
+    ),
     "embedding_covariance_exact": (
         "Exact DxD covariance via map-side matrix partials: one "
         "mapInPandas stage folds each partition to a single "
