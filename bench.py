@@ -170,6 +170,7 @@ HEADLINE = [
     "ts_downsample_m4",
     "events_markov_transitions",
     "similarity_maxsim",
+    "multimodal_keyframe_select",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",

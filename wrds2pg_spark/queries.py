@@ -2169,6 +2169,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_keyframe_select",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 7 AS n_frames FROM documents),
+    f AS (
+      SELECT doc_id, unnest(range(0, n_frames, 1)) AS frame_idx
+      FROM d),
+    s AS (
+      SELECT doc_id AS id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(list_sum(list_transform(range(0, 256), i ->
+                  (doc_id*2654435761 + (frame_idx*256 + i)*2246822519)
+                  % 256)) AS BIGINT) AS frame_sum
+      FROM f),
+    l AS (
+      SELECT id, frame_idx, frame_sum,
+             frame_sum - lag(frame_sum) OVER (PARTITION BY id
+                                              ORDER BY frame_idx) AS dlt
+      FROM s)
+    SELECT id, frame_idx, ABS(dlt) AS delta
+    FROM (SELECT id, frame_idx, dlt,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY ABS(dlt) DESC, frame_idx)
+                     AS rn
+          FROM l WHERE dlt IS NOT NULL) t
+    WHERE rn = 1
+    """,
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frame selection — the video-curation step that picks the
+    scene-change frame a VLM training pipeline keeps: decode all
+    frames (mapInPandas container walk, every=1), score each frame by
+    the absolute checksum delta vs its predecessor (the cheap proxy
+    for inter-frame difference an ffmpeg select=scenecut filter
+    computes), take the top-1 per document with a deterministic
+    tie-break.
+
+    Shape: the row-expanding decode is Arrow-batched mapInPandas
+    (frames >> docs, so the expansion happens executor-side), then
+    ONE doc-partitioned window serves both the lag and the top-1
+    rank — the same exchange, no self-join.  The LCG-synthesized
+    payloads keep the whole thing hash-exact against a pure-SQL
+    oracle replica of the checksums."""
+    from wrds2pg_spark.operators.multimodal import (
+        sample_frames_real, synth_frame_container,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames_real(
+        synth_frame_container(docs, "doc_id"), "payload", "id",
+        every=1, fps=1.0,
+    )
+    w = W.partitionBy("id").orderBy("frame_idx")
+    delta = (F.col("frame_sum") - F.lag("frame_sum").over(w))
+    scored = frames.select(
+        "id", "frame_idx", F.abs(delta).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    rw = W.partitionBy("id").orderBy(F.desc("delta"), F.asc("frame_idx"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
     "agg_salted_skew",
     oracle=f"""
     SELECT l_returnflag,
