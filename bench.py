@@ -171,6 +171,7 @@ HEADLINE = [
     "events_markov_transitions",
     "similarity_maxsim",
     "multimodal_keyframe_select",
+    "multimodal_image_resize",
     "sql_q6_direct",
     "dedup_incremental_minhash",
     "dedup_embedding_lsh",

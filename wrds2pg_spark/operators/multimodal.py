@@ -484,3 +484,78 @@ def resize_stub(
     return df.select(id_col, bin_col).mapInPandas(
         resize_batches, schema="id long, payload binary"
     )
+
+
+def resize_image_bmp(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL binary -> binary image resize: decode the 24bpp BMP, box-
+    downsample 2x (each output pixel is the integer mean of its 2x2
+    source block, floor division — exact, engine-portable arithmetic),
+    re-encode a standard-compliant BMP, and emit the new dims plus an
+    exact integer checksum of the resized pixel stream.  This replaces
+    :func:`resize_stub` with the real thing: the decode/compute/
+    re-encode stays a narrow Arrow-batched map (binary in, binary
+    out), which is the shape that matters at 100 TB — pixels never
+    leave the executor, only dims and checksums reach any aggregate.
+
+    Odd source dims drop the trailing row/column (floor semantics),
+    matching the SQL oracle's closed form over the LCG stream."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("id", "in_width", "in_height", "out_width",
+                    "out_height", "out_sum", "resized")}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                if b[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                data_off = int.from_bytes(b[10:14], "little")
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = abs(int.from_bytes(b[22:26], "little", signed=True))
+                stride = (w * 3 + 3) // 4 * 4
+                # stored bottom-up -> flip to logical top-down rows
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=data_off
+                ).reshape(h, stride)[:, :w * 3][::-1]
+                ow, oh = w // 2, h // 2
+                a3 = arr.reshape(h, w, 3)[: 2 * oh, : 2 * ow, :].astype(
+                    np.int64)
+                totals = (
+                    a3.reshape(oh, 2, 2 * ow, 3).sum(axis=1)
+                    .reshape(oh, ow, 2, 3).sum(axis=2)
+                )
+                resized = (totals // 4).astype(np.uint8)
+                # re-encode: bottom-up rows, 4-byte-aligned stride
+                row_raw = ow * 3
+                pad = (4 - row_raw % 4) % 4
+                img_size = (row_raw + pad) * oh
+                off = 14 + 40
+                header = (
+                    b"BM" + (off + img_size).to_bytes(4, "little")
+                    + b"\x00\x00\x00\x00" + off.to_bytes(4, "little")
+                    + (40).to_bytes(4, "little")
+                    + ow.to_bytes(4, "little") + oh.to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                    + (0).to_bytes(4, "little")
+                    + img_size.to_bytes(4, "little")
+                    + (2835).to_bytes(4, "little") * 2
+                    + (0).to_bytes(4, "little") * 2
+                )
+                flat = resized.reshape(oh, row_raw)[::-1]
+                body = b"".join(
+                    flat[y].tobytes() + b"\x00" * pad for y in range(oh)
+                )
+                out["id"].append(int(rid))
+                out["in_width"].append(w)
+                out["in_height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["out_sum"].append(int(resized.sum()))
+                out["resized"].append(header + body)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        resize_batches,
+        schema="id long, in_width int, in_height int, out_width int, "
+               "out_height int, out_sum long, resized binary",
+    )

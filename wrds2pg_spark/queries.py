@@ -2169,6 +2169,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+      FROM documents),
+    dd AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d)
+    SELECT doc_id AS id,
+           CAST(w AS INTEGER) AS in_width, CAST(h AS INTEGER) AS in_height,
+           CAST(ow AS INTEGER) AS out_width,
+           CAST(oh AS INTEGER) AS out_height,
+           CAST(list_sum(list_transform(range(0, ow*oh*3), k ->
+                ((doc_id*2654435761 + (3*((2*(k//(ow*3))+0)*w + (2*((k%(ow*3))//3)+0)) + k%3)*2246822519) % 256 + (doc_id*2654435761 + (3*((2*(k//(ow*3))+0)*w + (2*((k%(ow*3))//3)+1)) + k%3)*2246822519) % 256 + (doc_id*2654435761 + (3*((2*(k//(ow*3))+1)*w + (2*((k%(ow*3))//3)+0)) + k%3)*2246822519) % 256 + (doc_id*2654435761 + (3*((2*(k//(ow*3))+1)*w + (2*((k%(ow*3))//3)+1)) + k%3)*2246822519) % 256) // 4)) AS BIGINT) AS out_sum
+    FROM dd
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (binary -> binary): decode the synthesized
+    24bpp BMP, 2x box-downsample in exact integer arithmetic (each
+    output pixel is the floor mean of its 2x2 block), re-encode a
+    valid BMP, and emit dims + the exact resized-pixel checksum —
+    which the oracle reproduces as a closed form over the LCG byte
+    stream.  Pixels never leave the executor (narrow Arrow-batched
+    mapInPandas); only dims and checksums are compared.  The
+    re-encoded binary round-trips through the BMP decoder in
+    tests/test_multimodal.py."""
+    from wrds2pg_spark.operators.multimodal import (
+        resize_image_bmp, synth_bmp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image_bmp(
+        synth_bmp(docs, "doc_id"), "payload", "id"
+    ).drop("resized")
+
+
+@register(
     "multimodal_keyframe_select",
     oracle="""
     WITH d AS (
