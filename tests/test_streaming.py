@@ -492,3 +492,58 @@ def test_streaming_late_drop_matches_batch_twin(spark):
     assert got[("2024-01-01 10:00:00", "a")][0] == 4
     assert ("2024-01-01 08:00:00", "a") not in got
     assert got[("2024-01-01 11:00:00", "a")][0] == 1
+
+
+def test_foreachbatch_upsert_heals_crash_leftovers(spark):
+    """Crash-mid-swap recovery: a stranded __old directory with no
+    serving table means the rename never completed — the next upsert
+    must RESTORE it (its totals must merge, not vanish), and a
+    stranded __stage must be discarded, not served."""
+    from wrds2pg_spark.streaming.events import (
+        streaming_foreachbatch_upsert, user_totals,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as tmp:
+        table = os.path.join(tmp, "user_totals_table")
+        # crash state: completed totals for `half` stranded at __old,
+        # garbage at __stage, and NO serving table
+        user_totals(half).write.parquet(table + "__old")
+        os.makedirs(table + "__stage")
+        with open(os.path.join(table + "__stage", "junk"), "w") as f:
+            f.write("dead write")
+
+        src = os.path.join(tmp, "events_pq")
+        rest.coalesce(2).write.parquet(src)
+        ckpt = os.path.join(tmp, "ckpt")
+        writer = streaming_foreachbatch_upsert(
+            spark, src, events.schema, table, max_files_per_trigger=1
+        )
+        q = writer.option("checkpointLocation", ckpt).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(table).collect()
+        }
+        assert not os.path.exists(table + "__old")
+        assert not os.path.exists(table + "__stage")
+
+    # the healed table must contain the union of the stranded totals
+    # and the streamed remainder, merged new-wins per key
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in user_totals(events).collect()
+    }
+    # keys touched only by `half` survive untouched; keys touched by
+    # `rest` carry max(n) merge semantics -- since the stream's totals
+    # are cumulative over `rest` only, a key present in both sides
+    # keeps whichever side saw more events
+    for uid, (n, s) in got.items():
+        assert n >= 1
+    assert set(got) == set(want)
