@@ -18,8 +18,16 @@ Two forms, same values:
   results are bit-compatible — every similarity operator passes the
   same oracle check in either form.
 
-Embedding width is fixed per corpus (here 64), so callers always know
-``dim``; the HOF fallback exists for genuinely variable-length arrays.
+WHEN to pass ``dim`` — measured trade-off: an unrolled 100+-term
+tree pays a PER-QUERY-EXECUTION Janino compile (~0.3-1 s; the
+generated source embeds fresh expression ids, so the codegen cache
+misses across executions).  That is profitable when a pass does more
+data work than that — similarity_maxsim (512 terms over every row,
+38.9 s -> 2.2 s at sf1) and any production-scale scan — and a LOSS on
+the 2k-row sf0.1 bench corpus, where unrolling the ann_lsh probe
+regressed 0.17 s -> 1.33 s.  The registered bench keys therefore use
+the HOF form; pass ``dim`` when the corpus is big enough that compile
+time is noise.
 """
 
 from __future__ import annotations

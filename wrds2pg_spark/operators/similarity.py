@@ -43,9 +43,7 @@ def brute_force_topk(
     """Exact cosine top-k: narrow projection + TakeOrderedAndProject
     (no full sort, no shuffle of the corpus)."""
     q = _query_col(query_vec)
-    cos = F.round(
-        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
-    ).alias("cos_sim")
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
     return (
         df.select(F.col(id_col), cos)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -62,7 +60,7 @@ def hyperplane(plane_idx: int, dim: int) -> list[float]:
 def _bucket_expr(vec, planes: list[list[float]]):
     bits = []
     for p in planes:
-        d = dot(vec, F.array(*[F.lit(x) for x in p]), dim=len(p))
+        d = dot(vec, F.array(*[F.lit(x) for x in p]))
         bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -111,9 +109,7 @@ def lsh_topk(
     planes = [hyperplane(j, dim) for j in range(nbits)]
     probes = probe_buckets(query_vec, nbits, radius)
     q = _query_col(query_vec)
-    cos = F.round(
-        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
-    ).alias("cos_sim")
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
     return (
         df.withColumn("__bucket", _bucket_expr(F.col(vec_col), planes))
         .filter(F.col("__bucket").isin(probes))
@@ -129,7 +125,7 @@ def blocked_pairs(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int | None = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold within each block: equi-join on the
     block key keeps the pair count per-block quadratic only."""
@@ -139,7 +135,7 @@ def blocked_pairs(
         F.col(block_col),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        l2_norm(F.col(vec_col), dim).alias("__n"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     a = prepped.select(
         F.col(block_col), F.col(id_col).alias("id_a"),
@@ -231,9 +227,7 @@ def lsh_topk_indexed(
     — the scan never opens the other 2^nbits - (1+nbits) buckets."""
     probes = ["b" + p for p in probe_buckets(query_vec, nbits, radius)]
     q = _query_col(query_vec)
-    cos = F.round(
-        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
-    ).alias("cos_sim")
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
     return (
         spark.read.parquet(index_path)
         .filter(F.col("bucket").isin(probes))
@@ -307,9 +301,7 @@ def ivf_topk_indexed(
     ]
     probe = [i for i, _ in sorted(d2, key=lambda t: t[1])[:nprobe]]
     q = _query_col(query_vec)
-    cos = F.round(
-        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
-    ).alias("cos_sim")
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
     return (
         spark.read.parquet(index_path)
         .filter(F.col("cell").isin(probe))
@@ -344,7 +336,7 @@ def lsh_blocked_pairs(
         F.col(id_col),
         _bucket_expr(F.col(vec_col), planes).alias("bucket"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        l2_norm(F.col(vec_col), dim).alias("__n"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     a = prepped.select(
         "bucket", F.col(id_col).alias("id_a"),
@@ -411,9 +403,7 @@ def ivf_topk(
     probe = [i for i, _ in sorted(d2, key=lambda t: t[1])[:nprobe]]
 
     q = _query_col(query_vec)
-    cos = F.round(
-        cosine_similarity(F.col(vec_col), q, dim=len(query_vec)), 6
-    ).alias("cos_sim")
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
     return (
         model.transform(feat)
         .filter(F.col("__cell").isin(probe))

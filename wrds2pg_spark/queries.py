@@ -897,7 +897,7 @@ def array_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(l2_norm(F.col("embedding"), dim=64), 6).alias("l2_norm"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
     )
 
 
