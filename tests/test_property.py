@@ -49,7 +49,7 @@ def test_parse_rename_pairs(pairs):
 @given(
     st.integers(min_value=1, max_value=2),
     st.sampled_from([
-        "", "BEST", "BEST12.", "DATETIME20.", "TIME8.", "TOD",
+        "", "BEST", "best", "BEST12.", "DATETIME20.", "TIME8.", "TOD",
         "YYMMDD10.", "MMDDYY8.", "DATE9.", "COMMA12.", "E8601DT19.",
     ]),
     st.integers(min_value=0, max_value=32),
@@ -75,6 +75,9 @@ def test_type_inference_total_and_in_vocab(sas_type, fmt, formatl, formatd):
         assert out == "time"
     elif fmt in ("YYMMDD10.", "MMDDYY8.", "DATE9."):
         assert out == "date"
+    elif fmt.upper() == "BEST":
+        # metadata.py:282 upper-cases before the exact match
+        assert out == "float8"
     elif fmt == "BEST12.":
         # reference quirk: only bare BEST matches the float rule
         assert out in {"integer", "float8"}

@@ -245,6 +245,39 @@ def test_wrds_update_pq_alt_table_name(spark, tmp_path):
     assert not os.path.exists(os.path.join(data_dir, "crsp", "dsf.parquet"))
 
 
+def test_wrds_update_pq_sas_schema(spark, tmp_path):
+    """sas_schema parity (wrds2pg/api.py:47,134-136,166-167): data
+    is read from the sas_schema library but stored under schema."""
+    src_lib = tmp_path / "src" / "crspq"       # SAS library differs...
+    src_lib.mkdir(parents=True)
+    spark.range(5).write.parquet(str(src_lib / "dsf.parquet"))
+    data_dir = str(tmp_path / "lake")
+    assert wrds_update_pq(
+        spark, None, "dsf", "crsp",            # ...from the PG schema
+        data_dir=data_dir, source_dir=str(tmp_path / "src"),
+        sas_schema="crspq",
+    ) is True
+    out = os.path.join(data_dir, "crsp", "dsf.parquet")
+    assert spark.read.parquet(out).count() == 5
+    # default: sas_schema falls back to schema (api.py:166-167)
+    src_same = tmp_path / "src" / "comp"
+    src_same.mkdir()
+    spark.range(3).write.parquet(str(src_same / "funda.parquet"))
+    assert wrds_update_pq(
+        spark, None, "funda", "comp",
+        data_dir=data_dir, source_dir=str(tmp_path / "src"),
+    ) is True
+    assert spark.read.parquet(
+        os.path.join(data_dir, "comp", "funda.parquet")
+    ).count() == 3
+    # missing source surfaces as FileNotFoundError, not a silent skip
+    with pytest.raises(FileNotFoundError):
+        wrds_update_pq(
+            spark, None, "nosuch", "comp",
+            data_dir=data_dir, source_dir=str(tmp_path / "src"),
+        )
+
+
 def test_csv_encoding_wlatin1_roundtrip(spark, tmp_path):
     """Latin-1 WRDS tables (reference test_encoding.ipynb): bytes
     written as windows-1252 read back intact through encoding=wlatin1,

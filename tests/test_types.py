@@ -21,6 +21,9 @@ CASES = [
     ("todlow", 1, "tod", 0, 0, "time"),
     ("todup", 1, "TOD", 0, 0, "time"),
     ("bestcol", 1, "BEST", 0, 0, "float8"),
+    # case parity with metadata.py:282 (fmt.upper() == "BEST"):
+    # lower-case 'best' with formatl set is still float8, not integer
+    ("bestlow", 1, "best", 12, 0, "float8"),
     # quirk: BEST12. != BEST exactly -> falls through to formatl rule
     ("best12", 1, "BEST12.", 12, 0, "integer"),
     ("deccol", 1, "8.2", 8, 2, "float8"),

@@ -51,7 +51,9 @@ def pg_type_for_sas_row(row: dict[str, str | int]) -> str:
         return "time"
     if _DATE_RE.search(fmt):
         return "date"
-    if fmt == "BEST":  # exact match only — BEST12. falls through (quirk)
+    # upper() mirrors metadata.py:282 (``fmt.upper() == "BEST"``) — a
+    # lower-case 'best' must map to float8; BEST12. still falls through.
+    if fmt.upper() == "BEST":
         return "float8"
     if formatd != 0:
         return "float8"

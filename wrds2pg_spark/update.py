@@ -26,9 +26,50 @@ from wrds2pg_spark.sinks.csv import update_csv
 from wrds2pg_spark.sinks.parquet import update_parquet
 
 __all__ = [
-    "read_source", "source_modified",
+    "read_source", "resolve_source", "source_modified",
     "wrds_update", "wrds_update_pq", "wrds_update_csv",
 ]
+
+_SOURCE_EXTS = (".parquet", ".pq", ".sas7bdat", ".csv", ".csv.gz")
+
+
+def resolve_source(
+    source_path: str | None,
+    table_name: str,
+    schema: str,
+    sas_schema: str | None = None,
+    source_dir: str | None = None,
+) -> str:
+    """Resolve where the source data lives, honoring the reference's
+    ``sas_schema`` kwarg (wrds2pg/api.py:47,134-136,166-167): the SAS
+    library the *data comes from* may differ from the schema the
+    *table lands in*.  Precedence mirrors the reference: an explicit
+    ``source_path`` subsumes everything (it names the file directly);
+    otherwise the source is ``source_dir/(sas_schema or schema)/
+    table_name.<ext>`` — api.py:166-167's ``sas_schema = sas_schema
+    or schema`` default — probing the lake's known extensions.
+    ``source_dir`` falls back to $SOURCE_DIR then $DATA_DIR."""
+    if source_path:
+        return source_path
+    lib = sas_schema or schema
+    base = (
+        source_dir
+        or os.environ.get("SOURCE_DIR")
+        or os.environ.get("DATA_DIR")
+    )
+    if not base:
+        raise ValueError(
+            "No source_path given: provide source_dir or set "
+            "$SOURCE_DIR/$DATA_DIR so sas_schema can be resolved"
+        )
+    for ext in _SOURCE_EXTS:
+        cand = os.path.join(base, lib, table_name + ext)
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"No source for {lib}.{table_name} under {base} "
+        f"(tried {', '.join(_SOURCE_EXTS)})"
+    )
 
 
 def source_modified(source_path: str) -> str:
@@ -70,6 +111,12 @@ def read_source(
     p = source_path.lower()
     if p.endswith((".parquet", ".pq")) or os.path.isdir(source_path):
         return spark.read.parquet(source_path)
+    if p.endswith(".sas7bdat"):
+        # the file's own header carries its charset (the reference's
+        # sas_encoding sets the remote SAS session; no session here)
+        from wrds2pg_spark.sources.sas7bdat import read_sas7bdat
+
+        return read_sas7bdat(spark, source_path)
     if p.endswith((".csv", ".csv.gz")):
         reader = spark.read.option("header", "true")
         if encoding:
@@ -86,14 +133,16 @@ def read_source(
 
 def wrds_update_pq(
     spark: SparkSession,
-    source_path: str,
+    source_path: str | None,
     table_name: str,
     schema: str,
     *,
     data_dir: str | None = None,
+    source_dir: str | None = None,
     force: bool = False,
     alt_table_name: str | None = None,
     encoding: str | None = None,
+    sas_schema: str | None = None,
     sas_encoding: str | None = None,
     **ingest_kwargs,
 ) -> bool:
@@ -102,8 +151,14 @@ def wrds_update_pq(
 
     ``alt_table_name`` renames the table on load (source is read under
     ``table_name``, the sink lands under the alternate —
-    wrds2pg/api.py:359-362)."""
+    wrds2pg/api.py:359-362).  ``sas_schema`` names the library the
+    data comes *from* when it differs from the target ``schema``
+    (api.py:47,327-329); it resolves the source location when
+    ``source_path`` is None — see ``resolve_source``."""
     encoding = resolve_encoding(encoding, sas_encoding)
+    source_path = resolve_source(
+        source_path, table_name, schema, sas_schema, source_dir
+    )
     pq_path = get_pq_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
@@ -115,15 +170,17 @@ def wrds_update_pq(
 
 def wrds_update_csv(
     spark: SparkSession,
-    source_path: str,
+    source_path: str | None,
     table_name: str,
     schema: str,
     *,
     data_dir: str | None = None,
+    source_dir: str | None = None,
     force: bool = False,
     single_file: bool = False,
     alt_table_name: str | None = None,
     encoding: str | None = None,
+    sas_schema: str | None = None,
     sas_encoding: str | None = None,
     copy_encoding: str | None = None,
     **ingest_kwargs,
@@ -131,8 +188,12 @@ def wrds_update_csv(
     """Source file -> ingest options -> gzip CSV, stamp in mtime
     (wrds2pg/api.py:434-584).  ``encoding`` types the CSV *source*,
     ``copy_encoding`` the CSV *output* (reference's identically-named
-    knobs); ``alt_table_name`` renames on load."""
+    knobs); ``alt_table_name`` renames on load; ``sas_schema`` names
+    the source library when it differs from the target schema."""
     encoding = resolve_encoding(encoding, sas_encoding)
+    source_path = resolve_source(
+        source_path, table_name, schema, sas_schema, source_dir
+    )
     csv_path = get_csv_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
@@ -147,11 +208,13 @@ def wrds_update_csv(
 
 def wrds_update(
     spark: SparkSession,
-    source_path: str,
+    source_path: str | None,
     table_name: str,
     schema: str,
     jdbc_url: str,
     *,
+    source_dir: str | None = None,
+    sas_schema: str | None = None,
     force: bool = False,
     col_types: dict[str, str] | None = None,
     create_roles: bool = False,
@@ -172,12 +235,17 @@ def wrds_update(
     ``get_table_comment`` (reference api.py:175 + postgres/ddl.py:7-23)
     so the update gate is self-contained.  ``alt_table_name`` renames
     on load (api.py:168-169); ``tz`` is the per-connection TimeZone
-    for the load (api.py:49)."""
+    for the load (api.py:49); ``sas_schema`` names the source library
+    when it differs from the target schema (api.py:47,134-136 — data
+    obtained from sas_schema is stored in schema)."""
     from wrds2pg_spark.sinks.postgres import (
         get_table_comment, update_postgres,
     )
 
     encoding = resolve_encoding(encoding, sas_encoding)
+    source_path = resolve_source(
+        source_path, table_name, schema, sas_schema, source_dir
+    )
     if not sink_modified and execute_query is not None:
         sink_modified = get_table_comment(
             schema, alt_table_name or table_name, execute_query
