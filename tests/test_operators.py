@@ -76,6 +76,69 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     assert capped <= full
 
 
+def test_blocked_pairs_block_cap_bounds_pairs(spark):
+    """max_block_size mirrors the minhash cap for embedding pair
+    generation: a hub block contributes at most cap*(cap-1)/2 pairs,
+    drawn from the deterministic first-cap ids (sorted), and the
+    capped output is a subset of the uncapped pairs."""
+    from wrds2pg_spark.operators.similarity import blocked_pairs
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    emb = spark.createDataFrame(
+        [("hub", i, vec) for i in range(12)] + [("tiny", 100, vec)],
+        ["label", "vec_id", "embedding"],
+    )
+    full = {(r["id_a"], r["id_b"])
+            for r in blocked_pairs(emb, "label", threshold=0.9).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in blocked_pairs(
+                  emb, "label", threshold=0.9, max_block_size=4).collect()}
+    assert len(full) == 12 * 11 // 2
+    assert capped == {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert capped <= full
+
+
+def test_lsh_blocked_pairs_block_cap_bounds_pairs(spark):
+    """Same contract for the label-free (bucket-blocked) variant: an
+    all-identical corpus lands in one bucket; the cap bounds its
+    quadratic contribution."""
+    from wrds2pg_spark.operators.similarity import lsh_blocked_pairs
+
+    vec = [float((i % 5) - 2) for i in range(8)]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(10)], ["vec_id", "embedding"]
+    )
+    full = {(r["id_a"], r["id_b"])
+            for r in lsh_blocked_pairs(
+                emb, threshold=0.9, dim=8, nbits=4).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in lsh_blocked_pairs(
+                  emb, threshold=0.9, dim=8, nbits=4,
+                  max_block_size=3).collect()}
+    assert len(full) == 10 * 9 // 2
+    assert capped == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_jaccard_block_cap_bounds_hub_parts(spark, monkeypatch):
+    """graph_jaccard_neighbors' _JACCARD_BLOCK_CAP: with the cap
+    forced below a part's supplier count, per-part pair counts are
+    bounded at cap*(cap-1)/2 and the survivors keep exact n_common
+    (truncation drops pairs, never corrupts counts)."""
+    import wrds2pg_spark.queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    full = {(r["s_a"], r["s_b"]): r["n_common"]
+            for r in Q.graph_jaccard_neighbors(spark, sf_dir).collect()}
+    monkeypatch.setattr(Q, "_JACCARD_BLOCK_CAP", 2)
+    capped = Q.graph_jaccard_neighbors(spark, sf_dir).collect()
+    # with cap=2 each part contributes at most ONE pair: the two
+    # smallest supplier ids — so every surviving (pair, count) must
+    # appear in the uncapped result with an equal-or-larger count
+    for r in capped:
+        key = (r["s_a"], r["s_b"])
+        assert key in full and full[key] >= r["n_common"]
+
+
 def test_incremental_dedup_matches_batch_cross_pairs(spark, tmp_path):
     """Probing the materialized signature index with a new batch must
     find exactly the (new, old) pairs the batch pipeline finds when

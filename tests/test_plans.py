@@ -142,10 +142,27 @@ def test_no_collect_in_operator_paths():
     root = os.path.join(os.path.dirname(__file__), "..", "wrds2pg_spark")
     for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
         src = open(path).read()
-        for pat in (".collect()", ".toPandas()", ".toLocalIterator()"):
+        for pat in (
+            ".collect()", ".toPandas()", ".toLocalIterator()",
+            ".first()", ".head(", ".take(",
+        ):
             if pat in src and (os.path.basename(path), pat) not in allowed:
                 offenders.append((os.path.basename(path), pat))
     assert offenders == []
+
+
+def test_block_cap_stays_broadcast_and_windowless(spark):
+    """The hub-block caps (skew.cap_block_rows) must not change the
+    hot path's shape: the allowed-list join is a BROADCAST left join
+    (hub lists are tiny by definition) and no Window/row_number sort
+    ever touches the payload rows (a row_number cap measured 3x
+    slower — it shuffles the vectors)."""
+    for key in ("dedup_embedding_cosine", "dedup_embedding_lsh",
+                "graph_jaccard_neighbors"):
+        plan = plan_of(spark, key)
+        assert "Window" not in plan, key
+        assert "BroadcastHashJoin" in plan, key
+        assert "CartesianProduct" not in plan, key
 
 
 def test_tpch_q14_broadcasts_part(spark):

@@ -126,16 +126,35 @@ def blocked_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold within each block: equi-join on the
-    block key keeps the pair count per-block quadratic only."""
+    block key keeps the pair count per-block quadratic only.
+
+    ``max_block_size`` is the hub-block safety valve (the same
+    contract as minhash_lsh_pairs' max_bucket_size,
+    operators/dedup.py): a block above the cap contributes only its
+    first ``max_block_size`` ids (sorted by ``id_col`` —
+    deterministic), so per-block pairs are <= cap^2/2 and one hot
+    label can never generate unbounded quadratic work (or an
+    unbounded broadcast build side).  Enforced via
+    skew.cap_block_rows — hot path untouched when no block exceeds
+    the cap (the common case).
+
+    ``dim`` (when known) unrolls the scan-side norm into fixed-length
+    codegen; the per-pair dot deliberately stays the HOF fold (see
+    the Janino note below)."""
+    if max_block_size is not None:
+        from wrds2pg_spark.operators.skew import cap_block_rows
+
+        df = cap_block_rows(df, block_col, id_col, max_block_size)
     # cast to double + norm once per row (not once per PAIR — that
     # triples the arithmetic and re-allocates arrays N times per vector)
     prepped = df.select(
         F.col(block_col),
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        l2_norm(F.col(vec_col), dim).alias("__n"),
     )
     a = prepped.select(
         F.col(block_col), F.col(id_col).alias("id_a"),
@@ -187,14 +206,15 @@ def build_lsh_index(
     nbits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> None:
     """Materialize a hyperplane-LSH index: corpus written partitioned
     by bucket signature. Planes come from the deterministic integer
     formula, so NO sidecar state is needed — any reader (or SQL
-    oracle) recomputes them."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    oracle) recomputes them.  ``dim`` is required: sniffing it from
+    the first row would put a driver-side action inside a builder
+    (the no-collect discipline, tests/test_plans.py)."""
     planes = [hyperplane(j, dim) for j in range(nbits)]
     # 'b' prefix keeps the partition value unambiguously a STRING:
     # an all-digit bit-string like '01100001' would be read back as
@@ -318,6 +338,7 @@ def lsh_blocked_pairs(
     nbits: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT a metadata blocking key:
     hyperplane-signature buckets replace the label equi-join of
@@ -332,6 +353,19 @@ def lsh_blocked_pairs(
     at some recall cost near the planes); AQE skew-join splits any hot
     bucket.  Exact cosine verifies every emitted pair."""
     planes = [hyperplane(j, dim) for j in range(nbits)]
+    if max_block_size is not None:
+        # hub-bucket cap, same contract as blocked_pairs /
+        # minhash_lsh_pairs: first `cap` ids per bucket (sorted) —
+        # a dense bucket (all-same vectors, or nbits too low for
+        # corpus density) stays bounded.  The signature expression is
+        # the block key; cap_block_rows evaluates it in a narrow
+        # (bucket, id) projection so vectors never shuffle.
+        from wrds2pg_spark.operators.skew import cap_block_rows
+
+        df = cap_block_rows(
+            df, _bucket_expr(F.col(vec_col), planes), id_col,
+            max_block_size,
+        )
     prepped = df.select(
         F.col(id_col),
         _bucket_expr(F.col(vec_col), planes).alias("bucket"),

