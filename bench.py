@@ -188,6 +188,8 @@ HEADLINE = [
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",
+    # round-4 additions
+    "similarity_ivf_recall_at_k",
 ]
 
 

@@ -151,6 +151,24 @@ def test_no_collect_in_operator_paths():
     assert offenders == []
 
 
+def test_pagerank_shuffle_mode_matches_broadcast(spark):
+    """graph_pagerank(mode='shuffle') is the billions-of-nodes swap
+    the broadcast path's docstring promises: state rides shuffle-hash
+    joins instead of a broadcast.  Integer-quantized ranks make the
+    two modes bit-identical on any partitioning."""
+    from wrds2pg_spark.queries import graph_pagerank
+
+    bc = graph_pagerank(spark, SF, mode="broadcast")
+    sh = graph_pagerank(spark, SF, mode="shuffle")
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    rows_bc = sorted((r["node"], r["pagerank"]) for r in bc.collect())
+    rows_sh = sorted((r["node"], r["pagerank"]) for r in sh.collect())
+    assert rows_bc == rows_sh
+    with pytest.raises(ValueError):
+        graph_pagerank(spark, SF, mode="nope")
+
+
 def test_block_cap_stays_broadcast_and_windowless(spark):
     """The hub-block caps (skew.cap_block_rows) must not change the
     hot path's shape: the allowed-list join is a BROADCAST left join

@@ -234,11 +234,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the bigram stream is built row-locally (zip_with over
     the shifted token array — no self-join, no shuffle to form pairs),
-    then joined against the broadcast bigram/unigram count tables; the
-    per-doc agg is the only corpus-sized shuffle.  The bigram vocab is
-    the one state that must fit per executor — at 100 TB swap the
-    broadcast for a sort-merge join on (w1, w2) and the rest of the
-    plan is unchanged."""
+    then joined against the bigram/unigram count tables; the per-doc
+    agg is the only corpus-sized shuffle.  The count-table joins carry
+    NO broadcast hint: the bigram vocab grows ~linearly with corpus
+    tokens, so a hard-coded broadcast would hit the 8 GB limit /
+    executor memory long before 100 TB — AQE sizes the built table at
+    runtime and picks broadcast while it fits (it does at bench
+    scale, plan-asserted) or a shuffle join when it no longer does.
+    Only the 1-row vocab total keeps an unconditional broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.col("text")), " ")
     pairs = F.zip_with(
@@ -255,8 +258,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("vocab"))
     bif = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     scored = (
-        big.join(F.broadcast(bif), ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("token", "w1")), "w1")
+        big.join(bif, ["w1", "w2"])
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

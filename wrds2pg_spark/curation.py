@@ -865,7 +865,7 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d JOIN r ON d.source = r.source)
     SELECT source,
            COUNT(*) AS n_in,
-           COUNT(*) FILTER (WHERE h8 < band) AS n_kept,
+           COUNT(*) FILTER (WHERE rate >= 1.0 OR h8 < band) AS n_kept,
            ROUND(ANY_VALUE(rate), 6) AS rate
     FROM tagged GROUP BY source
     """,
@@ -918,7 +918,15 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_in"),
-            F.count(F.when(F.col("h8") < F.col("band"), 1)).alias("n_kept"),
+            # rate >= 1.0 keeps unconditionally: band is clamped to
+            # 0xffffffff, so strict h8 < band alone would drop a doc
+            # whose md5 prefix is exactly 'ffffffff' (~2^-32/doc) even
+            # from a keep-everything source
+            F.count(
+                F.when(
+                    (F.col("rate") >= 1.0)
+                    | (F.col("h8") < F.col("band")), 1)
+            ).alias("n_kept"),
             F.round(F.any_value(F.col("rate")), 6).alias("rate"),
         )
     )

@@ -24,6 +24,8 @@ from wrds2pg_spark.functions.vector import cosine_similarity, dot, l2_norm
 __all__ = [
     "brute_force_topk", "lsh_topk", "ivf_topk", "blocked_pairs",
     "lsh_blocked_pairs", "hyperplane", "probe_buckets",
+    "ivf_anchors", "anchored_cell_expr", "anchored_probe_cells",
+    "ivf_anchored_topk",
     "build_lsh_index", "lsh_topk_indexed",
     "build_ivf_index", "ivf_topk_indexed",
 ]
@@ -325,6 +327,66 @@ def ivf_topk_indexed(
     return (
         spark.read.parquet(index_path)
         .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), cos)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_anchors(nlist: int, dim: int) -> list[list[float]]:
+    """Deterministic coarse-quantizer anchors — the same integer
+    formula family as :func:`hyperplane`, offset by 101 so the anchor
+    set and the LSH plane set differ.  A fixed quantizer is a
+    legitimate IVF configuration (FAISS accepts any coarse quantizer);
+    fixing it makes the whole IVF pipeline — cell assignment, probe
+    selection, pruned scan, and the resulting RECALL — reproducible in
+    any engine, which is what lets the quality audit be oracle-checked
+    (the fitted-KMeans index stays engine-specific by nature)."""
+    return [hyperplane(j + 101, dim) for j in range(nlist)]
+
+
+def anchored_cell_expr(vec, anchors: list[list[float]]):
+    """argmax-dot cell id (0-based, first occurrence on ties) as a
+    row-local codegen expression: 1 + nlist dots, no shuffle."""
+    ds = F.array(*[
+        dot(vec, F.array(*[F.lit(x) for x in a])) for a in anchors
+    ])
+    return (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
+
+
+def anchored_probe_cells(
+    query_vec: list[float], nlist: int, nprobe: int
+) -> list[int]:
+    """The query's ``nprobe`` best cells by anchor dot (driver-side:
+    nlist * dim multiplications on a few dozen floats)."""
+    anchors = ivf_anchors(nlist, len(query_vec))
+    scores = [
+        (sum(a * q for a, q in zip(anc, query_vec)), j)
+        for j, anc in enumerate(anchors)
+    ]
+    return [j for _, j in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+
+def ivf_anchored_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    nlist: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k through the deterministic anchored quantizer: scan
+    prunes to rows whose argmax-dot cell is in the query's nprobe
+    probe set — the same inverted-file shape as the fitted path, with
+    every stage reproducible cross-engine."""
+    dim = len(query_vec)
+    anchors = ivf_anchors(nlist, dim)
+    probe = anchored_probe_cells(query_vec, nlist, nprobe)
+    q = _query_col(query_vec)
+    cos = F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim")
+    return (
+        df.filter(anchored_cell_expr(F.col(vec_col), anchors).isin(probe))
         .select(F.col(id_col), cos)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -97,18 +97,19 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wrds2pg_spark.sources.csv import read_csv_typed
 
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
     tag = fixture_tag(sf_dir, "nation")
-    csv_dir = f"/tmp/wrds2pg_spark_fixtures/nation_csv_{tag}"
-    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
-        (
+    csv_dir = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/nation_csv_{tag}",
+        lambda tmp: (
             load_table(spark, sf_dir, "nation")
             .select("n_nationkey", "n_name", "n_regionkey")
             .coalesce(1)
             .write.mode("overwrite")
             .option("header", "true")
-            .csv(csv_dir)
-        )
+            .csv(tmp)
+        ),
+    )
     df = read_csv_typed(
         spark,
         csv_dir,
@@ -1292,6 +1293,70 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle(nlist: int = 16, nprobe: int = 2, k: int = 20) -> str:
+    from wrds2pg_spark.operators.similarity import (
+        anchored_probe_cells, ivf_anchors,
+    )
+
+    anchors = ivf_anchors(nlist, 64)
+    dots = ", ".join(
+        _EMB_DOT.format(
+            a="embedding",
+            b="[" + ", ".join(repr(x) for x in anc) + "]",
+        )
+        for anc in anchors
+    )
+    probes = ", ".join(
+        str(c) for c in anchored_probe_cells(_QVEC, nlist, nprobe)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER) AS cell
+      FROM (SELECT vec_id, embedding, [{dots}] AS ds FROM embeddings)),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY {_emb_cos_sql('embedding', _QVEC_SQL)} DESC, vec_id
+      LIMIT {k}),
+    approx AS (
+      SELECT vec_id FROM cells
+      WHERE cell IN ({probes})
+      ORDER BY {_emb_cos_sql('embedding', _QVEC_SQL)} DESC, vec_id
+      LIMIT {k})
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / {k} AS recall_at_k
+    FROM exact JOIN approx USING (vec_id)
+    """
+
+
+@register("similarity_ivf_recall_at_k", oracle=_ivf_recall_oracle())
+def similarity_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality audit: recall@20 of inverted-file probing against
+    the exact brute-force top-k.  Runs through the DETERMINISTIC
+    anchored coarse quantizer (operators/similarity.py ivf_anchors:
+    cell = argmax anchor dot, probe = query's best nprobe cells) so
+    cell assignment, pruning, and the recall NUMBER itself are
+    reproducible in the oracle — the fitted-KMeans index
+    (similarity_ivf) necessarily stays engine-specific, and its
+    recall is asserted CI-side instead (tests/test_skew_ivf.py)."""
+    from wrds2pg_spark.operators.similarity import (
+        brute_force_topk, ivf_anchored_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 20
+    exact = brute_force_topk(emb, _QVEC, k=k).select("vec_id")
+    approx = ivf_anchored_topk(
+        emb, _QVEC, k=k, nlist=16, nprobe=2
+    ).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k"),
+    )
+
+
 @register("similarity_ann_lsh", oracle=_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-probe
@@ -1363,16 +1428,17 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_lsh_index, lsh_topk_indexed,
     )
 
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
     tag = fixture_tag(sf_dir, "embeddings")
     # v2: partition values are 'b'-prefixed strings (see
     # build_lsh_index); the path bump keeps any v1 index from a prior
     # run from being probed with the new key format.
-    index = f"/tmp/wrds2pg_spark_fixtures/emb_lsh_idx_v2_{tag}"
-    if not os.path.exists(os.path.join(index, "_SUCCESS")):
-        build_lsh_index(
-            load_table(spark, sf_dir, "embeddings"), index, nbits=8, dim=64
-        )
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/emb_lsh_idx_v2_{tag}",
+        lambda tmp: build_lsh_index(
+            load_table(spark, sf_dir, "embeddings"), tmp, nbits=8, dim=64
+        ),
+    )
     return lsh_topk_indexed(spark, index, _QVEC, k=20, nbits=8, radius=1)
 
 
@@ -1393,14 +1459,16 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.similarity import (
         build_ivf_index, ivf_topk_indexed,
     )
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
 
     tag = fixture_tag(sf_dir, "embeddings")
-    index = f"/tmp/wrds2pg_spark_fixtures/emb_ivf_idx_{tag}"
-    if not os.path.exists(os.path.join(index, "_ivf_centroids.json")):
-        build_ivf_index(
-            load_table(spark, sf_dir, "embeddings"), index, nlist=16
-        )
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/emb_ivf_idx_{tag}",
+        lambda tmp: build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), tmp, nlist=16
+        ),
+        marker="_ivf_centroids.json",
+    )
     return ivf_topk_indexed(spark, index, _QVEC, k=20, nprobe=2)
 
 
@@ -2375,25 +2443,28 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivers payloads byte-exactly."""
     import os
 
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
     tag = fixture_tag(sf_dir, "documents")
-    blob_dir = f"/tmp/wrds2pg_spark_fixtures/doc_blobs_{tag}"
-    marker = os.path.join(blob_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+
+    def build(tmp_dir: str) -> None:
+        # driver-side per-doc loop is fine HERE: this is a test
+        # fixture writer, not the scan path (a real media lake
+        # arrives as files; the operator under test is the read)
         import pyarrow.parquet as pq
 
-        os.makedirs(blob_dir, exist_ok=True)
         t = pq.read_table(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
         )
         for doc_id, text in zip(t["doc_id"].to_pylist(),
                                 t["text"].to_pylist()):
-            with open(os.path.join(blob_dir, f"blob_{doc_id}.txt"),
+            with open(os.path.join(tmp_dir, f"blob_{doc_id}.txt"),
                       "wb") as f:
                 f.write(text.encode("utf-8"))
-        with open(marker, "w"):
-            pass
+
+    blob_dir = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/doc_blobs_{tag}", build
+    )
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")
@@ -2426,11 +2497,11 @@ def scan_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wrds2pg_spark.sources.json import read_json_typed
 
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
     tag = fixture_tag(sf_dir, "events")
-    json_dir = f"/tmp/wrds2pg_spark_fixtures/events_jsonl_{tag}"
-    if not os.path.exists(os.path.join(json_dir, "_SUCCESS")):
-        (
+    json_dir = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/events_jsonl_{tag}",
+        lambda tmp: (
             load_table(spark, sf_dir, "events")
             .select(
                 "event_id",
@@ -2438,8 +2509,9 @@ def scan_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "event_type", "value",
             )
             .write.mode("overwrite")
-            .json(json_dir)
-        )
+            .json(tmp)
+        ),
+    )
     df = read_json_typed(
         spark,
         json_dir,
@@ -4160,7 +4232,9 @@ def _pagerank_oracle(iters: int = 3) -> str:
 
 
 @register("graph_pagerank", oracle=None)  # placeholder, set below
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank(
+    spark: SparkSession, sf_dir: str, mode: str = "broadcast"
+) -> DataFrame:
     """PageRank (3 unrolled power iterations, damping 0.85) over the
     bipartite customer<->supplier trade graph derived from
     orders x lineitem — the iterative-algorithm shape (like
@@ -4183,7 +4257,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     115k edges; true of most entity graphs); at billions of nodes
     swap to a src-co-partitioned shuffle join — the edges' stable
     partitioning is already in place for that.  The driver never sees
-    data; iteration count is a constant, not data-dependent."""
+    data; iteration count is a constant, not data-dependent.
+
+    ``mode="shuffle"`` IS that billions-of-nodes swap, runnable today:
+    the state joins ride src-co-partitioned shuffle-hash joins (the
+    checkpointed edges keep their hash partitioning, so only the
+    small state side exchanges) instead of broadcasting the node
+    state.  Integer arithmetic makes the two modes bit-identical on
+    any partitioning — equivalence-tested in tests/test_plans.py."""
     OFF = 1000000
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -4200,6 +4281,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .localCheckpoint()
     )
+    if mode == "broadcast":
+        attach = F.broadcast
+    elif mode == "shuffle":
+        # shuffle-hash (not SMJ): edges are already hash-partitioned
+        # on src, so only the state side exchanges and no sort is paid
+        def attach(df):
+            return df.hint("shuffle_hash")
+    else:
+        raise ValueError(f"unknown pagerank mode: {mode!r}")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     state = deg.select(
         F.col("src").alias("node"),
@@ -4208,7 +4298,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(3):
         contrib = edges.join(
-            F.broadcast(state), edges.src == state.node
+            attach(state), edges.src == state.node
         ).select("dst", F.expr("rs div outdeg").alias("w"))
         ranks = contrib.groupBy("dst").agg(
             (F.lit(150000) + F.expr("85 * sum(w) div 100"))
@@ -4216,7 +4306,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rs")
         )
         state = ranks.join(
-            F.broadcast(deg), ranks.dst == deg.src
+            attach(deg), ranks.dst == deg.src
         ).select(F.col("dst").alias("node"), "rs", "outdeg")
     return state.select(
         "node",

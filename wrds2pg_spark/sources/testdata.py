@@ -75,6 +75,40 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def ensure_dir_fixture(final_dir: str, build_fn, marker: str = "_SUCCESS") -> str:
+    """Build a derived fixture directory exactly once, concurrency-safe.
+
+    ``build_fn(tmp_dir)`` populates a PROCESS-UNIQUE staging dir;
+    the marker file is created inside it and the whole dir is then
+    ``os.rename``d into place — one atomic publish, so a reader can
+    never observe a half-written fixture and two processes sharing
+    the same /tmp tag can't interleave writes (the loser's rename
+    fails against the winner's completed dir and its staging is
+    discarded).  Same stage-and-rename doctrine as the PG sink's
+    atomic overwrite (sinks/postgres.py)."""
+    import shutil
+
+    if os.path.exists(os.path.join(final_dir, marker)):
+        return final_dir
+    tmp = f"{final_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        build_fn(tmp)
+        if not os.path.exists(os.path.join(tmp, marker)):
+            with open(os.path.join(tmp, marker), "w"):
+                pass
+        try:
+            os.rename(tmp, final_dir)
+        except OSError:
+            # another process published first — keep theirs
+            if not os.path.exists(os.path.join(final_dir, marker)):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final_dir
+
+
 def fixture_tag(sf_dir: str, table: str) -> str:
     """Cache tag for derived /tmp fixtures (indexes, re-encoded
     copies): keyed on the SOURCE parquet's identity (path + mtime +
