@@ -190,6 +190,9 @@ HEADLINE = [
     "overlap_source_trigram",
     # round-4 additions
     "similarity_ivf_recall_at_k",
+    "multimodal_png_decode",
+    "tpch_q5_bucketed",
+    "tpch_q18_bucketed",
 ]
 
 

