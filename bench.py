@@ -193,6 +193,8 @@ HEADLINE = [
     "multimodal_png_decode",
     "tpch_q5_bucketed",
     "tpch_q18_bucketed",
+    "embedding_pq_codes",
+    "similarity_pq_adc",
 ]
 
 

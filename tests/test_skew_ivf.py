@@ -69,6 +69,51 @@ def test_salted_join_matches_plain_join(spark):
     assert got == want and len(want) == 300
 
 
+def test_pq_encode_exact_on_codebook_vectors(spark):
+    """A vector assembled from codebook entries must quantize to
+    exactly those codes with zero error, and ADC distance to itself
+    as the query must be 0 — pins slice offsets, packing base, and
+    argmin tie-break."""
+    from wrds2pg_spark.operators.similarity import (
+        pq_adc_topk, pq_codebook, pq_encode,
+    )
+
+    m, ksub, dim = 8, 16, 64
+    chosen = [3, 0, 15, 7, 1, 9, 12, 5]
+    vec = []
+    for i, code in enumerate(chosen):
+        vec.extend(pq_codebook(i, ksub, dim // m)[code])
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    r = pq_encode(df, m=m, ksub=ksub, dim=dim).collect()[0]
+    assert r["quant_mse"] == 0.0
+    assert r["pq_code"] == sum(c * ksub ** i for i, c in enumerate(chosen))
+    a = pq_adc_topk(df, vec, k=1, m=m, ksub=ksub).collect()[0]
+    assert a["adc_dist"] == 0.0 and a["vec_id"] == 1
+
+
+def test_pq_mse_matches_reconstruction(spark):
+    """quant_mse equals the true squared reconstruction error of the
+    decoded codes (per dimension), computed independently in numpy."""
+    import numpy as np
+
+    from wrds2pg_spark.operators.similarity import pq_codebook, pq_encode
+    from wrds2pg_spark.sources.testdata import load_table
+
+    m, ksub, dim = 8, 16, 64
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    rows = {r["vec_id"]: r for r in pq_encode(emb, m=m, ksub=ksub).collect()}
+    for src in emb.collect():
+        v = np.array(src["embedding"], dtype=np.float64)
+        r = rows[src["vec_id"]]
+        codes = [(r["pq_code"] // ksub ** i) % ksub for i in range(m)]
+        recon = np.concatenate([
+            np.array(pq_codebook(i, ksub, dim // m)[c])
+            for i, c in enumerate(codes)
+        ])
+        err = float(np.sum((v - recon) ** 2)) / dim
+        assert abs(err - r["quant_mse"]) < 1e-6
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from wrds2pg_spark.operators.similarity import brute_force_topk, ivf_topk
     from wrds2pg_spark.queries import _QVEC

@@ -1357,6 +1357,104 @@ def similarity_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_dists_sql(vec_sql: str, sub_idx: int, m: int = 8, ksub: int = 16,
+                  dim: int = 64) -> str:
+    """DuckDB list of the ksub squared subvector distances for one
+    subspace — term order mirrors the Spark HOF fold exactly."""
+    from wrds2pg_spark.operators.similarity import pq_codebook
+
+    subdim = dim // m
+    entries = []
+    for c in pq_codebook(sub_idx, ksub, subdim):
+        terms = [
+            f"(CAST({vec_sql}[{sub_idx * subdim + j + 1}] AS DOUBLE)"
+            f" - ({c[j]!r}))"
+            for j in range(subdim)
+        ]
+        entries.append(" + ".join(f"{t} * {t}" for t in terms))
+    return "[" + ", ".join(entries) + "]"
+
+
+def _pq_codes_oracle(m: int = 8, ksub: int = 16, dim: int = 64) -> str:
+    ds_cols = ", ".join(
+        f"{_pq_dists_sql('embedding', i)} AS ds{i}" for i in range(m)
+    )
+    packed = " + ".join(
+        f"CAST(list_position(ds{i}, list_min(ds{i})) - 1 AS BIGINT)"
+        f" * CAST({ksub ** i} AS BIGINT)"
+        for i in range(m)
+    )
+    mse = " + ".join(f"list_min(ds{i})" for i in range(m))
+    return f"""
+    WITH d AS (SELECT vec_id, {ds_cols} FROM embeddings)
+    SELECT vec_id,
+           CAST({packed} AS BIGINT) AS pq_code,
+           ROUND(({mse}) / {float(dim)!r}, 6) AS quant_mse
+    FROM d
+    """
+
+
+@register("embedding_pq_codes", oracle=_pq_codes_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the corpus (operators/similarity.py pq_encode;
+    Jégou et al. 2011): 64 floats -> 8 codes of 4 bits packed in one
+    BIGINT (32x compression) + the exact per-vector quantization MSE.
+    Deterministic integer-formula codebooks (a fitted k-means codebook
+    would be engine-specific) make the codes AND the error number
+    hash-checkable — a wrong argmin tie-break, slice offset, or
+    packing base fails the value hash."""
+    from wrds2pg_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, m=8, ksub=16, dim=64)
+
+
+def _pq_adc_oracle(m: int = 8, ksub: int = 16, dim: int = 64,
+                   k: int = 20) -> str:
+    from wrds2pg_spark.operators.similarity import pq_codebook
+
+    subdim = dim // m
+    ds_cols = ", ".join(
+        f"{_pq_dists_sql('embedding', i)} AS ds{i}" for i in range(m)
+    )
+    terms = []
+    for i in range(m):
+        sub = _QVEC[i * subdim:(i + 1) * subdim]
+        lut = []
+        for c in pq_codebook(i, ksub, subdim):
+            acc = 0.0
+            for x, y in zip(sub, c):
+                acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+            lut.append(acc)
+        # explicit DOUBLE casts: bare float literals parse as DECIMAL
+        # in DuckDB and the sum would come back as a Decimal string
+        lut_sql = "[" + ", ".join(
+            f"CAST({x!r} AS DOUBLE)" for x in lut) + "]"
+        terms.append(f"{lut_sql}[list_position(ds{i}, list_min(ds{i}))]")
+    return f"""
+    WITH d AS (SELECT vec_id, {ds_cols} FROM embeddings)
+    SELECT vec_id, ROUND({' + '.join(terms)}, 6) AS adc_dist
+    FROM d
+    ORDER BY adc_dist ASC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("similarity_pq_adc", oracle=_pq_adc_oracle())
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.py
+    pq_adc_topk): the query precomputes its m x ksub distance lookup
+    table driver-side and every corpus row scores with m table
+    lookups on its PQ codes — the serving path where the scan reads
+    8 bytes per vector instead of 256.  Same deterministic codebooks
+    as embedding_pq_codes, so even the approximate distances are
+    value-hash checked against the oracle."""
+    from wrds2pg_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _QVEC, k=20, m=8, ksub=16)
+
+
 @register("similarity_ann_lsh", oracle=_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-probe
@@ -4537,9 +4635,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.skew import cap_block_rows
 
     li = load_table(spark, sf_dir, "lineitem")
+    # the distinct edge list feeds FOUR consumers (degrees, the cap
+    # guard's narrow projection, both self-join sides): checkpoint it
+    # once instead of re-deriving the o x li distinct per consumer —
+    # same lineage-cut doctrine as graph_pagerank's edges (measured
+    # -0.3 s at sf0.1)
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    ).distinct().localCheckpoint()
     deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
     capped = cap_block_rows(ps, "p", "s", _JACCARD_BLOCK_CAP)
     a = capped.alias("a")
