@@ -135,3 +135,54 @@ def test_read_json_typed_lowercases_and_types(spark, tmp_path):
     df = read_json_typed(spark, str(p), {"ID": "bigint", "Name": "text"})
     assert [f.name for f in df.schema.fields] == ["id", "name"]
     assert isinstance(df.schema["id"].dataType, T.LongType)
+
+
+def test_ensure_dir_fixture_atomic_publish(tmp_path):
+    """Stage-and-rename fixture publish: a completed dir is reused
+    (builder not re-run), a losing concurrent build is discarded in
+    favor of the winner, and a builder crash leaves NO final dir."""
+    import os
+
+    import pytest
+
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture
+
+    final = str(tmp_path / "fix")
+    calls = []
+
+    def build(tmp):
+        calls.append(tmp)
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("v1")
+
+    assert ensure_dir_fixture(final, build) == final
+    assert open(os.path.join(final, "data.txt")).read() == "v1"
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    # second call: marker present -> builder not re-invoked
+    ensure_dir_fixture(final, build)
+    assert len(calls) == 1
+
+    # simulated lost race: final dir appears (complete) mid-build;
+    # the loser's rename must yield to the winner, not clobber it
+    final2 = str(tmp_path / "fix2")
+
+    def racing_build(tmp):
+        os.makedirs(final2)
+        with open(os.path.join(final2, "data.txt"), "w") as f:
+            f.write("winner")
+        with open(os.path.join(final2, "_SUCCESS"), "w"):
+            pass
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("loser")
+
+    ensure_dir_fixture(final2, racing_build)
+    assert open(os.path.join(final2, "data.txt")).read() == "winner"
+    assert not os.path.exists(final2 + f".tmp.{os.getpid()}")
+
+    # builder crash: no partial final dir may exist
+    final3 = str(tmp_path / "fix3")
+    with pytest.raises(RuntimeError):
+        ensure_dir_fixture(final3, lambda t: (_ for _ in ()).throw(
+            RuntimeError("boom")))
+    assert not os.path.exists(final3)
+    assert not os.path.exists(final3 + f".tmp.{os.getpid()}")

@@ -506,17 +506,18 @@ def scan_orc_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
     tag = fixture_tag(sf_dir, "nation")
-    orc_dir = f"/tmp/wrds2pg_spark_fixtures/nation_orc_{tag}"
-    if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
-        (
+    orc_dir = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/nation_orc_{tag}",
+        lambda tmp: (
             load_table(spark, sf_dir, "nation")
             .select("n_nationkey", "n_name", "n_regionkey")
             .coalesce(1)
             .write.mode("overwrite")
-            .orc(orc_dir)
-        )
+            .orc(tmp)
+        ),
+    )
     return (
         spark.read.orc(orc_dir)
         .filter(F.col("n_regionkey") <= 2)
@@ -549,17 +550,18 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wrds2pg_spark.sinks.parquet import write_partitioned
 
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
     tag = fixture_tag(sf_dir, "orders")
-    lake = f"/tmp/wrds2pg_spark_fixtures/orders_by_yr_{tag}"
-    if not os.path.exists(os.path.join(lake, "_SUCCESS")):
-        write_partitioned(
+    lake = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/orders_by_yr_{tag}",
+        lambda tmp: write_partitioned(
             load_table(spark, sf_dir, "orders").withColumn(
                 "order_yr", F.year("o_orderdate").cast("int")
             ),
-            lake,
+            tmp,
             ["order_yr"],
-        )
+        ),
+    )
     return (
         spark.read.parquet(lake)
         .filter(F.col("order_yr") == 1997)
@@ -689,11 +691,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 17 != 3)
     new = docs.filter(F.col("doc_id") % 17 == 3)
-    from wrds2pg_spark.sources.testdata import fixture_tag
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
     tag = fixture_tag(sf_dir, "documents")
-    index = f"/tmp/wrds2pg_spark_fixtures/minhash_idx_{tag}"
-    if not os.path.exists(os.path.join(index, "_SUCCESS")):
-        build_minhash_bucket_index(corpus, index)
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/minhash_idx_{tag}",
+        lambda tmp: build_minhash_bucket_index(corpus, tmp),
+    )
     return dedup_incremental_portable(
         spark, index, corpus, new, threshold=0.5
     )
