@@ -195,6 +195,7 @@ HEADLINE = [
     "tpch_q18_bucketed",
     "embedding_pq_codes",
     "similarity_pq_adc",
+    "decontaminate_embedding",
 ]
 
 

@@ -356,6 +356,94 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECONTAM_N = 8
 
+def _emb_dot_sql(a: str, b: str) -> str:
+    return (f"list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+            f"list_transform({b}, x -> CAST(x AS DOUBLE)))")
+
+
+def _emb_cos_sql_(a: str, b: str) -> str:
+    dot = _emb_dot_sql(a, b)
+    na = "SQRT(" + _emb_dot_sql(a, a) + ")"
+    nb = "SQRT(" + _emb_dot_sql(b, b) + ")"
+    return f"ROUND({dot} / ({na} * {nb}), 6)"
+
+
+@register(
+    "decontaminate_embedding",
+    oracle=f"""
+    WITH bench AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 = 0),
+    train AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 29 <> 0),
+    hits AS (
+        SELECT t.vec_id, t.label,
+               MAX({_emb_cos_sql_('t.embedding', 'b.embedding')}) AS max_cos,
+               COUNT(*) FILTER (
+                   WHERE {_emb_cos_sql_('t.embedding', 'b.embedding')}
+                         >= 0.35) AS n_hits
+        FROM train t CROSS JOIN bench b
+        GROUP BY t.vec_id, t.label)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (WHERE n_hits > 0) AS BIGINT)
+               AS n_contaminated,
+           MAX(max_cos) AS worst_cos
+    FROM hits GROUP BY label
+    """,
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space twin
+    of decontaminate_ngram: flag training vectors whose cosine to ANY
+    held-out benchmark vector reaches the contamination threshold
+    (paraphrased eval leakage that no n-gram overlap catches; the
+    vec_id % 29 slice stands in for the eval set).  Reported per
+    label: training count, contaminated count, and the worst cosine.
+
+    Scale shape: eval suites are tiny against a 100 TB corpus, so the
+    benchmark side BROADCASTS and the corpus streams through a
+    map-side nested-loop probe (|corpus| x |bench| row-local cosines,
+    no corpus shuffle) straight into a map-side-combined per-vector
+    aggregate; only the per-label rollup exchanges.  For benchmark
+    sets past broadcast size, pre-bucket both sides with the
+    hyperplane LSH signature (dedup_embedding_lsh's blocking) and the
+    probe becomes an equi-join."""
+    from wrds2pg_spark.functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted out of the pair loop: cosine_similarity per pair
+    # costs 3 HOF folds (dot + both norms); computing each side's norm
+    # once in its projection leaves 1 fold per pair — same float ops,
+    # same result, measured 3x less interpreted-HOF work
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))
+    bench = emb.filter(F.col("vec_id") % 29 == 0).select(
+        dbl(F.col("embedding")).alias("__bvec"),
+        l2_norm(F.col("embedding")).alias("__bn"),
+    )
+    train = emb.filter(F.col("vec_id") % 29 != 0).select(
+        "vec_id", "label",
+        dbl(F.col("embedding")).alias("__tvec"),
+        l2_norm(F.col("embedding")).alias("__tn"),
+    )
+    cos = F.round(
+        dot(F.col("__tvec"), F.col("__bvec"))
+        / (F.col("__tn") * F.col("__bn")), 6)
+    per_vec = (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", "label", cos.alias("__cos"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max("__cos").alias("max_cos"),
+            F.count(F.when(F.col("__cos") >= 0.35, 1)).alias("n_hits"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count(F.when(F.col("n_hits") > 0, 1)).alias("n_contaminated"),
+        F.max("max_cos").alias("worst_cos"),
+    )
+
+
 @register(
     "decontaminate_ngram",
     oracle=f"""
