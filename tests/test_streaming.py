@@ -547,3 +547,62 @@ def test_foreachbatch_upsert_heals_crash_leftovers(spark):
     for uid, (n, s) in got.items():
         assert n >= 1
     assert set(got) == set(want)
+
+
+def test_streaming_threshold_crossings_matches_batch(spark):
+    """Stateful crossing detection over time-split micro-batches must
+    fire exactly the crossings the batch lag-window twin finds — the
+    carried last-value state is what makes a crossing that straddles
+    a batch boundary fire exactly once (and a high value at the head
+    of batch k+1 after a high tail in batch k NOT fire)."""
+    from wrds2pg_spark.queries import events_threshold_crossings
+    from wrds2pg_spark.streaming.events import streaming_threshold_crossings
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        # time-split chunks written in order: per-user arrival order
+        # across files == ts order, matching the batch window's sort
+        bounds = [r[0] for r in events.selectExpr(
+            "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)"
+        ).collect()[0]]
+        os.makedirs(src)
+        lo = None
+        for i, hi in enumerate(bounds + [None]):
+            chunk = events
+            if lo is not None:
+                chunk = chunk.filter(F.col("ts") >= F.lit(lo))
+            if hi is not None:
+                chunk = chunk.filter(F.col("ts") < F.lit(hi))
+            chunk.coalesce(1).write.parquet(os.path.join(src, f"c{i}.pq"))
+            os.rename(
+                [os.path.join(src, f"c{i}.pq", f)
+                 for f in os.listdir(os.path.join(src, f"c{i}.pq"))
+                 if f.endswith(".parquet")][0],
+                os.path.join(src, f"chunk_{i}.parquet"),
+            )
+            import shutil
+            shutil.rmtree(os.path.join(src, f"c{i}.pq"))
+            lo = hi
+
+        sdf = streaming_threshold_crossings(spark, src, schema=events.schema)
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory").queryName("crossings_out").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], r["event_id"]): r["prev_value"]
+                for r in spark.sql("SELECT * FROM crossings_out").collect()
+            }
+        finally:
+            q.stop()
+
+    want = {
+        (r["user_id"], r["event_id"]): r["prev_value"]
+        for r in events_threshold_crossings(
+            spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(want) > 0
+    assert got == want

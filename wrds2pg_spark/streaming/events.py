@@ -26,6 +26,7 @@ __all__ = [
     "enrich_static", "streaming_enrich_static",
     "user_totals", "streaming_foreachbatch_upsert",
     "windowed_topk", "streaming_windowed_topk", "topk_from_serving",
+    "streaming_threshold_crossings",
 ]
 
 
@@ -728,4 +729,75 @@ def streaming_late_drop_counts(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type", "n", "sum_value",
         )
+    )
+
+
+def streaming_threshold_crossings(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    threshold: float = 8.0,
+):
+    """Stateful upward threshold-crossing detection on a live stream —
+    the real-time form of queries.events_threshold_crossings (whose
+    docstring promises exactly this operator): per user, fire ONCE
+    when the metric first exceeds ``threshold``, carrying the last
+    seen value across micro-batches in ``applyInPandasWithState``.
+
+    State per user: (last value, seen-anything flag) — 9 bytes, so
+    state size is O(active users), not O(events); add a
+    processing-time timeout for eviction at unbounded key cardinality
+    (same knob as streaming_user_running_totals).  Rows inside one
+    batch sort by (ts, event_id) before the scan; cross-batch order
+    is arrival order (one file per trigger in the tests), matching
+    the batch twin's lag-window semantics when files are time-split.
+    Crossing detection itself is vectorized numpy over the sorted
+    batch — the Python boundary does a shift-and-compare, not a row
+    loop."""
+    import numpy as np
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last, seen = state.get if state.exists else (0.0, False)
+        frames = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                frames.append(pdf)
+        if not frames:
+            state.update((last, seen))
+            return
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        v = batch["value"].to_numpy(dtype="float64")
+        prev = np.concatenate([[last if seen else np.nan], v[:-1]])
+        fire = (v >= threshold) & (prev < threshold)
+        state.update((float(v[-1]), True))
+        hit = batch[fire]
+        if len(hit):
+            yield pd.DataFrame({
+                "user_id": hit["user_id"].astype("int64"),
+                "event_id": hit["event_id"].astype("int64"),
+                "ts": hit["ts"],
+                "value": hit["value"].astype("float64"),
+                "prev_value": prev[fire],
+            })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "value double, prev_value double"
+        ),
+        stateStructType="last double, seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
