@@ -102,3 +102,29 @@ def test_translate_where_examples():
     assert "IS NOT NULL" in translate_where("x is not missing")
     assert "IS NULL" in translate_where("x is missing")
     assert translate_where(None) is None
+
+
+@given(
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=1, max_value=12),
+    st.binary(min_size=0, max_size=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_filter_roundtrip_all_types(ftype, width, payload):
+    """PNG scanline filters invert exactly for every filter type,
+    width, and byte content (spec §9): filter(unfilter(x)) == x with
+    an arbitrary previous scanline."""
+    import numpy as np
+
+    from wrds2pg_spark.operators.multimodal import (
+        _png_filter_row, _png_unfilter_row,
+    )
+
+    rowlen = width * 3
+    buf = (payload * (2 * rowlen // max(1, len(payload)) + 1)
+           if payload else b"\x00" * 2 * rowlen)
+    row = np.frombuffer(buf[:rowlen], dtype=np.uint8).copy()
+    prev = np.frombuffer(buf[rowlen:2 * rowlen], dtype=np.uint8).copy()
+    filtered = _png_filter_row(ftype, row, prev)
+    back = _png_unfilter_row(ftype, filtered, prev.astype(np.int64))
+    assert back.tobytes() == row.tobytes(), (ftype, width)
