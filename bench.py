@@ -196,6 +196,7 @@ HEADLINE = [
     "embedding_pq_codes",
     "similarity_pq_adc",
     "decontaminate_embedding",
+    "similarity_ivfpq_indexed",
 ]
 
 

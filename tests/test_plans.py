@@ -173,6 +173,19 @@ def test_bucketed_twins_exchange_free_facts(spark):
         assert "Exchange hashpartitioning(o_orderkey" not in plan, name
 
 
+def test_ivfpq_index_prunes_partitions_and_reads_codes_only(spark):
+    """The IVF-PQ serving scan must prune to the probe cells at
+    listing time (PartitionFilters on the hive cell column) and read
+    ONLY (vec_id, pq_code) — never an embedding column: the whole
+    point of the index is that raw floats stay unread at query
+    time."""
+    plan = formatted_plan(spark, "similarity_ivfpq_indexed")
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(\d+,\d+\)\]", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "embedding" not in m.group(1)
+    assert "pq_code" in m.group(1)
+
+
 def test_pagerank_shuffle_mode_matches_broadcast(spark):
     """graph_pagerank(mode='shuffle') is the billions-of-nodes swap
     the broadcast path's docstring promises: state rides shuffle-hash

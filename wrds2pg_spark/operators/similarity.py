@@ -27,6 +27,7 @@ __all__ = [
     "ivf_anchors", "anchored_cell_expr", "anchored_probe_cells",
     "ivf_anchored_topk",
     "pq_codebook", "pq_encode", "pq_adc_topk",
+    "build_ivfpq_index", "ivfpq_topk_indexed",
     "build_lsh_index", "lsh_topk_indexed",
     "build_ivf_index", "ivf_topk_indexed",
 ]
@@ -548,6 +549,98 @@ def pq_adc_topk(
             F.col("id").alias(id_col),
             F.round(F.col("raw_dist"), 6).alias("adc_dist"),
         )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an IVF-PQ index — the FAISS serving architecture
+    composed from this module's deterministic parts: one Arrow pass
+    computes each vector's coarse cell (argmax anchor dot,
+    ivf_anchors) AND its packed PQ code, and the output lands
+    hive-partitioned by cell carrying ONLY (id, pq_code) — 16 bytes
+    per vector instead of 256.  Queries prune to their probe cells at
+    file-listing time and score codes with a lookup table; the raw
+    floats are never read again.  Everything is integer-formula
+    deterministic, so the whole serving path stays value-hash
+    checkable (a fitted FAISS index could not be)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    anchors = np.array(ivf_anchors(nlist, dim), dtype=np.float64)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.array([ksub ** i for i in range(m)], dtype=np.int64)
+        for pdf in batches:
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = V.shape[0]
+            acc = np.zeros((n, nlist))
+            for j in range(dim):                    # sequential dots:
+                acc += V[:, j:j + 1] * anchors[:, j]  # == the SQL fold
+            cell = np.argmax(acc, axis=1)           # first occurrence
+            codes, _ = _pq_codes_mins(V, m, ksub)
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype("int64"),
+                "pq_code": codes @ weights,
+                "cell": cell.astype("int32"),
+            })
+
+    (
+        df.select(id_col, vec_col)
+        .mapInPandas(encode, schema="id long, pq_code long, cell int")
+        .withColumnRenamed("id", id_col)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nlist: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve top-k from the materialized IVF-PQ index: probe cells and
+    the m x ksub distance table both come from the query vector alone
+    (driver-side, a few thousand float ops), the partition IN-filter
+    prunes the scan to nprobe directories, and the per-row score is m
+    integer unpack-and-lookup expressions over one BIGINT column —
+    pure codegen, no arrays, no floats read from storage."""
+    dim = len(query_vec)
+    subdim = dim // m
+    probe = anchored_probe_cells(query_vec, nlist, nprobe)
+    score = None
+    for i in range(m):
+        sub = query_vec[i * subdim:(i + 1) * subdim]
+        lut = []
+        for c in pq_codebook(i, ksub, subdim):
+            acc = 0.0
+            for x, y in zip(sub, c):
+                acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+            lut.append(acc)
+        code = F.expr(f"pq_code div {ksub ** i}") % ksub
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]), (code + 1).cast("int"))
+        score = term if score is None else score + term
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )

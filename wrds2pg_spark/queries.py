@@ -1440,6 +1440,81 @@ def _pq_adc_oracle(m: int = 8, ksub: int = 16, dim: int = 64,
     """
 
 
+def _ivfpq_oracle(nlist: int = 16, nprobe: int = 2, m: int = 8,
+                  ksub: int = 16, dim: int = 64, k: int = 20) -> str:
+    from wrds2pg_spark.operators.similarity import (
+        anchored_probe_cells, ivf_anchors, pq_codebook,
+    )
+
+    anchors = ivf_anchors(nlist, dim)
+    dots = ", ".join(
+        _EMB_DOT.format(
+            a="embedding",
+            b="[" + ", ".join(repr(x) for x in anc) + "]",
+        )
+        for anc in anchors
+    )
+    probes = ", ".join(
+        str(c) for c in anchored_probe_cells(_QVEC, nlist, nprobe))
+    ds_cols = ", ".join(
+        f"{_pq_dists_sql('embedding', i)} AS ds{i}" for i in range(m)
+    )
+    subdim = dim // m
+    terms = []
+    for i in range(m):
+        sub = _QVEC[i * subdim:(i + 1) * subdim]
+        lut = []
+        for c in pq_codebook(i, ksub, subdim):
+            acc = 0.0
+            for x, y in zip(sub, c):
+                acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+            lut.append(acc)
+        lut_sql = "[" + ", ".join(
+            f"CAST({x!r} AS DOUBLE)" for x in lut) + "]"
+        terms.append(f"{lut_sql}[list_position(ds{i}, list_min(ds{i}))]")
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+             CAST(list_position(ads, list_max(ads)) - 1 AS INTEGER)
+                 AS cell,
+             {ds_cols}
+      FROM (SELECT vec_id, embedding, [{dots}] AS ads FROM embeddings))
+    SELECT vec_id, ROUND({' + '.join(terms)}, 6) AS adc_dist
+    FROM d
+    WHERE cell IN ({probes})
+    ORDER BY adc_dist ASC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("similarity_ivfpq_indexed", oracle=_ivfpq_oracle())
+def similarity_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k from a MATERIALIZED IVF-PQ index — the FAISS serving
+    architecture end-to-end (operators/similarity.py
+    build_ivfpq_index / ivfpq_topk_indexed): corpus hive-partitioned
+    by anchored coarse cell carrying only (vec_id, packed PQ code);
+    the query prunes to its nprobe cell directories at listing time
+    (PartitionFilters, plan-asserted) and scores each survivor with
+    m unpack-and-lookup expressions on one BIGINT — the raw vectors
+    are never read at query time.  Deterministic anchors + codebooks
+    keep the whole path value-hash checked."""
+    from wrds2pg_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_topk_indexed,
+    )
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "embeddings")
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/emb_ivfpq_idx_{tag}",
+        lambda tmp: build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"), tmp,
+            nlist=16, m=8, ksub=16, dim=64,
+        ),
+    )
+    return ivfpq_topk_indexed(
+        spark, index, _QVEC, k=20, nlist=16, nprobe=2, m=8, ksub=16)
+
+
 @register("similarity_pq_adc", oracle=_pq_adc_oracle())
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k (operators/similarity.py
