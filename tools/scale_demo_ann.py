@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from wrds2pg_spark.operators.similarity import (  # noqa: E402
-    brute_force_topk, build_ivf_index, ivf_topk_indexed,
+    brute_force_topk, build_ivf_index, build_ivfpq_index,
+    ivf_topk_indexed, ivfpq_topk_indexed,
 )
 from wrds2pg_spark.session import get_spark  # noqa: E402
 
@@ -98,17 +99,29 @@ def main() -> None:
         t_build = round(time.perf_counter() - t0, 3)
         t_ivf = timed(lambda: mat(
             ivf_topk_indexed(spark, idx, qvec, k=K, nprobe=NPROBE)))
+
+        # IVF-PQ: same pruning, but the scan reads 8-byte codes, not
+        # 256-byte float vectors — the I/O claim measured
+        pq_idx = f"/tmp/ann_scale_ivfpq_x{factor}"
+        pq_nlist = 16
+        t0 = time.perf_counter()
+        build_ivfpq_index(corpus, pq_idx, nlist=pq_nlist)
+        t_pq_build = round(time.perf_counter() - t0, 3)
+        t_pq = timed(lambda: mat(ivfpq_topk_indexed(
+            spark, pq_idx, qvec, k=K, nlist=pq_nlist, nprobe=NPROBE)))
         rows.append({
             "factor": factor, "vectors": n, "brute_s": t_brute,
             "ivf_build_s": t_build, "ivf_query_s": t_ivf, "nlist": nlist,
+            "ivfpq_build_s": t_pq_build, "ivfpq_query_s": t_pq,
         })
 
     print("| corpus | vectors | brute-force top-k | IVF build (once) "
-          "| IVF top-k (nprobe=4) |")
-    print("|---|---|---|---|---|")
+          "| IVF top-k (nprobe=4) | IVF-PQ build | IVF-PQ top-k |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| x{r['factor']} | {r['vectors']:,} | {r['brute_s']} s "
-              f"| {r['ivf_build_s']} s | {r['ivf_query_s']} s |")
+              f"| {r['ivf_build_s']} s | {r['ivf_query_s']} s "
+              f"| {r['ivfpq_build_s']} s | {r['ivfpq_query_s']} s |")
     print(json.dumps({"metric": "ann_scale_demo", "rows": rows}))
 
 
