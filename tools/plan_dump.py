@@ -169,6 +169,27 @@ SHOWCASE = {
         "(n, sums, outer-products) row, so the exchanges above it "
         "carry ~partitions x D^2 longs, never the corpus."
     ),
+    "similarity_ivfpq_indexed": (
+        "Materialized IVF-PQ serving scan: PartitionFilters prunes "
+        "to the query's nprobe cell directories at listing time, "
+        "ReadSchema carries only (vec_id, pq_code) — the raw float "
+        "vectors are never read; scoring is m unpack-and-lookup "
+        "codegen expressions on one BIGINT, then TakeOrdered."
+    ),
+    "tpch_q18_bucketed": (
+        "Pre-bucketed facts: the HAVING aggregate and the "
+        "lineitem<->orders SMJ both run exchange-free over "
+        "orderkey-bucketed, sorted, single-file-per-bucket catalog "
+        "tables; customer attaches as a semi join against the "
+        "aggregated ~|big orders| rows, never widening fact rows."
+    ),
+    "decontaminate_embedding": (
+        "Semantic decontamination: the benchmark slice broadcasts "
+        "(eval suites are tiny vs the corpus), training vectors "
+        "stream through a row-local nested-loop cosine probe with "
+        "norms hoisted out of the pair loop, and only the per-label "
+        "rollup exchanges."
+    ),
 }
 
 
