@@ -197,6 +197,7 @@ HEADLINE = [
     "similarity_pq_adc",
     "decontaminate_embedding",
     "similarity_ivfpq_indexed",
+    "similarity_pq_recall_at_k",
 ]
 
 

@@ -1530,6 +1530,66 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, _QVEC, k=20, m=8, ksub=16)
 
 
+def _pq_recall_oracle(m: int = 8, ksub: int = 16, dim: int = 64,
+                      k: int = 20) -> str:
+    from wrds2pg_spark.operators.similarity import pq_codebook
+
+    subdim = dim // m
+    ds_cols = ", ".join(
+        f"{_pq_dists_sql('embedding', i)} AS ds{i}" for i in range(m)
+    )
+    terms = []
+    for i in range(m):
+        sub = _QVEC[i * subdim:(i + 1) * subdim]
+        lut = []
+        for c in pq_codebook(i, ksub, subdim):
+            acc = 0.0
+            for x, y in zip(sub, c):
+                acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+            lut.append(acc)
+        lut_sql = "[" + ", ".join(
+            f"CAST({x!r} AS DOUBLE)" for x in lut) + "]"
+        terms.append(f"{lut_sql}[list_position(ds{i}, list_min(ds{i}))]")
+    return f"""
+    WITH d AS (SELECT vec_id, {ds_cols} FROM embeddings),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY {_emb_cos_sql('embedding', _QVEC_SQL)} DESC, vec_id
+      LIMIT {k}),
+    approx AS (
+      SELECT vec_id FROM d
+      ORDER BY ROUND({' + '.join(terms)}, 6) ASC, vec_id
+      LIMIT {k})
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / {k} AS recall_at_k
+    FROM exact JOIN approx USING (vec_id)
+    """
+
+
+@register("similarity_pq_recall_at_k", oracle=_pq_recall_oracle())
+def similarity_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-quality audit: recall@20 of the PQ
+    asymmetric-distance ordering against the exact brute-force top-k
+    — the number that decides m/ksub before anyone serves from codes
+    alone.  Deterministic codebooks make the recall itself
+    hash-checkable, completing the audit trio (LSH, anchored IVF,
+    PQ)."""
+    from wrds2pg_spark.operators.similarity import (
+        brute_force_topk, pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 20
+    exact = brute_force_topk(emb, _QVEC, k=k).select("vec_id")
+    approx = pq_adc_topk(emb, _QVEC, k=k, m=8, ksub=16).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k"),
+    )
+
+
 @register("similarity_ann_lsh", oracle=_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-probe
