@@ -661,52 +661,81 @@ def lsh_blocked_pairs(
     are a luxury real crawls don't have).  Same sign-bucket family as
     the ANN path — deterministic planes keep it oracle-checkable.
 
-    Scale shape: signature is a row-local expression; the self-join is
-    an equi-join on the 2^nbits bucket key, so pair generation stays
-    per-bucket quadratic and globally linear in bucket count.  Tune
-    nbits to corpus density (each +1 bit halves expected bucket size,
-    at some recall cost near the planes); AQE skew-join splits any hot
-    bucket.  Exact cosine verifies every emitted pair."""
-    planes = [hyperplane(j, dim) for j in range(nbits)]
-    if max_block_size is not None:
-        # hub-bucket cap, same contract as blocked_pairs /
-        # minhash_lsh_pairs: first `cap` ids per bucket (sorted) —
-        # a dense bucket (all-same vectors, or nbits too low for
-        # corpus density) stays bounded.  The signature expression is
-        # the block key; cap_block_rows evaluates it in a narrow
-        # (bucket, id) projection so vectors never shuffle.
-        from wrds2pg_spark.operators.skew import cap_block_rows
+    Scale shape: signature is a row-local expression; rows shuffle
+    ONCE on the 2^nbits bucket key and each bucket's pairwise cosines
+    run in a single vectorized Arrow kernel (sequential accumulation,
+    bitwise-identical to the SQL fold — a bucket-keyed self-join with
+    per-pair interpreted HOF dots measured 4x slower).  Pair
+    generation stays per-bucket quadratic and globally linear in
+    bucket count; tune nbits to corpus density (each +1 bit halves
+    expected bucket size, at some recall cost near the planes).
+    ``max_block_size`` slices each group to its first ``cap`` ids
+    (sorted, the cap_block_rows contract) INSIDE the kernel;
+    cap_block_rows additionally bounds what reaches a group when a
+    hub bucket would not fit one task.  Thresholding uses RAW
+    doubles (both engines compute bitwise-equal cosines); the
+    reported cos_sim rounds once, JVM-side."""
+    import numpy as np
+    import pandas as pd
 
-        df = cap_block_rows(
-            df, _bucket_expr(F.col(vec_col), planes), id_col,
-            max_block_size,
-        )
+    planes = [hyperplane(j, dim) for j in range(nbits)]
     prepped = df.select(
         F.col(id_col),
         _bucket_expr(F.col(vec_col), planes).alias("bucket"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        F.col(vec_col).alias("__v"),
     )
-    a = prepped.select(
-        "bucket", F.col(id_col).alias("id_a"),
-        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    if max_block_size is not None:
+        # narrow pre-filter so a hub bucket cannot exceed one task's
+        # memory in the grouped kernel below (same first-cap-sorted
+        # contract; the kernel's slice is then a no-op).  The
+        # signature column is materialized ONCE (localCheckpoint) so
+        # neither the cap guard's narrow projection nor the grouped
+        # shuffle recomputes the interpreted plane dots — this is the
+        # "signatures are computed at ingest" posture of the
+        # materialized index, applied inline.
+        from wrds2pg_spark.operators.skew import cap_block_rows
+
+        prepped = prepped.localCheckpoint()
+        prepped = cap_block_rows(prepped, "bucket", id_col,
+                                 max_block_size)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        if max_block_size is not None:
+            pdf = pdf.iloc[:max_block_size]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({
+                "bucket": pd.Series(dtype="str"),
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "raw_cos": pd.Series(dtype="float64"),
+            })
+        V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        G = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for j in range(V.shape[1]):               # sequential: == the
+            G += V[:, j:j + 1] * V[:, j]          # SQL fold, bitwise
+            nrm += V[:, j] * V[:, j]
+        nrm = np.sqrt(nrm)
+        cos = G / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(n, 1)            # sorted ids => a < b
+        keep = cos[ia, ib] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame({
+            "bucket": pdf["bucket"].iloc[0],
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "raw_cos": cos[ia[keep], ib[keep]],
+        })
+
+    out = prepped.groupBy("bucket").applyInPandas(
+        bucket_pairs,
+        schema="bucket string, id_a long, id_b long, raw_cos double",
     )
-    b = prepped.select(
-        "bucket", F.col(id_col).alias("id_b"),
-        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
-    )
-    # pair dot stays the HOF form deliberately: unrolled 64-term
-    # expressions on BOTH join sides push the whole-stage method past
-    # Janino's compile limits (observed InternalCompilerException ->
-    # interpreted fallback, 40x slower); the scan-side query dots are
-    # unrolled, the per-pair dot is the HOF fold.
-    d = dot(F.col("va"), F.col("vb"))
-    cos = F.round(d / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("bucket", "id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+    return out.select(
+        "bucket", "id_a", "id_b",
+        F.round(F.col("raw_cos"), 6).alias("cos_sim"),
     )
 
 

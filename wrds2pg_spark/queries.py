@@ -1097,10 +1097,12 @@ _EMB_DOT = ("list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
             "list_transform({b}, x -> CAST(x AS DOUBLE)))")
 
 
-def _emb_cos_sql(a: str, b: str) -> str:
+def _emb_cos_sql(a: str, b: str, rounded: bool = True) -> str:
     dot = _EMB_DOT.format(a=a, b=b)
     na = "SQRT(" + _EMB_DOT.format(a=a, b=a) + ")"
     nb = "SQRT(" + _EMB_DOT.format(a=b, b=b) + ")"
+    if not rounded:
+        return f"({dot} / ({na} * {nb}))"
     return f"ROUND({dot} / ({na} * {nb}), 6)"
 
 
@@ -1615,14 +1617,18 @@ def _lsh_blocked_oracle(nbits: int = 6, threshold: float = 0.3) -> str:
             f"THEN '1' ELSE '0' END)"
         )
     bucket = " || ".join(bits)
+    # threshold on RAW cosines (bitwise-identical across engines —
+    # what lets the Spark side run a vectorized Arrow kernel); the
+    # reported cos_sim rounds once for display on both sides
+    raw = _emb_cos_sql("a.embedding", "b.embedding", rounded=False)
     return f"""
     WITH bk AS (
       SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
     SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-           {_emb_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+           ROUND({raw}, 6) AS cos_sim
     FROM bk a JOIN bk b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_emb_cos_sql('a.embedding', 'b.embedding')} >= {threshold}
+    WHERE {raw} >= {threshold}
     """
 
 
