@@ -123,72 +123,88 @@ def lsh_topk(
     )
 
 
+def _block_pairs_kernel(block_name: str, id_col: str, threshold: float,
+                        max_block_size: int | None, block_dtype: str):
+    """applyInPandas kernel: all pairwise cosines within one block via
+    a single vectorized numpy pass (sequential accumulation — bitwise
+    identical to the SQL fold), emitting RAW cosines >= threshold.
+    Shared by the label-blocked and LSH-bucket pair finders."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        if max_block_size is not None:
+            pdf = pdf.iloc[:max_block_size]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({
+                block_name: pd.Series(dtype=block_dtype),
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "raw_cos": pd.Series(dtype="float64"),
+            })
+        V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        G = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for j in range(V.shape[1]):               # sequential: == the
+            G += V[:, j:j + 1] * V[:, j]          # SQL fold, bitwise
+            nrm += V[:, j] * V[:, j]
+        nrm = np.sqrt(nrm)
+        cos = G / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(n, 1)            # sorted ids => a < b
+        keep = cos[ia, ib] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame({
+            block_name: pdf[block_name].iloc[0],
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "raw_cos": cos[ia[keep], ib[keep]],
+        })
+
+    return fn
+
+
 def blocked_pairs(
     df: DataFrame,
     block_col: str,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int | None = None,
     max_block_size: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold within each block: equi-join on the
-    block key keeps the pair count per-block quadratic only.
+    """All-pairs cosine >= threshold within each block: rows shuffle
+    ONCE on the block key and each block's pairwise cosines run in a
+    single vectorized Arrow kernel (a block-keyed self-join with
+    per-pair interpreted HOF dots measured 4x slower at 10x scale and
+    grows quadratically worse).  Thresholding uses RAW doubles (both
+    engines compute bitwise-equal cosines); the reported cos_sim
+    rounds once, JVM-side.
 
     ``max_block_size`` is the hub-block safety valve (the same
     contract as minhash_lsh_pairs' max_bucket_size,
     operators/dedup.py): a block above the cap contributes only its
-    first ``max_block_size`` ids (sorted by ``id_col`` —
-    deterministic), so per-block pairs are <= cap^2/2 and one hot
-    label can never generate unbounded quadratic work (or an
-    unbounded broadcast build side).  Enforced via
-    skew.cap_block_rows — hot path untouched when no block exceeds
-    the cap (the common case).
-
-    ``dim`` (when known) unrolls the scan-side norm into fixed-length
-    codegen; the per-pair dot deliberately stays the HOF fold (see
-    the Janino note below)."""
+    first ``max_block_size`` ids (sorted by ``id_col``), enforced by
+    skew.cap_block_rows BEFORE the shuffle — so per-block pairs are
+    <= cap^2/2 and no block can exceed one task's memory in the
+    grouped kernel."""
     if max_block_size is not None:
         from wrds2pg_spark.operators.skew import cap_block_rows
 
         df = cap_block_rows(df, block_col, id_col, max_block_size)
-    # cast to double + norm once per row (not once per PAIR — that
-    # triples the arithmetic and re-allocates arrays N times per vector)
     prepped = df.select(
-        F.col(block_col),
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-        l2_norm(F.col(vec_col), dim).alias("__n"),
+        F.col(block_col), F.col(id_col), F.col(vec_col).alias("__v")
     )
-    a = prepped.select(
-        F.col(block_col), F.col(id_col).alias("id_a"),
-        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    btype = prepped.schema[block_col].dataType.simpleString()
+    pd_btype = "int64" if btype in ("int", "bigint") else "object"
+    out = prepped.groupBy(block_col).applyInPandas(
+        _block_pairs_kernel(block_col, id_col, threshold,
+                            max_block_size, pd_btype),
+        schema=f"{block_col} {btype}, id_a long, id_b long, raw_cos double",
     )
-    b = prepped.select(
-        F.col(block_col), F.col(id_col).alias("id_b"),
-        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
-    )
-    # pair dot stays the HOF form deliberately: unrolled 64-term
-    # expressions on BOTH join sides push the whole-stage method past
-    # Janino's compile limits (observed InternalCompilerException ->
-    # interpreted fallback, 40x slower); the scan-side query dots are
-    # unrolled, the per-pair dot is the HOF fold.
-    d = dot(F.col("va"), F.col("vb"))
-    cos = F.round(d / (F.col("na") * F.col("nb")), 6)
-    # Broadcast the build side: block keys are FEW (that is what makes
-    # blocking effective), so a hash-shuffle on the block key would
-    # concentrate the quadratic pair CPU on a handful of cores — and
-    # an implicit exchange additionally invites AQE size-coalescing
-    # (bytes are tiny, CPU is not).  Broadcasting keeps the probe side
-    # at its incoming round-robin width with zero shuffles; every core
-    # generates pairs for its probe slice.  At corpus sizes where the
-    # build side outgrows broadcast, pre-partition BOTH sides by a
-    # (block, salt) composite instead.
-    return (
-        a.join(F.broadcast(b), on=block_col, how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(block_col, "id_a", "id_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+    return out.select(
+        block_col, "id_a", "id_b",
+        F.round(F.col("raw_cos"), 6).alias("cos_sim"),
     )
 
 
@@ -675,9 +691,6 @@ def lsh_blocked_pairs(
     hub bucket would not fit one task.  Thresholding uses RAW
     doubles (both engines compute bitwise-equal cosines); the
     reported cos_sim rounds once, JVM-side."""
-    import numpy as np
-    import pandas as pd
-
     planes = [hyperplane(j, dim) for j in range(nbits)]
     prepped = df.select(
         F.col(id_col),
@@ -699,38 +712,9 @@ def lsh_blocked_pairs(
         prepped = cap_block_rows(prepped, "bucket", id_col,
                                  max_block_size)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        if max_block_size is not None:
-            pdf = pdf.iloc[:max_block_size]
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({
-                "bucket": pd.Series(dtype="str"),
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "raw_cos": pd.Series(dtype="float64"),
-            })
-        V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
-        G = np.zeros((n, n))
-        nrm = np.zeros(n)
-        for j in range(V.shape[1]):               # sequential: == the
-            G += V[:, j:j + 1] * V[:, j]          # SQL fold, bitwise
-            nrm += V[:, j] * V[:, j]
-        nrm = np.sqrt(nrm)
-        cos = G / (nrm[:, None] * nrm[None, :])
-        ia, ib = np.triu_indices(n, 1)            # sorted ids => a < b
-        keep = cos[ia, ib] >= threshold
-        ids = pdf[id_col].to_numpy()
-        return pd.DataFrame({
-            "bucket": pdf["bucket"].iloc[0],
-            "id_a": ids[ia[keep]],
-            "id_b": ids[ib[keep]],
-            "raw_cos": cos[ia[keep], ib[keep]],
-        })
-
     out = prepped.groupBy("bucket").applyInPandas(
-        bucket_pairs,
+        _block_pairs_kernel("bucket", id_col, threshold,
+                            max_block_size, "object"),
         schema="bucket string, id_a long, id_b long, raw_cos double",
     )
     return out.select(

@@ -1110,10 +1110,11 @@ def _emb_cos_sql(a: str, b: str, rounded: bool = True) -> str:
     "dedup_embedding_cosine",
     oracle=f"""
     SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-           {_emb_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+           ROUND({_emb_cos_sql('a.embedding', 'b.embedding', rounded=False)},
+                 6) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_emb_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+    WHERE {_emb_cos_sql('a.embedding', 'b.embedding', rounded=False)} >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,7 +1126,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap far above fixture label blocks (218 at sf0.1): exact results
     # here, bounded quadratic work on a degenerate hub label
     return blocked_pairs(
-        emb, "label", threshold=0.3, dim=64, max_block_size=8192
+        emb, "label", threshold=0.3, max_block_size=8192
     )
 
 
