@@ -9,9 +9,16 @@
 - blocked_pairs: exact all-pairs cosine within a blocking key (label)
   — the embedding near-dup primitive.
 
-Dot products run through F.zip_with/F.aggregate (JVM codegen).  At
-real scale the brute-force path is what you broadcast-join against a
-handful of query vectors; LSH/IVF prune when the query set is large.
+Scan-side dots against a literal query vector run through
+F.zip_with/F.aggregate (or the dim-unrolled form — functions/vector.py
+keeps both; HOF lambdas evaluate interpreted, so the choice is
+measured per shape).  PAIR generation is different: per-block
+pairwise cosines run as vectorized Arrow kernels with sequential
+accumulation, which is bitwise-identical to the SQL fold and 4-100x
+faster than per-pair interpreted lambdas.  At real scale the
+brute-force path is what you broadcast-join against a handful of
+query vectors; LSH/IVF/PQ prune or compress when the query set or
+corpus is large.
 """
 
 from __future__ import annotations
