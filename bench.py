@@ -198,6 +198,7 @@ HEADLINE = [
     "decontaminate_embedding",
     "similarity_ivfpq_indexed",
     "similarity_pq_recall_at_k",
+    "scan_csv_quarantine",
 ]
 
 

@@ -118,6 +118,84 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("n_regionkey") >= 2)
 
 
+@register(
+    "scan_csv_quarantine",
+    oracle="""
+    SELECT CASE WHEN doc_id % 7 = 3 THEN 'quarantined'
+                ELSE 'clean' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 0
+                         ELSE doc_id END) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine on CSV ingest: read in PERMISSIVE mode
+    with ``columnNameOfCorruptRecord``, so rows that fail the schema
+    (here: a non-numeric id written for every doc_id % 7 == 3 row)
+    land in a corrupt-record column instead of killing the job or
+    silently disappearing — the production ingest posture between
+    FAILFAST (one bad row kills a 100-TB load) and DROPMALFORMED
+    (silent data loss).  Reports clean/quarantined counts and the sum
+    of clean ids; the oracle predicts both from the fixture rule.
+    Complements the reference's value-level repairs (fix_missing /
+    fix_cr, wrds2pg A9/A10): those fix cell encodings, this catches
+    structurally broken rows."""
+    import os
+
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "documents")
+
+    def build(tmp_dir: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        with open(os.path.join(tmp_dir, "rows.csv"), "w") as f:
+            f.write("doc_id,tag\n")
+            for doc_id in t["doc_id"].to_pylist():
+                if doc_id % 7 == 3:
+                    # structurally broken: non-numeric id
+                    f.write(f"id-{doc_id}-broken,x\n")
+                else:
+                    f.write(f"{doc_id},x\n")
+
+    csv_dir = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/doc_quarantine_{tag}", build)
+    # text read + from_csv: the raw-CSV reader refuses plans that
+    # reference only its internal corrupt-record column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN after
+    # pruning); the explicit parse stage has no such restriction and
+    # makes the quarantine column a first-class expression.
+    parsed = (
+        spark.read.text(csv_dir)
+        .filter(F.col("value") != F.lit("doc_id,tag"))  # header line(s)
+        .select(
+            F.from_csv(
+                F.col("value"),
+                "doc_id LONG, tag STRING, _corrupt STRING",
+                {"mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    status = F.when(
+        F.col("_corrupt").isNotNull(), F.lit("quarantined")
+    ).otherwise(F.lit("clean"))
+    return (
+        parsed.select(status.alias("status"), "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long")
+            .alias("id_sum"),
+        )
+    )
+
+
 _FLAGSHIP_ORACLE = f"""
     WITH src AS (
         SELECT l_returnflag AS returnflag,
