@@ -339,50 +339,6 @@ def test_png_synth_roundtrip_all_filters(spark):
         assert rows[i]["pixel_sum"] == sum(stream)
 
 
-def test_multimodal_decode_stub(spark):
-    from wrds2pg_spark.operators.multimodal import decode_image_stub
-
-    df = spark.createDataFrame(
-        [(1, bytearray(b"abc")), (2, bytearray(b"abc")), (3, bytearray(b"xyz"))],
-        ["doc_id", "payload"],
-    )
-    rows = {r["id"]: r for r in decode_image_stub(df, "payload", "doc_id").collect()}
-    assert rows[1]["n_bytes"] == 3
-    # deterministic: same bytes -> same fake features
-    assert rows[1]["width"] == rows[2]["width"]
-    assert rows[1]["mode"] in ("RGB", "RGBA", "L")
-    assert 64 <= rows[1]["width"] <= 255
-    assert 0.0 <= rows[1]["mean_luma"] <= 1.0
-
-
-def test_multimodal_audio_stub(spark):
-    from wrds2pg_spark.operators.multimodal import decode_audio_stub
-
-    df = spark.createDataFrame(
-        [(1, bytearray(b"wavdata1")), (2, bytearray(b"wavdata1"))],
-        ["doc_id", "payload"],
-    )
-    rows = {r["id"]: r for r in decode_audio_stub(df, "payload", "doc_id").collect()}
-    assert rows[1]["sample_rate"] == rows[2]["sample_rate"]  # deterministic
-    assert rows[1]["n_channels"] in (1, 2)
-    assert rows[1]["duration_s"] > 0
-
-
-def test_multimodal_frame_sampling_expands_rows(spark):
-    from wrds2pg_spark.operators.multimodal import sample_frames_stub
-
-    df = spark.createDataFrame(
-        [(7, bytearray(bytes(range(256)) * 40))], ["doc_id", "payload"]
-    )
-    rows = sample_frames_stub(df, "payload", "doc_id", fps=2.0).collect()
-    assert len(rows) >= 1
-    assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
-    assert all(r["id"] == 7 for r in rows)
-    assert all(len(r["frame"]) > 0 for r in rows[:-1])
-    # offsets follow the sampling rate
-    assert rows[1]["ts_offset_s"] == 0.5 if len(rows) > 1 else True
-
-
 def test_bmp_decoder_on_handbuilt_literal(spark):
     """Decode a 2x2 24bpp BMP assembled byte-by-byte here —
     independently of synth_bmp — so a shared encode/decode bug can't
@@ -479,18 +435,6 @@ def test_frame_sampler_every_k(spark):
     by_idx = {r["frame_idx"]: r["frame_sum"] for r in all_rows}
     for r in sampled:  # same frame bytes regardless of sampling stride
         assert r["frame_sum"] == by_idx[r["frame_idx"]]
-
-
-def test_multimodal_resize_truncates(spark):
-    from wrds2pg_spark.operators.multimodal import resize_stub
-
-    df = spark.createDataFrame(
-        [(1, bytearray(b"x" * 10000)), (2, bytearray(b"y" * 10))],
-        ["doc_id", "payload"],
-    )
-    rows = {r["id"]: r for r in resize_stub(df, "payload", "doc_id", 4096).collect()}
-    assert len(rows[1]["payload"]) == 4096
-    assert len(rows[2]["payload"]) == 10
 
 
 def test_dedup_operators_handle_degenerate_docs(spark):

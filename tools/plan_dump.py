@@ -184,10 +184,11 @@ SHOWCASE = {
         "aggregated ~|big orders| rows, never widening fact rows."
     ),
     "decontaminate_embedding": (
-        "Semantic decontamination: the benchmark slice broadcasts "
-        "(eval suites are tiny vs the corpus), training vectors "
-        "stream through a row-local nested-loop cosine probe with "
-        "norms hoisted out of the pair loop, and only the per-label "
+        "Semantic decontamination: the benchmark slice is published "
+        "to parquet once and each executor's Arrow kernel reads it "
+        "as a side input (no driver collect, no JVM crossJoin); "
+        "training vectors stream through a vectorized numpy "
+        "max-cosine probe inside mapInPandas, and only the per-label "
         "rollup exchanges."
     ),
 }

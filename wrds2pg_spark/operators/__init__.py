@@ -13,10 +13,11 @@ from wrds2pg_spark.operators.dedup import (  # noqa: F401
 )
 from wrds2pg_spark.operators.multimodal import (  # noqa: F401
     binary_stats,
-    decode_audio_stub,
-    decode_image_stub,
-    resize_stub,
-    sample_frames_stub,
+    decode_audio_wav,
+    decode_image_bmp,
+    decode_image_png,
+    resize_image_bmp,
+    sample_frames_real,
 )
 from wrds2pg_spark.operators.rangejoin import band_join  # noqa: F401
 from wrds2pg_spark.operators.similarity import (  # noqa: F401

@@ -188,6 +188,15 @@ def blocked_pairs(
     engines compute bitwise-equal cosines); the reported cos_sim
     rounds once, JVM-side.
 
+    .. versionchanged:: round 4
+       The threshold compares RAW cosines; releases before round 4
+       compared the 6-dp-ROUNDED value, so pairs with raw cosine in
+       ``[threshold - 5e-7, threshold)`` that previously survived
+       rounding are no longer emitted (affects this function and
+       :func:`lsh_blocked_pairs`).  Oracles were updated in lockstep;
+       downstream consumers pinning exact pair sets should pin the
+       round, not just the threshold.
+
     ``max_block_size`` is the hub-block safety valve (the same
     contract as minhash_lsh_pairs' max_bucket_size,
     operators/dedup.py): a block above the cap contributes only its
@@ -462,6 +471,10 @@ def _pq_codes_mins(V: "np.ndarray", m: int, ksub: int):
     import numpy as np
 
     n, dim = V.shape
+    if dim % m != 0:
+        raise ValueError(
+            f"vector width {dim} not divisible by m={m} subquantizers"
+        )
     subdim = dim // m
     codes = np.empty((n, m), dtype=np.int64)
     mins = np.empty((n, m), dtype=np.float64)
@@ -500,6 +513,11 @@ def pq_encode(
         weights = np.array([ksub ** i for i in range(m)], dtype=np.int64)
         for pdf in batches:
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"embedding width {V.shape[1]} != declared dim {dim}; "
+                    "codes/MSE would silently drop trailing dimensions"
+                )
             codes, mins = _pq_codes_mins(V, m, ksub)
             mse = np.zeros(len(pdf))
             for i in range(m):                      # left-to-right sum

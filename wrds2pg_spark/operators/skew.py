@@ -47,24 +47,40 @@ def cap_block_rows(
     by n_hubs * cap ids — hubs are few or they wouldn't be hubs.
     ``block_col`` may be an expression (e.g. an LSH signature); it is
     evaluated once per row in the narrow projection and once in
-    ``df`` itself."""
+    ``df`` itself.
+
+    NULL block keys form a real (cappable) group: the hub probe joins
+    null-safely, so a mega-block of nulls cannot bypass the valve.
+
+    Memory note: the allowed-id list for one hub materializes in a
+    single aggregation buffer before the slice — O(hub_rows) ids, not
+    O(cap).  Ids are narrow scalars so this is fine for hubs up to
+    ~10^8 rows; beyond that, pre-filter the pathological block by an
+    approximate count before calling this (the valve protects pair
+    generators whose blocks are orders of magnitude smaller)."""
     bcol = F.col(block_col) if isinstance(block_col, str) else block_col
     ids = df.select(bcol.alias("__blk"), F.col(id_col))
     hubs = ids.groupBy("__blk").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.slice(F.sort_array(F.collect_list(id_col)), 1, cap).alias("__ids"),
-    ).filter(F.col("__cnt") > cap).select("__blk", "__ids")
-    # one broadcast left join: non-hub rows see a null allowed-list
-    # and pass; hub rows pay an O(cap) membership probe — trivial next
-    # to the O(block) pair work the cap is preventing.
+    ).filter(F.col("__cnt") > cap).select(
+        F.col("__blk").alias("__hblk"), "__ids"
+    )
+    # one broadcast null-safe left join: non-hub rows see a null
+    # allowed-list and pass; hub rows pay an O(cap) membership probe —
+    # trivial next to the O(block) pair work the cap is preventing.
     return (
         df.withColumn("__blk", bcol)
-        .join(F.broadcast(hubs), "__blk", "left")
+        .join(
+            F.broadcast(hubs),
+            F.col("__blk").eqNullSafe(F.col("__hblk")),
+            "left",
+        )
         .filter(
             F.col("__ids").isNull()
             | F.array_contains(F.col("__ids"), F.col(id_col))
         )
-        .drop("__blk", "__ids")
+        .drop("__blk", "__hblk", "__ids")
     )
 
 # (merge_fn, needs_count) per decomposable aggregate

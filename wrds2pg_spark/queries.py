@@ -4850,8 +4850,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers per part via skew.cap_block_rows — the same contract
     as minhash_lsh_pairs' max_bucket_size, and free when no part
     exceeds the cap (the fixtures: max 52 at sf0.1).  Degrees
-    re-attach via broadcast; the Jaccard is a single integer
-    division, bit-identical on both engines with no rounding."""
+    re-attach WITHOUT a forced broadcast: the degree table scales
+    with node count, so at 100-TB graph scale a mandatory broadcast
+    is an executor-memory risk — AQE picks broadcast when the stats
+    say it fits and falls back to a shuffled join (which reuses the
+    pair table's existing s_a/s_b keying) when they don't.  The
+    Jaccard is a single integer division, bit-identical on both
+    engines with no rounding."""
     from wrds2pg_spark.operators.skew import cap_block_rows
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4881,8 +4886,8 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("s").alias("__sa"), F.col("d").alias("__da"))
     db = deg.select(F.col("s").alias("__sb"), F.col("d").alias("__db"))
     return (
-        com.join(F.broadcast(da), F.col("s_a") == F.col("__sa"))
-        .join(F.broadcast(db), F.col("s_b") == F.col("__sb"))
+        com.join(da, F.col("s_a") == F.col("__sa"))
+        .join(db, F.col("s_b") == F.col("__sb"))
         .select(
             "s_a", "s_b", "n_common",
             (F.col("n_common").cast("double")

@@ -101,9 +101,14 @@ def ensure_dir_fixture(final_dir: str, build_fn, marker: str = "_SUCCESS") -> st
         try:
             os.rename(tmp, final_dir)
         except OSError:
-            # another process published first — keep theirs
             if not os.path.exists(os.path.join(final_dir, marker)):
-                raise
+                # Not a concurrent winner: a stale, marker-less dir
+                # (crash leftover from the pre-atomic writers) blocks
+                # the rename with ENOTEMPTY forever. Self-heal: clear
+                # it and retry the publish once.
+                shutil.rmtree(final_dir, ignore_errors=True)
+                os.rename(tmp, final_dir)
+            # else: another process published first — keep theirs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return final_dir
