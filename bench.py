@@ -193,6 +193,9 @@ HEADLINE = [
     "multimodal_png_decode",
     "tpch_q5_bucketed",
     "tpch_q18_bucketed",
+    "tpch_q9_bucketed",
+    "tpch_q11_bucketed",
+    "tpch_q21_bucketed",
     "embedding_pq_codes",
     "similarity_pq_adc",
     "decontaminate_embedding",

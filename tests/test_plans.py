@@ -213,6 +213,10 @@ def test_block_cap_stays_broadcast_and_windowless(spark):
     for key in ("dedup_embedding_cosine", "dedup_embedding_lsh",
                 "graph_jaccard_neighbors"):
         plan = plan_of(spark, key)
+        # graph_jaccard's degree window lives below its localCheckpoint
+        # (round 5: degrees ride the pair table instead of re-shuffling
+        # it), so no Window may appear in the query plan for any key —
+        # the caps themselves contribute none.
         assert "Window" not in plan, key
         assert "BroadcastHashJoin" in plan, key
         assert "CartesianProduct" not in plan, key
@@ -314,12 +318,44 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert 1 <= df.count() <= 10
 
 
-def test_q9_filter_below_surrogate_aggregate(spark):
-    """Q9's part-name filter must sit below BOTH fact passes: no
-    SortMergeJoin against an unfiltered lineitem, and the broadcast of
-    the filtered partkey set appears twice (once per pass)."""
+def test_q9_window_single_composite_exchange(spark):
+    """Q9's partsupp-surrogate min is a WINDOW over (partkey, suppkey)
+    — one composite-key exchange, not the round-4 agg + self-join's
+    two — with the part-name filter still pushed below it."""
     plan = plan_of(spark, "tpch_q9_shape")
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1
+    # part filter + supplier-nation dim: both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q9_q11_bucketed_exchange_free_aggs(spark):
+    """The partkey-bucketed twins: q9's composite window and q11's two
+    aggregates must satisfy distribution (and q9 the window sort) from
+    the bucket layout — no partkey exchange, no scan-side sort."""
+    q9 = plan_of(spark, "tpch_q9_bucketed")
+    assert "Window" in q9
+    assert "Exchange hashpartitioning(l_partkey" not in q9
+    q11 = plan_of(spark, "tpch_q11_bucketed")
+    assert "Exchange hashpartitioning(l_partkey" not in q11
+    assert "Exchange hashpartitioning(ps_partkey" not in q11
+    # the only exchange is the per-part values into the global window
+    assert q11.count("Exchange") == q11.count("Exchange SinglePartition")
+
+
+def test_q21_bucketed_no_fact_exchange(spark):
+    """q21's fact join, pair-grain aggregate and per-order window all
+    ride the orderkey buckets; only the per-supplier rollup (and the
+    supplier broadcast) may exchange."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "tpch_q21_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Window" in plan
 
 
 def test_profile_table_no_expand_no_sortagg(spark):

@@ -2352,25 +2352,39 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join, local-supplier revenue by nation.
-    nation/region/supplier broadcast (small dims); the only repartition
-    shuffle is lineitem->orders on orderkey.  Catalyst pushes the
-    region filter through the nation join into the scan."""
+
+    Round-5 plan surgery (sf1: 2.1-3.1 s -> 0.9 s): the dimension
+    chain region->nation->supplier is PRE-JOINED into one broadcast
+    "Asian supplier" dim before touching any fact (one build job
+    instead of three), and customer participates only as a 2-column
+    (custkey, nationkey) dim probe AFTER the fact join — so the only
+    wide exchange left is lineitem<->orders on orderkey.  Customer is
+    this query's smallest fact-adjacent table (~100x smaller than
+    lineitem); at cluster scales where even its 2-column projection
+    outgrows executor memory, drop the hint and the same plan
+    degrades to one extra custkey exchange — the bucketed twin
+    documents the same trade."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name")
+    sn = s.join(
+        F.broadcast(asian), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cd = c.select("c_custkey", "c_nationkey")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            F.broadcast(cd),
+            (o.o_custkey == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(rev, 4).alias("revenue"))
     )
@@ -2379,17 +2393,20 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucketed_fact(
     spark: SparkSession, sf_dir: str, table: str, key: str,
     n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
 ) -> DataFrame:
     """Session-catalog bucketed copy of a fact table, built once per
-    source identity (sinks/bucketed.py): the ingest-time shuffle that
-    every later orderkey join/agg skips.  repartition(n_buckets, key)
+    (source identity, bucket key): the ingest-time shuffle that every
+    later join/agg on the key skips.  repartition(n_buckets, key)
     before the write yields ONE file per bucket, which is what lets
-    the reader trust the sortBy order and elide the SMJ sorts too."""
+    the reader trust the sortBy order and elide the SMJ sorts too.
+    ``sort_cols`` defaults to [key]; pass a key-prefixed list to make
+    composite-key windows sort-free as well."""
     from wrds2pg_spark.sinks.bucketed import read_bucketed, write_bucketed
     from wrds2pg_spark.sources.testdata import fixture_tag
 
     tag = fixture_tag(sf_dir, table)
-    name = f"bkt_{table}_{n_buckets}_{tag}"
+    name = f"bkt_{table}_{key}_{n_buckets}_{tag}"
     if not spark.catalog.tableExists(name):
         # the session catalog is in-memory (no persistent metastore in
         # this sandbox), so a prior process's managed-table files may
@@ -2405,7 +2422,7 @@ def _bucketed_fact(
         write_bucketed(
             load_table(spark, sf_dir, table).repartition(
                 n_buckets, F.col(key)),
-            name, key, n_buckets, sort_cols=key,
+            name, key, n_buckets, sort_cols=sort_cols or [key],
         )
     return read_bucketed(spark, name)
 
@@ -3719,31 +3736,28 @@ def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-line profit by nation and year.  The
-    defining plan feature is the fact-to-partsupp join on the COMPOSITE
-    (partkey, suppkey) key: the surrogate aggregate leaves ps hash-
-    partitioned on exactly that pair, so the join reuses the exchange
-    (one shuffle total on the ps side, one on the lineitem side —
-    co-partitioned, no broadcast needed or possible at scale).  part /
-    supplier / nation broadcast; profit expression written identically
-    on both engines so the scaled-long rounding sees bit-identical
-    doubles."""
+    partsupp surrogate's per-(partkey, suppkey) min re-attaches to
+    every fact row, and the oracle's aggregate-then-self-join is
+    exactly a WINDOW: min(l_extendedprice) OVER (PARTITION BY partkey,
+    suppkey).  The window formulation deletes the whole agg+join
+    subtree — ONE composite-key exchange (plus its in-partition sort)
+    instead of two, measured 1.36 s -> 0.74 s at sf1 (round 5).
+
+    The part-name filter still sits BELOW the window: it selects
+    whole partkeys, and the per-(partkey, suppkey) min lives inside
+    one partkey, so filtering first is result-identical while
+    shrinking the exchange ~8x.  part / supplier / nation broadcast;
+    profit expression written identically on both engines so the
+    scaled-long rounding sees bit-identical doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    # Push the part-name filter BELOW the partsupp-surrogate aggregate:
-    # it selects whole partkeys (~13%), and the surrogate's per-(partkey,
-    # suppkey) min is computed within one partkey, so filtering first is
-    # result-identical while shrinking BOTH composite-key shuffles ~8x.
-    # Catalyst cannot infer this (the filter sits above an aggregation
-    # boundary on a different attribute name), so we place it by hand.
     li_f = li.join(
         F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey
     ).drop("p_partkey")
-    ps = li_f.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    w = W.partitionBy("l_partkey", "l_suppkey")
+    li_w = li_f.withColumn("ps_supplycost", F.min("l_extendedprice").over(w))
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey", F.col("n_name").alias("nation"))
     profit = (
@@ -3751,12 +3765,7 @@ def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.01) * F.col("ps_supplycost") * F.col("l_quantity")
     )
     return (
-        li_f.join(
-            ps,
-            (li_f.l_partkey == ps.ps_partkey)
-            & (li_f.l_suppkey == ps.ps_suppkey),
-        )
-        .join(F.broadcast(sn), li_f.l_suppkey == sn.s_suppkey)
+        li_w.join(F.broadcast(sn), li_w.l_suppkey == sn.s_suppkey)
         .groupBy("nation", F.year("l_shipdate").cast("long").alias("yr"))
         .agg(dsum(profit, 4).alias("sum_profit"))
     )
@@ -3788,6 +3797,89 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = val.agg((davg(F.col("value"), 2) * F.lit(1.1)).alias("__thr"))
     return (
         val.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("ps_partkey", "value")
+    )
+
+
+def _lineitem_by_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem bucketed+sorted by (l_partkey, l_suppkey) — the
+    ingest-time layout that makes every partsupp-grain aggregate and
+    window exchange-free (bucket HashPartitioning(l_partkey) satisfies
+    any clustering it is a subset of; the sortBy covers the composite
+    window's required ordering)."""
+    return _bucketed_fact(
+        spark, sf_dir, "lineitem", "l_partkey",
+        sort_cols=["l_partkey", "l_suppkey"],
+    )
+
+
+@register("tpch_q9_bucketed", oracle=REGISTRY["tpch_q9_shape"].oracle)
+def tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 over lineitem PRE-BUCKETED by partkey — the pay-the-shuffle-
+    at-ingest twin of tpch_q9_shape's window form: the composite-key
+    min window needs ClusteredDistribution(partkey, suppkey), which
+    the partkey bucketing satisfies (subset rule), and the bucket
+    sortBy (partkey, suppkey) covers the window sort — so the ONLY
+    exchange left in the whole query is the ~175-row final aggregate.
+    sf1: 0.61 s vs 0.74 s shape / 1.36 s round-4 agg+join form."""
+    li = _lineitem_by_partkey(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey
+    ).drop("p_partkey")
+    w = W.partitionBy("l_partkey", "l_suppkey")
+    li_w = li_f.withColumn("ps_supplycost", F.min("l_extendedprice").over(w))
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.01) * F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li_w.join(F.broadcast(sn), li_w.l_suppkey == sn.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(dsum(profit, 4).alias("sum_profit"))
+    )
+
+
+@register("tpch_q11_bucketed", oracle=REGISTRY["tpch_q11_shape"].oracle)
+def tpch_q11_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 over lineitem PRE-BUCKETED by partkey: both aggregates
+    (pair grain, then partkey grain) run exchange-free on the bucket
+    partitioning, and the global threshold becomes an empty-frame
+    WINDOW over the per-part values instead of a second pass over the
+    fact subtree — exchange-free plans have no Exchange node for
+    Spark's reuse rule to dedup, so the round-4 crossJoin(threshold)
+    formulation would scan and aggregate lineitem TWICE here.  The
+    whole query runs ONE exchange (the ~200k-row per-part values into
+    the single-partition window).  sf1: 0.63 s = 1.7x DuckDB — inside
+    the acceptance band.
+
+    Scale note: the single-partition window holds to ~10^8 parts
+    (16 B/row); beyond that, localCheckpoint the per-part values and
+    broadcast the 1-row threshold (measured 0.96 s at sf1 — same
+    plan family, bounded task memory)."""
+    li = _lineitem_by_partkey(spark, sf_dir)
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    val = ps.groupBy("ps_partkey").agg(
+        dsum(F.col("ps_supplycost"), 2).alias("value"))
+    w = W.partitionBy()
+    # dsum/davg arithmetic, window-shaped: exact scaled-long sum over
+    # the full frame, one division, count, then *1.1 — the same op
+    # order as the oracle's DAVG_SQL(value)*1.1.
+    scaled = F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).over(w)
+    thr = (
+        scaled.cast("double") / 100.0
+        / F.count(F.col("value")).over(w).cast("double")
+    ) * 1.1
+    return (
+        val.withColumn("__thr", thr)
         .filter(F.col("value") > F.col("__thr"))
         .select("ps_partkey", "value")
     )
@@ -4113,6 +4205,47 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register("tpch_q21_bucketed", oracle=None)
+def tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 over orderkey-bucketed lineitem+orders (the same catalog
+    tables the q5/q18 twins read): the fact join, the (orderkey,
+    suppkey) aggregate AND the per-order window all ride the bucket
+    partitioning — zero fact exchanges; the only shuffle is the
+    ~50-row per-supplier count.  The in-partition sort for the window
+    is the one remaining data-bound cost (the aggregate's hash output
+    is unsorted).  sf1: 0.88 s vs 1.1-1.8 s shape."""
+    li = _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
+    o = _bucketed_fact(spark, sf_dir, "orders", "o_orderkey").filter(
+        F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        ).otherwise(0).alias("late"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late"))
+    w = W.partitionBy("l_orderkey")
+    return (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("supp_late").over(w))
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+REGISTRY["tpch_q21_bucketed"].oracle = REGISTRY["tpch_q21_shape"].oracle
 
 
 @register(
@@ -4849,27 +4982,33 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg^2 blow up, so the edge list is capped at _JACCARD_BLOCK_CAP
     suppliers per part via skew.cap_block_rows — the same contract
     as minhash_lsh_pairs' max_bucket_size, and free when no part
-    exceeds the cap (the fixtures: max 52 at sf0.1).  Degrees
-    re-attach WITHOUT a forced broadcast: the degree table scales
-    with node count, so at 100-TB graph scale a mandatory broadcast
-    is an executor-memory risk — AQE picks broadcast when the stats
-    say it fits and falls back to a shuffled join (which reuses the
-    pair table's existing s_a/s_b keying) when they don't.  The
-    Jaccard is a single integer division, bit-identical on both
-    engines with no rounding."""
+    exceeds the cap (the fixtures: max 52 at sf0.1, 59 at sf1).
+
+    Degrees attach on the EDGE list via a per-supplier count window
+    BEFORE pair generation, so they ride the self-join and the pair
+    table — by far the biggest intermediate (sum of deg^2/2, ~87M
+    rows at sf1) — never reshuffles to pick them up.  This replaced
+    both earlier forms in round 5: the forced degree broadcast (a
+    node-scaled table in executor memory — the 100-TB risk) and the
+    hint-free AQE join (which reshuffled the pair table twice:
+    24.2 s vs 13.3 s at sf1).  The extra window exchange is the
+    narrow 2-column edge list — the cheap side of the trade at any
+    scale.  The Jaccard is a single integer division, bit-identical
+    on both engines with no rounding."""
     from wrds2pg_spark.operators.skew import cap_block_rows
 
     li = load_table(spark, sf_dir, "lineitem")
-    # the distinct edge list feeds FOUR consumers (degrees, the cap
-    # guard's narrow projection, both self-join sides): checkpoint it
-    # once instead of re-deriving the o x li distinct per consumer —
-    # same lineage-cut doctrine as graph_pagerank's edges (measured
-    # -0.3 s at sf0.1)
-    ps = li.select(
+    # the degree-stamped edge list feeds the cap guard's narrow
+    # projection and both self-join sides: checkpoint it once, AFTER
+    # the window, so neither the distinct nor the degree count
+    # recomputes per consumer — same lineage-cut doctrine as
+    # graph_pagerank's edges (measured -0.3 s at sf0.1)
+    ps_d = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct().localCheckpoint()
-    deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    capped = cap_block_rows(ps, "p", "s", _JACCARD_BLOCK_CAP)
+    ).distinct().withColumn(
+        "d", F.count(F.lit(1)).over(W.partitionBy("s"))
+    ).localCheckpoint()
+    capped = cap_block_rows(ps_d, "p", "s", _JACCARD_BLOCK_CAP)
     a = capped.alias("a")
     # shuffle-hash, not sort-merge: the join output feeds a hash
     # aggregate, so SMJ's per-partition sorts are pure overhead
@@ -4880,18 +5019,17 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     com = (
         a.join(b, (F.col("a.p") == F.col("b.p"))
                & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .groupBy(
+            F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"),
+            F.col("a.d").alias("d_a"), F.col("b.d").alias("d_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    da = deg.select(F.col("s").alias("__sa"), F.col("d").alias("__da"))
-    db = deg.select(F.col("s").alias("__sb"), F.col("d").alias("__db"))
     return (
-        com.join(da, F.col("s_a") == F.col("__sa"))
-        .join(db, F.col("s_b") == F.col("__sb"))
-        .select(
+        com.select(
             "s_a", "s_b", "n_common",
             (F.col("n_common").cast("double")
-             / (F.col("__da") + F.col("__db") - F.col("n_common")))
+             / (F.col("d_a") + F.col("d_b") - F.col("n_common")))
             .alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "s_a", "s_b")
