@@ -129,3 +129,25 @@ def test_ivf_recall_vs_brute_force(spark):
     overlap = len(set(exact) & set(approx))
     assert overlap >= 5, f"IVF recall too low: {overlap}/10"
     assert len(approx) == 10
+
+
+def test_bucket_sig_kernel_matches_jvm_expr(spark):
+    """The Arrow signature kernel must be BITWISE-identical to the
+    HOF-fold JVM expression on real fixture vectors — the sign of
+    every plane dot decides a bucket, so one ULP of drift moves rows
+    between buckets and breaks the oracle."""
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.operators.similarity import (
+        _bucket_expr, _bucket_sig_udf, hyperplane,
+    )
+    from wrds2pg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    planes = [hyperplane(j, 64) for j in range(8)]
+    both = emb.select(
+        "vec_id",
+        _bucket_expr(F.col("embedding"), planes).alias("jvm"),
+        _bucket_sig_udf(planes)(F.col("embedding")).alias("arrow"),
+    )
+    assert both.filter(F.col("jvm") != F.col("arrow")).count() == 0
