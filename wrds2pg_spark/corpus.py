@@ -783,7 +783,9 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups need (daily sketches -> monthly distincts without rescan).
     Oracle is rows-only (sketch internals are engine-specific); the
     unit test asserts the estimate lands within 5%% of the exact
-    distinct count."""
+    distinct count, and agg_approx_error_audit (queries.py)
+    hash-checks the same bound per group against the DuckDB exact
+    side."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
