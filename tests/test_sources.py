@@ -186,3 +186,100 @@ def test_ensure_dir_fixture_atomic_publish(tmp_path):
             RuntimeError("boom")))
     assert not os.path.exists(final3)
     assert not os.path.exists(final3 + f".tmp.{os.getpid()}")
+
+
+def _synthetic_sas7bdat(path, modified_secs, created_secs=0.0,
+                        aligned=True, little=True):
+    """Header-only sas7bdat per the public binary layout (enough for
+    header_modified; NOT pandas-readable — no pages)."""
+    import struct
+
+    from wrds2pg_spark.sources.sas7bdat import _MAGIC
+
+    align = 4 if aligned else 0
+    order = "<" if little else ">"
+    hdr = bytearray(400)
+    hdr[:32] = _MAGIC
+    if aligned:
+        hdr[35] = 0x33
+    hdr[37] = 0x01 if little else 0x00
+    off = 164 + align
+    hdr[off:off + 8] = struct.pack(order + "d", created_secs)
+    hdr[off + 8:off + 16] = struct.pack(order + "d", modified_secs)
+    path.write_bytes(bytes(hdr))
+    return path
+
+
+def test_sas7bdat_header_modified_parses_all_layouts(tmp_path):
+    """date_modified comes from 172+align as float64 seconds since
+    1960-01-01 wall time, honoring the alignment shim (byte 35) and
+    the endianness flag (byte 37)."""
+    from datetime import datetime
+
+    from wrds2pg_spark.sources.sas7bdat import header_modified
+
+    # 2021-07-04 12:34:56 in SAS seconds
+    secs = (datetime(2021, 7, 4, 12, 34, 56)
+            - datetime(1960, 1, 1)).total_seconds()
+    for aligned in (True, False):
+        for little in (True, False):
+            p = _synthetic_sas7bdat(
+                tmp_path / f"t_{aligned}_{little}.sas7bdat", secs,
+                aligned=aligned, little=little)
+            dt = header_modified(str(p))
+            assert dt == datetime(2021, 7, 4, 12, 34, 56), (aligned, little)
+
+
+def test_sas7bdat_header_modified_rejects_garbage(tmp_path):
+    from wrds2pg_spark.sources.sas7bdat import header_modified
+
+    bad = tmp_path / "bad.sas7bdat"
+    bad.write_bytes(b"\x00" * 400)          # wrong magic
+    assert header_modified(str(bad)) is None
+    short = tmp_path / "short.sas7bdat"
+    short.write_bytes(b"\x00" * 64)         # truncated
+    assert header_modified(str(short)) is None
+    assert header_modified(str(tmp_path / "absent.sas7bdat")) is None
+
+
+def test_source_modified_uses_content_stamp_not_mtime(tmp_path):
+    """A16 (r4/r5 verdict): the incremental gate keys on the dataset's
+    own header stamp — touching or re-copying the file must NOT
+    change the stamp (no spurious reload), while a content rewrite
+    with a new header timestamp must."""
+    import os
+    from datetime import datetime
+
+    from wrds2pg_spark.catalog import needs_update
+    from wrds2pg_spark.update import source_modified
+
+    secs = (datetime(2020, 1, 2, 3, 4, 5)
+            - datetime(1960, 1, 1)).total_seconds()
+    p = _synthetic_sas7bdat(tmp_path / "tbl.sas7bdat", secs)
+    s1 = source_modified(str(p))
+    assert s1 == "Last modified: 01/02/2020 03:04:05"
+
+    os.utime(p, (1e9, 1.7e9))               # touched, content unchanged
+    assert source_modified(str(p)) == s1
+    assert needs_update(source_modified(str(p)), s1) is False
+
+    _synthetic_sas7bdat(p, secs + 3600)     # SAS rewrote the dataset
+    s2 = source_modified(str(p))
+    assert s2 != s1 and needs_update(s2, s1) is True
+
+
+def test_source_modified_falls_back_to_mtime(tmp_path):
+    """Unparseable sas7bdat (e.g. exotic variant) and non-SAS sources
+    keep the conservative fs-mtime stamp."""
+    from wrds2pg_spark.catalog import modified_decode
+    from wrds2pg_spark.update import source_modified
+
+    odd = tmp_path / "odd.sas7bdat"
+    odd.write_bytes(b"not sas at all" * 30)
+    import os
+    assert source_modified(str(odd)) == modified_decode(
+        os.path.getmtime(odd))
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,2\n")
+    assert source_modified(str(csv)) == modified_decode(
+        os.path.getmtime(csv))

@@ -25,7 +25,51 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_sas7bdat"]
+__all__ = ["read_sas7bdat", "header_modified"]
+
+# the 32-byte sas7bdat magic (public binary spec: Shotwell/Hobbs
+# "SAS7BDAT Database Binary Format"; same constant pandas ships in
+# pandas.io.sas.sas_constants.magic)
+_MAGIC = bytes.fromhex(
+    "000000000000000000000000c2ea8160b31411cfbd92080009c7318c181f1011"
+)
+_SAS_EPOCH_OFFSET = 164  # date_created; date_modified is the next 8
+
+
+def header_modified(path: str):
+    """The dataset's own "Last modified" timestamp from the sas7bdat
+    binary header — the CONTENT stamp, as a naive wall-clock
+    ``datetime``, or None when the file is not a parseable sas7bdat.
+
+    Layout (public spec, also pandas ``SAS7BDATReader._get_properties``):
+    magic at offset 0; alignment shim = 4 when byte 35 == 0x33;
+    endianness flag at byte 37 (0x01 = little); ``date_modified`` is a
+    float64 at ``172 + align`` counting seconds since the SAS epoch
+    1960-01-01 (wall time, no zone).
+
+    This is the same field PROC CONTENTS reports and the reference
+    scrapes for its incremental-update gate (wrds2pg/sas/
+    metadata.py:79-113).  Keying the gate on it instead of fs mtime
+    means a copied/rsynced/touched-but-unchanged file no longer
+    triggers a spurious full reload — the stamp moves only when SAS
+    itself rewrote the dataset."""
+    import struct
+    from datetime import datetime, timedelta
+
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(288)
+    except OSError:
+        return None
+    if len(hdr) < 288 or hdr[:32] != _MAGIC:
+        return None
+    align = 4 if hdr[35:36] == b"\x33" else 0
+    order = "<" if hdr[37:38] == b"\x01" else ">"
+    off = _SAS_EPOCH_OFFSET + align + 8
+    (secs,) = struct.unpack(order + "d", hdr[off:off + 8])
+    if not (0 <= secs < 1e11):  # sanity: 1960..~5000 AD
+        return None
+    return datetime(1960, 1, 1) + timedelta(seconds=secs)
 
 
 def _decode_files(chunksize: int, read_fn=None):

@@ -73,11 +73,24 @@ def resolve_source(
 
 
 def source_modified(source_path: str) -> str:
-    """Source stamp: file mtime rendered in the reference's
-    'Last modified:' format (the local-file analog of the PROC
-    CONTENTS scrape, wrds2pg/sas/metadata.py:79-113)."""
+    """Source stamp in the reference's 'Last modified:' format.
+
+    sas7bdat sources use the dataset's OWN header timestamp — the
+    content stamp PROC CONTENTS reports and the reference scrapes
+    (wrds2pg/sas/metadata.py:79-113) — so a touched/copied file whose
+    content didn't change does not trigger a reload (round 6; the
+    header wall time renders directly, matching how the reference
+    stores the scraped listing string).  Everything else, and any
+    unparseable sas7bdat, falls back to fs mtime."""
     if not os.path.exists(source_path):
         return ""
+    if source_path.lower().endswith(".sas7bdat"):
+        from wrds2pg_spark.catalog import _FMT, _PREFIX
+        from wrds2pg_spark.sources.sas7bdat import header_modified
+
+        dt = header_modified(source_path)
+        if dt is not None:
+            return dt.strftime(_PREFIX + _FMT)
     return modified_decode(os.path.getmtime(source_path))
 
 
