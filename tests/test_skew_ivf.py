@@ -151,3 +151,64 @@ def test_bucket_sig_kernel_matches_jvm_expr(spark):
         _bucket_sig_udf(planes)(F.col("embedding")).alias("arrow"),
     )
     assert both.filter(F.col("jvm") != F.col("arrow")).count() == 0
+
+
+def test_ivfpq_upsert_appends_only_and_matches_rebuild(spark, tmp_path):
+    """upsert_ivfpq_index (round 6): (1) existing cell files survive
+    BYTE-IDENTICAL — maintenance never reads or rewrites the base
+    index; (2) untouched cells gain no files; (3) the upserted index
+    serves exactly what a full rebuild over base UNION delta serves."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_topk_indexed, upsert_ivfpq_index,
+    )
+    from wrds2pg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+
+    up_path = str(tmp_path / "upserted")
+    full_path = str(tmp_path / "rebuilt")
+    build_ivfpq_index(base, up_path, nlist=8, m=8, ksub=16, dim=64)
+
+    def snapshot(root):
+        return {
+            os.path.relpath(p, root): hashlib.md5(
+                open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"),
+                               recursive=True)
+        }
+
+    before = snapshot(up_path)
+    upsert_ivfpq_index(delta, up_path, nlist=8, m=8, ksub=16, dim=64)
+    after = snapshot(up_path)
+    # base files byte-identical, new files only added
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, f"base file rewritten: {rel}"
+    added = set(after) - set(before)
+    assert added, "upsert wrote nothing"
+    # arrivals' cells only: every new file sits in a cell the delta
+    # actually landed in
+    delta_cells = {
+        r["cell"]
+        for r in spark.read.parquet(up_path)
+        .join(delta.select("vec_id"), "vec_id", "left_semi")
+        .select("cell").distinct().collect()
+    }
+    for rel in added:
+        cell = int(rel.split(os.sep)[0].split("=")[1])
+        assert cell in delta_cells, f"file in untouched cell: {rel}"
+
+    build_ivfpq_index(emb, full_path, nlist=8, m=8, ksub=16, dim=64)
+    _QVEC = [((7 * i + 3) % 13 - 6) / 6.0 for i in range(64)]
+    served_up = ivfpq_topk_indexed(
+        spark, up_path, _QVEC, k=20, nlist=8, nprobe=3).collect()
+    served_full = ivfpq_topk_indexed(
+        spark, full_path, _QVEC, k=20, nlist=8, nprobe=3).collect()
+    assert [tuple(r) for r in served_up] == [tuple(r) for r in served_full]

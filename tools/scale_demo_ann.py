@@ -27,7 +27,7 @@ import duckdb  # noqa: E402
 
 from wrds2pg_spark.operators.similarity import (  # noqa: E402
     brute_force_topk, build_ivf_index, build_ivfpq_index,
-    ivf_topk_indexed, ivfpq_topk_indexed,
+    ivf_topk_indexed, ivfpq_topk_indexed, upsert_ivfpq_index,
 )
 from wrds2pg_spark.session import get_spark  # noqa: E402
 
@@ -109,19 +109,33 @@ def main() -> None:
         t_pq_build = round(time.perf_counter() - t0, 3)
         t_pq = timed(lambda: mat(ivfpq_topk_indexed(
             spark, pq_idx, qvec, k=K, nlist=pq_nlist, nprobe=NPROBE)))
+
+        # incremental maintenance: a FIXED 2k-vector arrival batch
+        # upserts into the index — cost must stay flat while the full
+        # rebuild above grows with the corpus (arrival-bounded claim)
+        from pyspark.sql import functions as F
+        arrivals = spark.read.parquet(SRC).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(n * 10))
+        t0 = time.perf_counter()
+        upsert_ivfpq_index(arrivals, pq_idx, nlist=pq_nlist)
+        t_upsert = round(time.perf_counter() - t0, 3)
+
         rows.append({
             "factor": factor, "vectors": n, "brute_s": t_brute,
             "ivf_build_s": t_build, "ivf_query_s": t_ivf, "nlist": nlist,
             "ivfpq_build_s": t_pq_build, "ivfpq_query_s": t_pq,
+            "ivfpq_upsert_2k_s": t_upsert,
         })
 
     print("| corpus | vectors | brute-force top-k | IVF build (once) "
-          "| IVF top-k (nprobe=4) | IVF-PQ build | IVF-PQ top-k |")
-    print("|---|---|---|---|---|---|---|")
+          "| IVF top-k (nprobe=4) | IVF-PQ build | IVF-PQ top-k "
+          "| IVF-PQ upsert 2k |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| x{r['factor']} | {r['vectors']:,} | {r['brute_s']} s "
               f"| {r['ivf_build_s']} s | {r['ivf_query_s']} s "
-              f"| {r['ivfpq_build_s']} s | {r['ivfpq_query_s']} s |")
+              f"| {r['ivfpq_build_s']} s | {r['ivfpq_query_s']} s "
+              f"| {r['ivfpq_upsert_2k_s']} s |")
     print(json.dumps({"metric": "ann_scale_demo", "rows": rows}))
 
 

@@ -1682,6 +1682,41 @@ def similarity_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index, _QVEC, k=20, nlist=16, nprobe=2, m=8, ksub=16)
 
 
+@register("similarity_ivfpq_upsert", oracle=_ivfpq_oracle())
+def similarity_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ maintenance (operators/similarity.py
+    upsert_ivfpq_index, r4/r5 verdict item): the index is built from
+    ~6/7 of the corpus, then the remaining 1/7 ARRIVES and is
+    upserted — encoded with the frozen (formula) anchors/codebooks
+    and appended only to the cell directories it lands in; existing
+    files are never rewritten (tests/test_skew_ivf.py asserts the
+    base file set survives byte-identical).  Serving the upserted
+    index must return exactly what a full rebuild over the whole
+    corpus returns, so this key shares similarity_ivfpq_indexed's
+    full-corpus oracle: upsert(base, delta) == build(base UNION
+    delta), hash-checked.  Maintenance cost is O(|arrivals|) — the
+    serving twin of dedup_incremental_minhash's measured
+    arrival-bounded probe (BASELINE.md r6 scale demo)."""
+    from wrds2pg_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_topk_indexed, upsert_ivfpq_index,
+    )
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build(tmp: str) -> None:
+        base = emb.filter(F.col("vec_id") % 7 != 3)
+        arrivals = emb.filter(F.col("vec_id") % 7 == 3)
+        build_ivfpq_index(base, tmp, nlist=16, m=8, ksub=16, dim=64)
+        upsert_ivfpq_index(arrivals, tmp, nlist=16, m=8, ksub=16, dim=64)
+
+    tag = fixture_tag(sf_dir, "embeddings")
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/emb_ivfpq_upsert_{tag}", build)
+    return ivfpq_topk_indexed(
+        spark, index, _QVEC, k=20, nlist=16, nprobe=2, m=8, ksub=16)
+
+
 @register("similarity_pq_adc", oracle=_pq_adc_oracle())
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k (operators/similarity.py
