@@ -563,9 +563,13 @@ def test_streaming_threshold_crossings_matches_batch(spark):
         src = os.path.join(tmp, "events_pq")
         # time-split chunks written in order: per-user arrival order
         # across files == ts order, matching the batch window's sort
-        bounds = [r[0] for r in events.selectExpr(
+        # collect()[0][0] IS the 3-element percentile array (the old
+        # [r[0] for r in Row] form silently yielded one bound -> only
+        # 2 chunks, weakening the straddle claim)
+        bounds = list(events.selectExpr(
             "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)"
-        ).collect()[0]]
+        ).collect()[0][0])
+        assert len(bounds) == 3
         os.makedirs(src)
         lo = None
         for i, hi in enumerate(bounds + [None]):
@@ -606,3 +610,101 @@ def test_streaming_threshold_crossings_matches_batch(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_threshold_crossings_crash_restart_exactly_once(spark):
+    """Kill the applyInPandasWithState stream AFTER a batch's sink
+    write but BEFORE its offset commit (the worst crash point), then
+    restart from the checkpoint: Spark replays the failed batch
+    against the PRE-batch state-store version, the deterministic
+    kernel recomputes the same crossings, and the idempotent
+    per-batch-id sink overwrites rather than duplicates — so
+    fire-exactly-once survives the crash (r4/r5 verdict item #8)."""
+    import glob
+    import shutil
+
+    from wrds2pg_spark.queries import events_threshold_crossings
+    from wrds2pg_spark.streaming.events import streaming_threshold_crossings
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    tmp = tempfile.mkdtemp()
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        flag = os.path.join(tmp, "CRASH")
+        os.makedirs(src)
+        os.makedirs(out)
+        bounds = list(events.selectExpr(
+            "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)"
+        ).collect()[0][0])
+        assert len(bounds) == 3  # -> 4 time-split micro-batches
+        lo = None
+        for i, hi in enumerate(bounds + [None]):
+            chunk = events
+            if lo is not None:
+                chunk = chunk.filter(F.col("ts") >= F.lit(lo))
+            if hi is not None:
+                chunk = chunk.filter(F.col("ts") < F.lit(hi))
+            d = os.path.join(src, f"c{i}.pq")
+            chunk.coalesce(1).write.parquet(d)
+            os.rename(
+                [os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".parquet")][0],
+                os.path.join(src, f"chunk_{i}.parquet"))
+            shutil.rmtree(d)
+            lo = hi
+
+        def sink(batch_df, batch_id):
+            # idempotent per-epoch sink: a replayed batch id
+            # OVERWRITES its own directory instead of duplicating
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id}"))
+            if os.path.exists(flag) and batch_id == 2:
+                raise RuntimeError("injected crash after sink write")
+
+        def start():
+            return (
+                streaming_threshold_crossings(
+                    spark, src, schema=events.schema)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        open(flag, "w").close()
+        q = start()
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # some versions surface the failure here too
+        crashed = q.exception() is not None
+        try:
+            q.stop()
+        except Exception:
+            crashed = True
+        assert crashed, "injected crash did not fire"
+        # batch 2's output hit the sink, but its offsets never
+        # committed — the dangerous half-written crash point
+        assert os.path.isdir(os.path.join(out, "b2"))
+
+        os.remove(flag)
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+        got_rows = spark.read.parquet(
+            *glob.glob(os.path.join(out, "b*"))).collect()
+        got = {(r["user_id"], r["event_id"]): r["prev_value"]
+               for r in got_rows}
+        # exactly-once: no crossing fired twice across epochs
+        assert len(got_rows) == len(got)
+        want = {(r["user_id"], r["event_id"]): r["prev_value"]
+                for r in events_threshold_crossings(
+                    spark, "/root/testdata/sf0.001").collect()}
+        assert len(want) > 0
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
