@@ -283,3 +283,79 @@ def test_source_modified_falls_back_to_mtime(tmp_path):
     csv.write_text("a,b\n1,2\n")
     assert source_modified(str(csv)) == modified_decode(
         os.path.getmtime(csv))
+
+
+def test_ensure_dir_fixture_heal_loses_republish_race(tmp_path, monkeypatch):
+    """TOCTOU fix (round 6, ADVICE): when a stale marker-less dir is
+    healed but a concurrent builder publishes a COMPLETE fixture
+    between the heal and our retry rename, the retry must yield to
+    the winner's copy instead of raising — and the stale dir is
+    renamed aside (claimed atomically), never rmtree'd in place."""
+    import os
+
+    from wrds2pg_spark.sources import testdata as td
+
+    final = str(tmp_path / "fix")
+    os.makedirs(final)                       # stale, marker-less
+    with open(os.path.join(final, "junk.txt"), "w") as f:
+        f.write("crash leftover")
+
+    real_rename = os.rename
+    state = {"healed": False}
+
+    def racing_rename(src, dst):
+        if dst == final and src.startswith(final + ".tmp"):
+            if not state["healed"]:
+                # first publish attempt: blocked by the stale dir
+                state["healed"] = True
+                raise OSError("ENOTEMPTY (stale dir)")
+            # retry attempt: winner published in the gap
+            os.makedirs(final)
+            with open(os.path.join(final, "data.txt"), "w") as f:
+                f.write("winner")
+            with open(os.path.join(final, "_SUCCESS"), "w"):
+                pass
+            raise OSError("ENOTEMPTY (winner)")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(td.os, "rename", racing_rename)
+
+    def build(tmp):
+        with open(os.path.join(tmp, "data.txt"), "w") as f:
+            f.write("loser")
+
+    assert td.ensure_dir_fixture(final, build) == final
+    # winner's copy kept, loser discarded, no exception escaped
+    assert open(os.path.join(final, "data.txt")).read() == "winner"
+    # the stale leftover was claimed aside and removed, not left
+    assert not [p for p in os.listdir(tmp_path)
+                if p.startswith("fix.stale")]
+
+
+def test_bucket_sig_udf_guards(spark):
+    """ADVICE (round 6): the Arrow signature kernel validates
+    embedding width against the planes and rejects null vectors with
+    a clear error instead of IndexError / silent truncation."""
+    import pytest
+
+    from wrds2pg_spark.operators.similarity import (
+        _bucket_sig_udf, hyperplane,
+    )
+
+    planes = [hyperplane(j, 4) for j in range(3)]
+    udf = _bucket_sig_udf(planes)
+
+    good = spark.createDataFrame(
+        [(1, [0.1, -0.2, 0.3, 0.4])], "id long, embedding array<double>")
+    assert good.select(udf("embedding")).collect()[0][0] in {
+        "000", "001", "010", "011", "100", "101", "110", "111"}
+
+    wide = spark.createDataFrame(
+        [(1, [0.1] * 6)], "id long, embedding array<double>")
+    with pytest.raises(Exception, match="plane width"):
+        wide.select(udf("embedding")).collect()
+
+    nul = spark.createDataFrame(
+        [(1, None)], "id long, embedding array<double>")
+    with pytest.raises(Exception, match="null embedding"):
+        nul.select(udf("embedding")).collect()

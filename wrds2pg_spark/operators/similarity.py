@@ -99,7 +99,17 @@ def _bucket_sig_udf(planes: list[list[float]]):
     def sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="object")
+        if v.isna().any():
+            raise ValueError(
+                "null embedding in LSH signature input; filter nulls "
+                "before bucketing (the SQL fold would emit an all-'0' "
+                "signature here, silently colliding unrelated rows)")
         V = np.vstack(v.to_numpy()).astype(np.float64)
+        if V.shape[1] != len(P[0]):
+            raise ValueError(
+                f"embedding width {V.shape[1]} != plane width "
+                f"{len(P[0])}: a mismatch would truncate or crash the "
+                "dot products and diverge from the JVM fold")
         cols = []
         for p in P:
             acc = np.zeros(len(V))

@@ -104,10 +104,27 @@ def ensure_dir_fixture(final_dir: str, build_fn, marker: str = "_SUCCESS") -> st
             if not os.path.exists(os.path.join(final_dir, marker)):
                 # Not a concurrent winner: a stale, marker-less dir
                 # (crash leftover from the pre-atomic writers) blocks
-                # the rename with ENOTEMPTY forever. Self-heal: clear
-                # it and retry the publish once.
-                shutil.rmtree(final_dir, ignore_errors=True)
-                os.rename(tmp, final_dir)
+                # the rename with ENOTEMPTY forever.  Self-heal
+                # race-safely: a marker-less final_dir is NEVER a
+                # winner's copy (markers are written before publish),
+                # so atomically rename it ASIDE — claiming it
+                # exclusively — and delete the claimed copy, never
+                # deleting in place under concurrent readers.  Losing
+                # the claim (ENOENT: another healer won) is fine.
+                stale = f"{final_dir}.stale.{os.getpid()}"
+                try:
+                    os.rename(final_dir, stale)
+                except OSError:
+                    pass
+                else:
+                    shutil.rmtree(stale, ignore_errors=True)
+                try:
+                    os.rename(tmp, final_dir)
+                except OSError:
+                    # a concurrent builder published between our heal
+                    # and this retry: keep the winner's completed copy
+                    if not os.path.exists(os.path.join(final_dir, marker)):
+                        raise
             # else: another process published first — keep theirs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
