@@ -201,6 +201,7 @@ HEADLINE = [
     "similarity_pq_adc",
     "decontaminate_embedding",
     "similarity_ivfpq_indexed",
+    "similarity_ivfpq_upsert",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]
