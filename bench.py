@@ -139,6 +139,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "multimodal_image_features",
     "pack_sequences",
+    "text_chunk_overlap",
     "set_intersect",
     "set_union",
     "similarity_ivf",

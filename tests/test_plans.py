@@ -522,3 +522,13 @@ def test_q11_threshold_fallback_branch(spark):
     assert "BroadcastHashJoin" in plan_b or "BroadcastNestedLoopJoin" in plan_b
     assert sorted(map(tuple, dfw.collect())) == sorted(
         map(tuple, dfb.collect()))
+
+
+def test_chunk_overlap_generator_fused_no_shuffle(spark):
+    """text_chunk_overlap is a generator fused with the scan (same
+    plan family as explode_unnest): Generate over sequence+slice,
+    zero exchanges, zero Python boundaries."""
+    plan = plan_of(spark, "text_chunk_overlap")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan

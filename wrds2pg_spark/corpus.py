@@ -578,6 +578,73 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Overlapping document chunking (the RAG / pretraining windowing step)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 48   # tokens per chunk
+_CHUNK_S = 32   # stride (overlap = W - S = 16)
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, {_CHUNK_S}))
+                   AS tok_start
+        FROM t)
+    SELECT doc_id,
+           tok_start // {_CHUNK_S} AS chunk_idx,
+           tok_start,
+           len(toks[tok_start + 1 : tok_start + {_CHUNK_W}]) AS n_tokens,
+           array_to_string(
+               toks[tok_start + 1 : tok_start + {_CHUNK_W}], ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-width token windows
+    ({_CHUNK_W} tokens, stride {_CHUNK_S} -> {_CHUNK_W - _CHUNK_S}
+    tokens of overlap) — the chunking step every RAG corpus and
+    long-document pretraining pipeline runs before embedding/packing
+    (the standard return-overflowing-tokens contract: starts at 0, S,
+    2S, ... while start < n_tokens; the tail chunk may be short and,
+    like the standard tokenizers, may be contained in its predecessor
+    when a document ends just past a stride point).
+
+    Scale shape: tokenize + window generation is a GENERATOR fused
+    with the scan (sequence + explode + slice, all codegen; same
+    plan family as explode_unnest) — zero shuffles, zero Python, the
+    chunk table streams straight into downstream embedding or
+    pack_sequences stages.  Whitespace tokenization matches the
+    corpus family's convention; chunk_idx = tok_start / stride is
+    derived, not positional, so both engines compute it identically
+    without an ordinal join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S))
+    chunk = F.slice("toks", F.col("tok_start") + 1, _CHUNK_W)
+    return (
+        d.select(
+            "doc_id", "toks", F.explode(starts).alias("__start"))
+        .withColumn("tok_start", F.col("__start").cast("long"))
+        .select(
+            "doc_id",
+            F.expr(f"tok_start DIV {_CHUNK_S}").alias("chunk_idx"),
+            "tok_start",
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Context-window sequence packing
 # ---------------------------------------------------------------------------
 
