@@ -506,6 +506,43 @@ def test_no_forced_broadcast_of_scaling_tables():
     assert v == [], f"forced broadcast of SF-scaling frames: {v}"
 
 
+def test_no_forced_broadcast_in_curation_corpus_operators():
+    """Same gate over every other operator module (round 6: 'no
+    forced broadcast of any fact-derived table ANYWHERE').  Each
+    allowlisted frame is an aggregate whose cardinality is bounded by
+    a vocabulary, not by SF."""
+    import wrds2pg_spark.corpus as cor
+    import wrds2pg_spark.curation as cur
+    import wrds2pg_spark.operators.dedup as dd
+    import wrds2pg_spark.operators.multimodal as mm
+    import wrds2pg_spark.operators.similarity as sim
+    import wrds2pg_spark.operators.skew as sk
+    import wrds2pg_spark.streaming.events as se
+
+    banned = {"customer", "orders", "lineitem", "events",
+              "documents", "embeddings"}
+    allow = {
+        # per-source mixture rates: source vocabulary (3-4 values)
+        ("mixture_temperature_sample", "rates"),
+        # per-dimension sums: bounded by the embedding dim (64)
+        ("embedding_covariance_exact", "si"),
+        ("embedding_covariance_exact", "sj"),
+        # per-event_type totals/stats: bounded event-type vocabulary
+        ("events_markov_transitions", "tot"),
+        ("anomaly_zscore", "stats"),
+        ("anomaly_mad", "med"),
+        ("anomaly_mad", "mad"),
+        # per-priority percentile bounds: 5-value vocabulary
+        ("winsorize_outliers", "bounds"),
+        # held-out benchmark suite: small by construction (an eval
+        # set), and DISTINCT-collapsed before the probe
+        ("decontaminate_ngram", "bench"),
+    }
+    for mod in (cur, cor, dd, mm, sim, sk, se):
+        v = _forced_broadcast_violations(mod, banned, allow)
+        assert v == [], f"{mod.__name__}: forced SF-scaling broadcast: {v}"
+
+
 def test_q11_threshold_fallback_branch(spark):
     """tpch_q11_bucketed switches plans on the part-count bound
     (round 6): default = empty-frame window (one exchange);

@@ -169,18 +169,21 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram LM reduced to unigrams so the oracle stays exact).
 
     Plan shape: one token explode feeds BOTH the frequency build and
-    the scoring join; the frequency table (vocabulary-sized, tiny
-    relative to the corpus) broadcasts, so the only shuffles are the
-    vocab agg and the per-doc agg — the corpus-sized token stream is
-    never repartitioned.  The 1-row total joins the same way.  At 100
-    TB the vocab table is the only state that must fit per executor
-    (standard for LM tokenization), everything else streams."""
+    the scoring join; the frequency table (vocabulary-sized —
+    SUBLINEAR in the corpus by Heaps' law — tiny relative to the
+    token stream) broadcasts via AQE's runtime stats, so the only
+    shuffles are the vocab agg and the per-doc agg.  Round 6 dropped
+    the forced hint (lint): AQE keeps the same broadcast at bench
+    scale (A/B 0.71 forced vs 0.69 hint-free at sf0.1) and degrades
+    to a token-keyed shuffle if a 100-TB vocabulary ever outgrows
+    executors instead of OOMing.  The 1-row total joins the same
+    way."""
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs)
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("total"))
     scored = (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -331,8 +334,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df")
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # vocab-sized (Heaps-sublinear) side: AQE broadcasts it from
+    # runtime stats; forced hint dropped round 6 (lint)
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

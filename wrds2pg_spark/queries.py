@@ -72,8 +72,8 @@ def _parquet_footer_rows(sf_dir: str, table: str) -> int:
                 pq.read_metadata(os.path.join(path, f)).num_rows
                 for f in os.listdir(path) if f.endswith(".parquet"))
         return pq.read_metadata(path).num_rows
-    except OSError:
-        return 0
+    except Exception:  # unreadable/corrupt footer: a plan SWITCH
+        return 0       # must never crash the query — take small path
 
 
 # ---------------------------------------------------------------------------
