@@ -203,6 +203,7 @@ HEADLINE = [
     "decontaminate_embedding",
     "similarity_ivfpq_indexed",
     "similarity_ivfpq_upsert",
+    "similarity_lsh_upsert",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]

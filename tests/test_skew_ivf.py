@@ -212,3 +212,43 @@ def test_ivfpq_upsert_appends_only_and_matches_rebuild(spark, tmp_path):
     served_full = ivfpq_topk_indexed(
         spark, full_path, _QVEC, k=20, nlist=8, nprobe=3).collect()
     assert [tuple(r) for r in served_up] == [tuple(r) for r in served_full]
+
+
+def test_lsh_upsert_appends_only_and_matches_rebuild(spark, tmp_path):
+    """upsert_lsh_index: base bucket files survive byte-identical and
+    the upserted index serves exactly what a full rebuild serves."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.operators.similarity import (
+        build_lsh_index, lsh_topk_indexed, upsert_lsh_index,
+    )
+    from wrds2pg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    up, full = str(tmp_path / "up"), str(tmp_path / "full")
+    build_lsh_index(emb.filter(F.col("vec_id") % 4 != 1), up,
+                    nbits=6, dim=64)
+
+    def snap(root):
+        return {os.path.relpath(p, root): hashlib.md5(
+            open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"),
+                               recursive=True)}
+
+    before = snap(up)
+    upsert_lsh_index(emb.filter(F.col("vec_id") % 4 == 1), up,
+                     nbits=6, dim=64)
+    after = snap(up)
+    for rel, digest in before.items():
+        assert after.get(rel) == digest, f"base file rewritten: {rel}"
+    assert set(after) - set(before), "upsert wrote nothing"
+
+    build_lsh_index(emb, full, nbits=6, dim=64)
+    qv = [((7 * i + 3) % 13 - 6) / 6.0 for i in range(64)]
+    a = lsh_topk_indexed(spark, up, qv, k=10, nbits=6).collect()
+    b = lsh_topk_indexed(spark, full, qv, k=10, nbits=6).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

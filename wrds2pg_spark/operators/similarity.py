@@ -319,6 +319,34 @@ def build_lsh_index(
     )
 
 
+def upsert_lsh_index(
+    arrivals: DataFrame,
+    path: str,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    dim: int,
+) -> None:
+    """Incremental LSH index maintenance — the ANN-LSH member of the
+    round-6 incremental family (dedup_incremental_minhash,
+    upsert_ivfpq_index): signatures for the ARRIVING vectors only,
+    computed with the same frozen formula planes, appended to the
+    bucket directories they land in.  Existing bucket files are never
+    read or rewritten; probes are unchanged; maintenance cost is
+    O(|arrivals|).  Callers own id-uniqueness across batches."""
+    planes = [hyperplane(j, dim) for j in range(nbits)]
+    (
+        arrivals.select(
+            F.col(id_col), F.col(vec_col),
+            F.concat(F.lit("b"),
+                     _bucket_sig_udf(planes)(F.col(vec_col))
+                     ).alias("bucket"),
+        )
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    )
+
+
 def lsh_topk_indexed(
     spark,
     index_path: str,

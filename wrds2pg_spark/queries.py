@@ -1881,6 +1881,34 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_indexed(spark, index, _QVEC, k=20, nbits=8, radius=1)
 
 
+@register("similarity_lsh_upsert", oracle=_lsh_oracle())
+def similarity_lsh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance (operators/similarity.py
+    upsert_lsh_index) — the ANN-LSH member of the incremental family:
+    index built from ~4/5 of the corpus, the remaining 1/5 arrives
+    and is appended to its bucket directories with the same frozen
+    formula planes; probes unchanged.  Shares
+    similarity_ann_indexed's oracle: upsert(base, delta) must serve
+    exactly what a full build over the whole corpus serves."""
+    from wrds2pg_spark.operators.similarity import (
+        build_lsh_index, lsh_topk_indexed, upsert_lsh_index,
+    )
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def build(tmp: str) -> None:
+        build_lsh_index(
+            emb.filter(F.col("vec_id") % 5 != 2), tmp, nbits=8, dim=64)
+        upsert_lsh_index(
+            emb.filter(F.col("vec_id") % 5 == 2), tmp, nbits=8, dim=64)
+
+    tag = fixture_tag(sf_dir, "embeddings")
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/emb_lsh_upsert_{tag}", build)
+    return lsh_topk_indexed(spark, index, _QVEC, k=20, nbits=8, radius=1)
+
+
 @register("similarity_ivf", oracle=None)  # kmeans cells are engine-specific
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k against the MATERIALIZED index
