@@ -1112,9 +1112,14 @@ def embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # three consumers (n_tot, s_tot, ss_tot) hang off `part`; without
+    # a lineage cut each would re-run the scan + Arrow kernel.  The
+    # checkpointed frame is partitions x (1 + D + D^2) longs — bytes
+    # per partition, trivially safe to materialize (round 6:
+    # 1.64 -> 1.25 s same-session at sf0.1)
     part = emb.select("embedding").mapInPandas(
         partials, schema="n long, s array<long>, ss array<long>"
-    )
+    ).localCheckpoint()
     n_tot = part.agg(F.sum("n").cast("double").alias("n"))
     s_tot = (
         part.select(F.posexplode("s").alias("i", "sv"))
