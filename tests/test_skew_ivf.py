@@ -252,3 +252,28 @@ def test_lsh_upsert_appends_only_and_matches_rebuild(spark, tmp_path):
     a = lsh_topk_indexed(spark, up, qv, k=10, nbits=6).collect()
     b = lsh_topk_indexed(spark, full, qv, k=10, nbits=6).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_index_upsert_rejects_parameter_mismatch(spark, tmp_path):
+    """Round-6 review: upserting with a different nbits / smaller
+    nlist than the build must fail loudly from the partition listing
+    instead of silently encoding arrivals into a foreign namespace."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.operators.similarity import (
+        build_ivfpq_index, build_lsh_index,
+        upsert_ivfpq_index, upsert_lsh_index,
+    )
+    from wrds2pg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    lsh = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh, nbits=6, dim=64)
+    with pytest.raises(ValueError, match="nbits"):
+        upsert_lsh_index(emb.limit(5), lsh, nbits=8, dim=64)
+
+    pq = str(tmp_path / "pq")
+    build_ivfpq_index(emb, pq, nlist=16, m=8, ksub=16, dim=64)
+    with pytest.raises(ValueError, match="nlist"):
+        upsert_ivfpq_index(emb.limit(5), pq, nlist=4, m=8, ksub=16, dim=64)

@@ -359,3 +359,26 @@ def test_bucket_sig_udf_guards(spark):
         [(1, None)], "id long, embedding array<double>")
     with pytest.raises(Exception, match="null embedding"):
         nul.select(udf("embedding")).collect()
+
+
+def test_sas7bdat_stamp_is_dst_gap_stable(tmp_path):
+    """Round-6 review: a header wall time inside the America/Chicago
+    spring-forward gap must normalize to a round-trip-stable stamp
+    (encode(decode(s)) == s), or the CSV sink's mtime store would
+    re-decode an hour later and reload forever."""
+    from datetime import datetime
+
+    from wrds2pg_spark.catalog import modified_decode, modified_encode
+    from wrds2pg_spark.update import source_modified
+
+    # 2020-03-08 02:30:00 does not exist in America/Chicago
+    secs = (datetime(2020, 3, 8, 2, 30, 0)
+            - datetime(1960, 1, 1)).total_seconds()
+    p = _synthetic_sas7bdat(tmp_path / "gap.sas7bdat", secs)
+    s = source_modified(str(p))
+    assert modified_decode(modified_encode(s)) == s  # fixed point
+    # and a valid wall time is untouched
+    secs2 = (datetime(2020, 1, 2, 3, 4, 5)
+             - datetime(1960, 1, 1)).total_seconds()
+    p2 = _synthetic_sas7bdat(tmp_path / "ok.sas7bdat", secs2)
+    assert source_modified(str(p2)) == "Last modified: 01/02/2020 03:04:05"

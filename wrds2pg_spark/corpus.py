@@ -613,8 +613,8 @@ _CHUNK_S = 32   # stride (overlap = W - S = 16)
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split every document into overlapping fixed-width token windows
-    ({_CHUNK_W} tokens, stride {_CHUNK_S} -> {_CHUNK_W - _CHUNK_S}
-    tokens of overlap) — the chunking step every RAG corpus and
+    (_CHUNK_W=48 tokens, stride _CHUNK_S=32 -> 16 tokens of
+    overlap) — the chunking step every RAG corpus and
     long-document pretraining pipeline runs before embedding/packing
     (the standard return-overflowing-tokens contract: starts at 0, S,
     2S, ... while start < n_tokens; the tail chunk may be short and,

@@ -334,7 +334,17 @@ def upsert_lsh_index(
     computed with the same frozen formula planes, appended to the
     bucket directories they land in.  Existing bucket files are never
     read or rewritten; probes are unchanged; maintenance cost is
-    O(|arrivals|).  Callers own id-uniqueness across batches."""
+    O(|arrivals|).  CONTRACT: callers own id-uniqueness across
+    batches AND must pass the build-time (nbits, dim) — the index
+    stores no sidecar (deliberately: the planes are formulas), so a
+    different nbits would silently shard arrivals into a foreign
+    bucket namespace.  The listing check below catches an nbits
+    mismatch against the existing partition names."""
+    _check_partition_values(
+        path, "bucket",
+        lambda v: len(v) == nbits + 1,
+        f"existing bucket signatures are not {nbits} bits — "
+        "upsert nbits differs from the build-time value")
     planes = [hyperplane(j, dim) for j in range(nbits)]
     (
         arrivals.select(
@@ -757,12 +767,38 @@ def upsert_ivfpq_index(
     files, and the probe path is unchanged — so maintenance cost is
     O(|arrivals|), not O(|corpus|), while upsert(base, delta) is
     file-for-file equivalent to build(base UNION delta) minus layout.
-    Callers own id-uniqueness across batches (same contract as the
-    reference's stamp-gated re-loads: one logical version per key)."""
+    CONTRACT: callers own id-uniqueness across batches (same contract
+    as the reference's stamp-gated re-loads: one logical version per
+    key) AND must pass the build-time (nlist, m, ksub, dim) — the
+    index deliberately stores no sidecar (anchors/codebooks are
+    formulas), so mismatched parameters would silently encode
+    arrivals against foreign codebooks.  The listing check below
+    catches an nlist shrink against the existing cell names; m/ksub
+    are unverifiable from layout and rest on the contract."""
+    _check_partition_values(
+        path, "cell",
+        lambda v: v.isdigit() and int(v) < nlist,
+        f"existing cell ids reach beyond nlist={nlist} — "
+        "upsert nlist differs from the build-time value")
     (
         _ivfpq_encode(arrivals, nlist, m, ksub, dim, vec_col, id_col)
         .write.mode("append").partitionBy("cell").parquet(path)
     )
+
+
+def _check_partition_values(path: str, col: str, ok, msg: str) -> None:
+    """Driver-side LISTING sanity probe (no data read): every
+    existing hive partition value must satisfy ``ok``."""
+    import os
+
+    try:
+        vals = [d.split("=", 1)[1] for d in os.listdir(path)
+                if d.startswith(f"{col}=")]
+    except OSError:
+        return
+    bad = [v for v in vals if not ok(v)]
+    if bad:
+        raise ValueError(f"{msg} (offending partitions: {bad[:5]})")
 
 
 def ivfpq_topk_indexed(

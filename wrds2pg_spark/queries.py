@@ -60,7 +60,12 @@ def _parquet_footer_rows(sf_dir: str, table: str) -> int:
     """Row count from the parquet footer — pyarrow metadata read, no
     Spark job.  Used as a cheap cardinality bound for plan switches
     (e.g. q11's global-threshold window vs broadcast fallback).
-    Returns 0 when unreadable so callers default to the small path."""
+    Missing/corrupt source returns 0 (callers take the small-data
+    path); a DIRECTORY that exists but yields no footers (exotic
+    layout) returns a huge sentinel so callers take the
+    bounded-memory path — never the unbounded one (round-6 review
+    finding)."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
@@ -68,9 +73,11 @@ def _parquet_footer_rows(sf_dir: str, table: str) -> int:
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(path):
-            return sum(
-                pq.read_metadata(os.path.join(path, f)).num_rows
-                for f in os.listdir(path) if f.endswith(".parquet"))
+            files = glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True)
+            if not files:
+                return 1 << 62  # unknown layout: assume big
+            return sum(pq.read_metadata(f).num_rows for f in files)
         return pq.read_metadata(path).num_rows
     except Exception:  # unreadable/corrupt footer: a plan SWITCH
         return 0       # must never crash the query — take small path
@@ -2486,6 +2493,24 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_asian_supplier_dims(spark: SparkSession, sf_dir: str):
+    """Q5's consolidated dims, shared by the shape and bucketed twins
+    (round-6 review: one definition, three consumers previously):
+    the pre-joined broadcast "Asian supplier" dim (suppkey,
+    s_nationkey, n_name) and customer's 2-column hint-free probe."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name")
+    sn = s.join(
+        F.broadcast(asian), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cd = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    return sn, cd
+
+
 @register(
     "tpch_q5_shape",
     oracle=f"""
@@ -2519,18 +2544,9 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     when customer outgrows the threshold (hint-free form measured
     1.35 s vs 0.96 s forced at sf1 — the price of a plan that
     survives 100x)."""
-    c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    asian = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name")
-    sn = s.join(
-        F.broadcast(asian), s.s_nationkey == F.col("n_nationkey")
-    ).select("s_suppkey", "s_nationkey", "n_name")
-    cd = c.select("c_custkey", "c_nationkey")
+    sn, cd = _q5_asian_supplier_dims(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
@@ -2601,16 +2617,7 @@ def tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing must not change a single value."""
     o = _bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
     li = _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    asian = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name")
-    sn = s.join(
-        F.broadcast(asian), s.s_nationkey == F.col("n_nationkey")
-    ).select("s_suppkey", "s_nationkey", "n_name")
-    cd = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey")
+    sn, cd = _q5_asian_supplier_dims(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     lo = o.select("o_orderkey", "o_custkey").join(
         li.select("l_orderkey", "l_suppkey", "l_extendedprice",

@@ -117,7 +117,18 @@ def ensure_dir_fixture(final_dir: str, build_fn, marker: str = "_SUCCESS") -> st
                 except OSError:
                     pass
                 else:
-                    shutil.rmtree(stale, ignore_errors=True)
+                    if os.path.exists(os.path.join(stale, marker)):
+                        # raced a winner who published between our
+                        # marker check and the claim: we hold their
+                        # COMPLETE copy and final_dir is now absent
+                        # (our own retry hasn't run), so put it back
+                        # verbatim (round-6 review finding)
+                        try:
+                            os.rename(stale, final_dir)
+                        except OSError:
+                            shutil.rmtree(stale, ignore_errors=True)
+                    else:
+                        shutil.rmtree(stale, ignore_errors=True)
                 try:
                     os.rename(tmp, final_dir)
                 except OSError:

@@ -85,12 +85,20 @@ def source_modified(source_path: str) -> str:
     if not os.path.exists(source_path):
         return ""
     if source_path.lower().endswith(".sas7bdat"):
-        from wrds2pg_spark.catalog import _FMT, _PREFIX
+        from wrds2pg_spark.catalog import _FMT, _PREFIX, modified_encode
         from wrds2pg_spark.sources.sas7bdat import header_modified
 
         dt = header_modified(source_path)
         if dt is not None:
-            return dt.strftime(_PREFIX + _FMT)
+            # Normalize through the encode/decode pair: identity for
+            # valid Chicago wall times, and a FIXED POINT for wall
+            # times inside the DST spring-forward gap (possible when
+            # the SAS server sits in another zone) — without this, a
+            # gap time would re-decode one hour later from the CSV
+            # sink's mtime store and needs_update would reload
+            # forever (round-6 review finding).
+            return modified_decode(
+                modified_encode(dt.strftime(_PREFIX + _FMT)))
     return modified_decode(os.path.getmtime(source_path))
 
 
