@@ -204,6 +204,7 @@ HEADLINE = [
     "similarity_ivfpq_indexed",
     "similarity_ivfpq_upsert",
     "similarity_lsh_upsert",
+    "dedup_incremental_embedding",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]

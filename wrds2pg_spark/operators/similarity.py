@@ -357,6 +357,80 @@ def upsert_lsh_index(
     )
 
 
+def lsh_incremental_pairs(
+    spark,
+    index_path: str,
+    arrivals: DataFrame,
+    threshold: float,
+    *,
+    dim: int,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrival-time embedding near-dup: probe a MATERIALIZED
+    hyperplane bucket index (build_lsh_index layout) with a batch of
+    new vectors and return every (corpus, arrival) pair over the
+    cosine threshold — the embedding twin of the text pipeline's
+    dedup_incremental_minhash, without re-bucketing the corpus.
+
+    Scale shape: arrivals compute their signatures in one Arrow pass
+    and join the index ON THE PARTITION COLUMN — hint-free, so AQE
+    broadcasts a small arrival batch and dynamic partition pruning
+    limits the index scan to the buckets arrivals actually hit; the
+    verification is a ROW-WISE vectorized cosine kernel over the
+    joined candidates (sequential per-dimension accumulation —
+    bitwise equal to the SQL fold, same doctrine as
+    _block_pairs_kernel), thresholding RAW doubles and rounding once
+    for display."""
+    import numpy as np
+    from collections.abc import Iterator
+
+    planes = [hyperplane(j, dim) for j in range(nbits)]
+    ar = arrivals.select(
+        F.col(id_col).alias("arrival_id"),
+        F.col(vec_col).alias("__va"),
+        F.concat(F.lit("b"),
+                 _bucket_sig_udf(planes)(F.col(vec_col))).alias("bucket"),
+    )
+    idx = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__vc"), "bucket")
+    cand = idx.join(ar, "bucket")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["__vc"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["__va"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for j in range(A.shape[1]):           # sequential: == the
+                dot += A[:, j] * B[:, j]          # SQL fold, bitwise
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            keep = cos >= threshold
+            yield pd.DataFrame({
+                "bucket": pdf["bucket"].to_numpy()[keep],
+                "corpus_id": pdf["corpus_id"].to_numpy()[keep],
+                "arrival_id": pdf["arrival_id"].to_numpy()[keep],
+                "raw_cos": cos[keep],
+            })
+
+    return (
+        cand.mapInPandas(
+            verify,
+            schema=("bucket string, corpus_id long, arrival_id long, "
+                    "raw_cos double"))
+        .select("bucket", "corpus_id", "arrival_id",
+                F.round("raw_cos", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk_indexed(
     spark,
     index_path: str,

@@ -1888,6 +1888,62 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_indexed(spark, index, _QVEC, k=20, nbits=8, radius=1)
 
 
+def _lsh_incremental_oracle(nbits: int = 6, threshold: float = 0.3) -> str:
+    from wrds2pg_spark.operators.similarity import hyperplane
+
+    bits = []
+    for j in range(nbits):
+        p = hyperplane(j, 64)
+        plit = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN {_EMB_DOT.format(a='embedding', b=plit)} >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    bucket = "'b' || " + " || ".join(bits)
+    raw = _emb_cos_sql("a.embedding", "b.embedding", rounded=False)
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+    SELECT a.bucket, a.vec_id AS corpus_id, b.vec_id AS arrival_id,
+           ROUND({raw}, 6) AS cos_sim
+    FROM bk a JOIN bk b
+      ON a.bucket = b.bucket
+     AND a.vec_id % 13 != 5 AND b.vec_id % 13 = 5
+    WHERE {raw} >= {threshold}
+    """
+
+
+@register("dedup_incremental_embedding", oracle=_lsh_incremental_oracle())
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-time EMBEDDING near-dup against the materialized
+    hyperplane bucket index (operators/similarity.py
+    lsh_incremental_pairs) — the embedding-side twin of
+    dedup_incremental_minhash, closing the incremental family: the
+    corpus slice (vec_id % 13 != 5) is indexed once, the 'newly
+    embedded' slice (% 13 == 5) computes its signatures in one Arrow
+    pass, joins the index on the PARTITION column (AQE broadcast +
+    dynamic partition pruning at scale), and every candidate pair is
+    verified with an exact row-wise cosine kernel.  Maintenance +
+    hygiene cost is O(|arrivals| x bucket density), never a corpus
+    re-scan; deterministic planes keep the whole probe value-hash
+    checked."""
+    from wrds2pg_spark.operators.similarity import (
+        build_lsh_index, lsh_incremental_pairs,
+    )
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 13 != 5)
+    arrivals = emb.filter(F.col("vec_id") % 13 == 5)
+    tag = fixture_tag(sf_dir, "embeddings")
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/emb_lsh_corpus_{tag}",
+        lambda tmp: build_lsh_index(corpus, tmp, nbits=6, dim=64),
+    )
+    return lsh_incremental_pairs(
+        spark, index, arrivals, threshold=0.3, dim=64, nbits=6)
+
+
 @register("similarity_lsh_upsert", oracle=_lsh_oracle())
 def similarity_lsh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH index maintenance (operators/similarity.py
