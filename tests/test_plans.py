@@ -569,3 +569,17 @@ def test_chunk_overlap_generator_fused_no_shuffle(spark):
     assert "Generate" in plan
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_incremental_embedding_probe_prunes_index(spark):
+    """dedup_incremental_embedding joins the index on its PARTITION
+    column: the index scan must carry a dynamic-pruning
+    PartitionFilter (only buckets the arrivals hit are read) and the
+    arrival side must ride a broadcast — never a shuffle of the
+    corpus-sized index."""
+    df = REGISTRY["dedup_incremental_embedding"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()  # AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(bucket" not in plan
