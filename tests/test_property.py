@@ -128,3 +128,41 @@ def test_png_filter_roundtrip_all_types(ftype, width, payload):
     filtered = _png_filter_row(ftype, row, prev)
     back = _png_unfilter_row(ftype, filtered, prev.astype(np.int64))
     assert back.tobytes() == row.tobytes(), (ftype, width)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+    min_size=0, max_size=200))
+def test_chunk_overlap_covers_and_reconstructs(tokens):
+    """Pure-Python model of text_chunk_overlap's contract (W=48,
+    S=32): (1) chunk starts are exactly 0, S, 2S, ... while < n;
+    (2) every token index is covered by >= 1 chunk; (3) concatenating
+    each chunk's NON-overlapping prefix (first S tokens; the final
+    chunk contributes everything past the previous coverage)
+    reconstructs the document exactly; (4) every chunk is <= W tokens
+    and only the tail chunks may be shorter."""
+    W, S = 48, 32
+    n = len(tokens)
+    starts = list(range(0, n, S))
+    chunks = [tokens[s:s + W] for s in starts]
+    if n == 0:
+        assert chunks == []
+        return
+    # coverage
+    covered = set()
+    for s, c in zip(starts, chunks):
+        assert 1 <= len(c) <= W
+        covered.update(range(s, s + len(c)))
+    assert covered == set(range(n))
+    # stride-prefix reconstruction
+    rebuilt = []
+    for i, (s, c) in enumerate(zip(starts, chunks)):
+        take = c[:S] if i < len(chunks) - 1 else c[len(rebuilt) - s:]
+        rebuilt.extend(take)
+    assert rebuilt == tokens
+    # every chunk except the tail ones (inside the last window) is
+    # full-width
+    for s, c in zip(starts, chunks):
+        if s + W <= n:
+            assert len(c) == W

@@ -374,56 +374,71 @@ def lsh_incremental_pairs(
     cosine threshold — the embedding twin of the text pipeline's
     dedup_incremental_minhash, without re-bucketing the corpus.
 
-    Scale shape: arrivals compute their signatures in one Arrow pass
-    and join the index ON THE PARTITION COLUMN — hint-free, so AQE
-    broadcasts a small arrival batch and dynamic partition pruning
-    limits the index scan to the buckets arrivals actually hit; the
-    verification is a ROW-WISE vectorized cosine kernel over the
-    joined candidates (sequential per-dimension accumulation —
-    bitwise equal to the SQL fold, same doctrine as
-    _block_pairs_kernel), thresholding RAW doubles and rounding once
-    for display."""
+    Scale shape: arrivals compute their signatures in one Arrow pass;
+    the index is SEMI-JOINED on its partition column against the
+    arrival bucket set (hint-free — AQE broadcasts the bucket list
+    and dynamic partition pruning limits the scan to buckets
+    arrivals actually hit), then survivors and arrivals group by
+    bucket into a CROSS-cosine Arrow kernel: each vector ships once
+    per bucket, never once per candidate pair (the row-wise
+    join-then-verify form duplicated both vectors onto every pair —
+    measured 8.9 s vs 2.2 s at sf1 on ~4M candidates).  Sequential
+    per-dimension accumulation keeps every cosine bitwise equal to
+    the SQL fold (same doctrine as _block_pairs_kernel); thresholds
+    compare RAW doubles, display rounds once."""
     import numpy as np
-    from collections.abc import Iterator
 
     planes = [hyperplane(j, dim) for j in range(nbits)]
     ar = arrivals.select(
-        F.col(id_col).alias("arrival_id"),
-        F.col(vec_col).alias("__va"),
         F.concat(F.lit("b"),
                  _bucket_sig_udf(planes)(F.col(vec_col))).alias("bucket"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.lit(1).alias("__side"),
     )
-    idx = spark.read.parquet(index_path).select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("__vc"), "bucket")
-    cand = idx.join(ar, "bucket")
+    idx = (
+        spark.read.parquet(index_path)
+        .join(ar.select("bucket"), "bucket", "left_semi")
+        .select("bucket", F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"), F.lit(0).alias("__side"))
+    )
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.vstack(pdf["__vc"].to_numpy()).astype(np.float64)
-            B = np.vstack(pdf["__va"].to_numpy()).astype(np.float64)
-            n = len(pdf)
-            dot = np.zeros(n)
-            na = np.zeros(n)
-            nb = np.zeros(n)
-            for j in range(A.shape[1]):           # sequential: == the
-                dot += A[:, j] * B[:, j]          # SQL fold, bitwise
-                na += A[:, j] * A[:, j]
-                nb += B[:, j] * B[:, j]
-            cos = dot / (np.sqrt(na) * np.sqrt(nb))
-            keep = cos >= threshold
-            yield pd.DataFrame({
-                "bucket": pdf["bucket"].to_numpy()[keep],
-                "corpus_id": pdf["corpus_id"].to_numpy()[keep],
-                "arrival_id": pdf["arrival_id"].to_numpy()[keep],
-                "raw_cos": cos[keep],
-            })
+    def cross(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "bucket": pd.Series(dtype="object"),
+            "corpus_id": pd.Series(dtype="int64"),
+            "arrival_id": pd.Series(dtype="int64"),
+            "raw_cos": pd.Series(dtype="float64"),
+        })
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1]
+        if not len(a) or not len(b):
+            return empty
+        A = np.vstack(a["__v"].to_numpy()).astype(np.float64)
+        B = np.vstack(b["__v"].to_numpy()).astype(np.float64)
+        G = np.zeros((len(A), len(B)))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(B))
+        for j in range(A.shape[1]):               # sequential: == the
+            G += A[:, j:j + 1] * B[:, j]          # SQL fold, bitwise
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        cos = G / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        ia, ib = np.nonzero(cos >= threshold)
+        if not len(ia):
+            return empty
+        return pd.DataFrame({
+            "bucket": pdf["bucket"].iloc[0],
+            "corpus_id": a["__id"].to_numpy()[ia],
+            "arrival_id": b["__id"].to_numpy()[ib],
+            "raw_cos": cos[ia, ib],
+        })
 
     return (
-        cand.mapInPandas(
-            verify,
+        idx.unionByName(ar)
+        .groupBy("bucket")
+        .applyInPandas(
+            cross,
             schema=("bucket string, corpus_id long, arrival_id long, "
                     "raw_cos double"))
         .select("bucket", "corpus_id", "arrival_id",
