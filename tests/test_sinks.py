@@ -448,3 +448,51 @@ def test_sas_encoding_alias(spark, tmp_path, recwarn):
     assert part, "csv sink missing"
     with gzip.open(part[0], "rt", encoding="utf-8") as f:
         assert "Café" in f.read()
+
+
+def test_wrds_update_pq_sas7bdat_content_stamp_gates(spark, tmp_path):
+    """A16 end-to-end: wrds_update_pq over a sas7bdat source keys its
+    incremental gate on the dataset's HEADER stamp. A touched (or
+    re-copied) file whose header didn't change must skip; a rewrite
+    with a new header timestamp must reload (mirrors the reference's
+    minimal_test.ipynb idempotency, wrds2pg/sas/metadata.py:79-113)."""
+    import os
+    import struct
+    from datetime import datetime
+
+    from wrds2pg_spark.sources.sas7bdat import _MAGIC
+    from wrds2pg_spark.update import wrds_update_pq
+
+    def write_sas(path, modified_dt):
+        secs = (modified_dt - datetime(1960, 1, 1)).total_seconds()
+        hdr = bytearray(400)
+        hdr[:32] = _MAGIC
+        hdr[35] = 0x33
+        hdr[37] = 0x01
+        hdr[168:176] = struct.pack("<d", 0.0)
+        hdr[176:184] = struct.pack("<d", secs)
+        path.write_bytes(bytes(hdr))
+
+    def fake_read_sas(path, format=None, chunksize=None, iterator=None):
+        import pandas as pd
+
+        yield pd.DataFrame({"PERMNO": [1.0, 2.0], "RET": [0.1, 0.2]})
+
+    src = tmp_path / "funds.sas7bdat"
+    write_sas(src, datetime(2022, 5, 1, 10, 0, 0))
+    data_dir = str(tmp_path / "lake")
+
+    did = wrds_update_pq(
+        spark, str(src), "funds", "crsp", data_dir=data_dir,
+        read_fn=fake_read_sas)
+    assert did is True
+
+    os.utime(src, (1e9, 1.7e9))  # touched/copied: content unchanged
+    assert wrds_update_pq(
+        spark, str(src), "funds", "crsp", data_dir=data_dir,
+        read_fn=fake_read_sas) is False
+
+    write_sas(src, datetime(2022, 6, 1, 10, 0, 0))  # SAS rewrote it
+    assert wrds_update_pq(
+        spark, str(src), "funds", "crsp", data_dir=data_dir,
+        read_fn=fake_read_sas) is True

@@ -124,11 +124,15 @@ def resolve_encoding(
 
 
 def read_source(
-    spark: SparkSession, source_path: str, encoding: str | None = None
+    spark: SparkSession, source_path: str, encoding: str | None = None,
+    read_fn=None,
 ) -> DataFrame:
     """Pick a reader from the file extension.  ``encoding`` applies to
     CSV sources (the reference's ``encoding``/``sas_encoding``,
-    wrds2pg/api.py:48; parquet carries its own encoding)."""
+    wrds2pg/api.py:48; parquet carries its own encoding).  ``read_fn``
+    substitutes the sas7bdat decoder (``pandas.read_sas``-shaped) —
+    the seam a faster public decoder slots into, and what lets tests
+    drive the update pipeline end-to-end without a SAS writer."""
     p = source_path.lower()
     if p.endswith((".parquet", ".pq")) or os.path.isdir(source_path):
         return spark.read.parquet(source_path)
@@ -137,7 +141,7 @@ def read_source(
         # sas_encoding sets the remote SAS session; no session here)
         from wrds2pg_spark.sources.sas7bdat import read_sas7bdat
 
-        return read_sas7bdat(spark, source_path)
+        return read_sas7bdat(spark, source_path, read_fn=read_fn)
     if p.endswith((".csv", ".csv.gz")):
         reader = spark.read.option("header", "true")
         if encoding:
@@ -165,6 +169,7 @@ def wrds_update_pq(
     encoding: str | None = None,
     sas_schema: str | None = None,
     sas_encoding: str | None = None,
+    read_fn=None,
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> parquet lake table, gated on
@@ -183,7 +188,7 @@ def wrds_update_pq(
     pq_path = get_pq_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
-        read_source(spark, source_path, encoding),
+        read_source(spark, source_path, encoding, read_fn=read_fn),
         IngestOptions(**ingest_kwargs),
     )
     return update_parquet(df, pq_path, modified, force=force)
@@ -204,6 +209,7 @@ def wrds_update_csv(
     sas_schema: str | None = None,
     sas_encoding: str | None = None,
     copy_encoding: str | None = None,
+    read_fn=None,
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> gzip CSV, stamp in mtime
@@ -218,7 +224,7 @@ def wrds_update_csv(
     csv_path = get_csv_path(alt_table_name or table_name, schema, data_dir)
     modified = source_modified(source_path)
     df = apply_options(
-        read_source(spark, source_path, encoding),
+        read_source(spark, source_path, encoding, read_fn=read_fn),
         IngestOptions(**ingest_kwargs),
     )
     return update_csv(
@@ -247,6 +253,7 @@ def wrds_update(
     encoding: str | None = None,
     sas_encoding: str | None = None,
     tz: str = "UTC",
+    read_fn=None,
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> PostgreSQL table
@@ -273,7 +280,7 @@ def wrds_update(
         )
     modified = source_modified(source_path)
     df = apply_options(
-        read_source(spark, source_path, encoding),
+        read_source(spark, source_path, encoding, read_fn=read_fn),
         IngestOptions(**ingest_kwargs),
     )
     return update_postgres(
