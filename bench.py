@@ -205,6 +205,7 @@ HEADLINE = [
     "similarity_ivfpq_upsert",
     "similarity_lsh_upsert",
     "dedup_incremental_embedding",
+    "json_variant_extract",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]
