@@ -206,6 +206,7 @@ HEADLINE = [
     "similarity_lsh_upsert",
     "dedup_incremental_embedding",
     "json_variant_extract",
+    "agg_listagg",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]

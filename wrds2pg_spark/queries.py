@@ -5021,6 +5021,33 @@ def basket_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — SQL:2016 LISTAGG ... WITHIN GROUP
+    (Spark 4 native `listagg`), the reporting/labeling op that turns a
+    group's values into one delimited string.  DISTINCT + explicit
+    ORDER BY make the result deterministic under any partitioning
+    (an unordered listagg would be partition-order-dependent and
+    could never hash-match an oracle — same doctrine as dsum)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, '|') "
+            "WITHIN GROUP (ORDER BY o_orderstatus)").alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "agg_median_mode",
     oracle="""
     WITH med AS (
