@@ -207,6 +207,7 @@ HEADLINE = [
     "dedup_incremental_embedding",
     "json_variant_extract",
     "agg_listagg",
+    "join_lateral_topn",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]

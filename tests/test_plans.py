@@ -584,3 +584,13 @@ def test_incremental_embedding_probe_prunes_index(spark):
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan      # the semi probe
     assert plan.count("Exchange hashpartitioning(bucket") == 1
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    """The LATERAL ORDER BY+LIMIT subquery must decorrelate into a
+    rank window (one keyed exchange) — never a per-outer-row
+    re-execution or a cartesian."""
+    plan = plan_of(spark, "join_lateral_topn")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -5021,6 +5021,43 @@ def basket_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — the
+    per-row-subselect SQL shape (top-N orders per customer).  Spark's
+    DecorrelateInnerQuery rewrites the correlated limit into a
+    rank-window over ONE custkey exchange plus the outer join — no
+    per-customer re-execution and no cartesian (plan-gated); the
+    unique orderkey tiebreak makes the top-2 deterministic in both
+    engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """)
+
+
+@register(
     "agg_listagg",
     oracle="""
     SELECT o_orderpriority,
