@@ -279,18 +279,19 @@ def main() -> None:
                 except Exception:
                     pass
 
-    # Build every plan ONCE, outside the timed region: the timed loop
-    # measures execution (all scans, shuffles, exchanges and the sink
-    # commit re-run fully on every pass — nothing is cached), not the
-    # Python-side plan construction + analysis that a production
-    # deployment pays once per prepared statement.  This mirrors the
-    # DuckDB oracle harness, which registers its views once per
-    # connection and reuses its catalog across passes.
-    plans = {}
-    for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is not None:
-            plans[name] = spec.fn(spark, sf_dir)
+    # Plan construction runs INSIDE the timed region, once per pass:
+    # several plans do eager work at build time (localCheckpoint of an
+    # iterative seed, index-fixture probes), and building them outside
+    # the timer would let those keys report execution minus their most
+    # expensive stage (round-6 review finding on
+    # embedding_covariance_exact).  Rebuilding per pass also guarantees
+    # every pass re-runs all scans, shuffles and checkpoint jobs from
+    # scratch — nothing carries over.  The Python-side construction
+    # cost for lazy plans is a few ms, a fair stand-in for the DuckDB
+    # oracle harness re-executing its full SQL statement each pass.
+    # (Materialized index FIXTURES under /tmp are still reused across
+    # passes — deliberately: the index build is the amortized ingest
+    # step, the probe is the query being measured.)
 
     # Three full interleaved passes, per-query minimum: GC pauses and
     # external CPU bursts last seconds-to-minutes and would otherwise
@@ -301,9 +302,12 @@ def main() -> None:
     # third pass tightens the min.)
     times: dict[str, float] = {}
     for _ in range(3):
-        for name, df in plans.items():
+        for name in HEADLINE:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
             t0 = time.perf_counter()
-            materialize(df)
+            materialize(spec.fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             if name not in times or dt < times[name]:
                 times[name] = dt

@@ -162,3 +162,34 @@ def test_late_drop_counts_conserves_when_no_late_data(spark):
     b = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
          for r in tumbling_counts(ev).collect()}
     assert a == b
+
+
+def test_footer_rows_glob_metachars(tmp_path):
+    """_parquet_footer_rows must count real footers even when the
+    DIRECTORY path contains glob metacharacters (round-6 review:
+    un-escaped glob on '/data/run[2024]/...' matches nothing and
+    returns the huge sentinel, permanently mis-keying plan switches)."""
+    import shutil
+
+    from wrds2pg_spark.queries import _parquet_footer_rows
+
+    sf = tmp_path / "run[2024]"
+    (sf / "part.parquet").mkdir(parents=True)
+    shutil.copy("/root/testdata/sf0.001/region.parquet",
+                sf / "part.parquet" / "p0.parquet")
+    assert _parquet_footer_rows(str(sf), "part") == 5
+
+
+def test_variant_extract_null_on_malformed_json(spark, tmp_path):
+    """json_variant_extract must treat a malformed props row as NULL
+    (try_parse_json), matching get_json_object and the DuckDB oracle
+    — never fail the job on one bad record (round-6 review)."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "event_type": ["click", "click", "view"],
+        "props": ['{"k": 7}', "not json at all", None],
+    }).to_parquet(tmp_path / "events.parquet")
+    df = REGISTRY["json_variant_extract"].fn(spark, str(tmp_path))
+    got = {r["event_type"]: (r["sum_k"], r["n"]) for r in df.collect()}
+    assert got == {"click": (7, 2), "view": (None, 1)}

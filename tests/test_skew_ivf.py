@@ -277,3 +277,13 @@ def test_index_upsert_rejects_parameter_mismatch(spark, tmp_path):
     build_ivfpq_index(emb, pq, nlist=16, m=8, ksub=16, dim=64)
     with pytest.raises(ValueError, match="nlist"):
         upsert_ivfpq_index(emb.limit(5), pq, nlist=4, m=8, ksub=16, dim=64)
+
+    # the PROBE carries the same guard (round-6 review follow-up): a
+    # mismatched nbits would signature arrivals into a foreign bucket
+    # namespace and silently return zero pairs
+    from wrds2pg_spark.operators.similarity import lsh_incremental_pairs
+
+    with pytest.raises(ValueError, match="nbits"):
+        lsh_incremental_pairs(
+            spark, lsh, emb.filter(F.col("vec_id") % 13 == 5),
+            threshold=0.3, dim=64, nbits=8)

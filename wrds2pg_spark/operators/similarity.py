@@ -302,19 +302,8 @@ def build_lsh_index(
     oracle) recomputes them.  ``dim`` is required: sniffing it from
     the first row would put a driver-side action inside a builder
     (the no-collect discipline, tests/test_plans.py)."""
-    planes = [hyperplane(j, dim) for j in range(nbits)]
-    # 'b' prefix keeps the partition value unambiguously a STRING:
-    # an all-digit bit-string like '01100001' would be read back as
-    # IntegerType by partition-type inference (leading zeros
-    # stripped), leaving isin(string probes) to work only through
-    # implicit coercion.
     (
-        df.select(
-            F.col(id_col), F.col(vec_col),
-            F.concat(F.lit("b"),
-                     _bucket_sig_udf(planes)(F.col(vec_col))
-                     ).alias("bucket"),
-        )
+        _lsh_index_rows(df, nbits, dim, vec_col, id_col)
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
     )
 
@@ -345,15 +334,27 @@ def upsert_lsh_index(
         lambda v: len(v) == nbits + 1,
         f"existing bucket signatures are not {nbits} bits — "
         "upsert nbits differs from the build-time value")
-    planes = [hyperplane(j, dim) for j in range(nbits)]
     (
-        arrivals.select(
-            F.col(id_col), F.col(vec_col),
-            F.concat(F.lit("b"),
-                     _bucket_sig_udf(planes)(F.col(vec_col))
-                     ).alias("bucket"),
-        )
+        _lsh_index_rows(arrivals, nbits, dim, vec_col, id_col)
         .write.mode("append").partitionBy("bucket").parquet(path)
+    )
+
+
+def _lsh_index_rows(df: DataFrame, nbits: int, dim: int,
+                    vec_col: str, id_col: str) -> DataFrame:
+    """The index row projection shared by build_lsh_index and
+    upsert_lsh_index — ONE definition of the bucket encoding, so an
+    encoding change (e.g. the v1→v2 'b'-prefix bump) can never apply
+    to build but not upsert.  The 'b' prefix keeps the partition
+    value unambiguously a STRING: an all-digit bit-string like
+    '01100001' would be read back as IntegerType by partition-type
+    inference (leading zeros stripped), leaving isin(string probes)
+    to work only through implicit coercion."""
+    planes = [hyperplane(j, dim) for j in range(nbits)]
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.concat(F.lit("b"),
+                 _bucket_sig_udf(planes)(F.col(vec_col))).alias("bucket"),
     )
 
 
@@ -374,9 +375,19 @@ def lsh_incremental_pairs(
     cosine threshold — the embedding twin of the text pipeline's
     dedup_incremental_minhash, without re-bucketing the corpus.
 
-    Scale shape: arrivals compute their signatures in one Arrow pass;
-    the index is SEMI-JOINED on its partition column against the
-    arrival bucket set (hint-free — AQE broadcasts the bucket list
+    Scale shape: the arrival signature kernel runs TWICE — once for
+    the semi-join probe side, once in the union into the pair stage
+    (different projections, so no ReusedExchange applies).  This is
+    deliberate, not an oversight: cutting the lineage with a
+    localCheckpoint (the usual multi-consumer rule) hides the
+    arrivals' selective filter from the optimizer and KILLS dynamic
+    partition pruning on the index scan (verified by the plan gate,
+    tests/test_plans.py: the checkpointed variant scans every
+    bucket).  The kernel is O(|arrivals|) — the small, bounded side —
+    while DPP saves the O(|corpus|) index scan, so at scale the
+    double pass is the cheap half of the trade.  The index is
+    SEMI-JOINED on its partition column against the arrival bucket
+    set (hint-free — AQE broadcasts the bucket list
     and dynamic partition pruning limits the scan to buckets
     arrivals actually hit), then survivors and arrivals group by
     bucket into a CROSS-cosine Arrow kernel: each vector ships once
@@ -388,6 +399,14 @@ def lsh_incremental_pairs(
     compare RAW doubles, display rounds once."""
     import numpy as np
 
+    # same guard as upsert_lsh_index: a probe nbits that differs from
+    # the build-time value would compute signatures in a foreign
+    # bucket namespace and silently return zero pairs
+    _check_partition_values(
+        index_path, "bucket",
+        lambda v: len(v) == nbits + 1,
+        f"existing bucket signatures are not {nbits} bits — "
+        "probe nbits differs from the index's build-time value")
     planes = [hyperplane(j, dim) for j in range(nbits)]
     ar = arrivals.select(
         F.concat(F.lit("b"),

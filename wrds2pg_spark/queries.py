@@ -73,8 +73,11 @@ def _parquet_footer_rows(sf_dir: str, table: str) -> int:
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(path):
+            # glob.escape: a metacharacter in the DIRECTORY part
+            # ("/data/run[2024]/...") must not act as a pattern
             files = glob.glob(
-                os.path.join(path, "**", "*.parquet"), recursive=True)
+                os.path.join(glob.escape(path), "**", "*.parquet"),
+                recursive=True)
             if not files:
                 return 1 << 62  # unknown layout: assume big
             return sum(pq.read_metadata(f).num_rows for f in files)
@@ -1114,8 +1117,11 @@ def _json_props_impl(
 ) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     if variant:
+        # try_parse_json: malformed JSON must become NULL, matching
+        # get_json_object and the oracle's json_extract_string —
+        # strict parse_json would fail the whole job on one bad row
         k = F.try_variant_get(
-            F.parse_json(F.col("props")), "$.k", "long")
+            F.try_parse_json(F.col("props")), "$.k", "long")
     else:
         k = F.get_json_object("props", "$.k").cast("long")
     return e.groupBy("event_type").agg(
@@ -1424,19 +1430,30 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["similarity_maxsim"].oracle = _maxsim_oracle()
 
 
-def _lsh_oracle() -> str:
-    from wrds2pg_spark.operators.similarity import hyperplane, probe_buckets
+def _bucket_bits_sql(nbits: int, dim: int = 64,
+                     col: str = "embedding") -> str:
+    """The hyperplane bucket signature as a DuckDB string expression —
+    the ONE place the plane formula / repr / '>= 0' convention is
+    rendered to SQL (shared by the LSH, recall and incremental
+    oracles, which must stay bitwise-aligned with _bucket_sig_udf)."""
+    from wrds2pg_spark.operators.similarity import hyperplane
 
-    nbits, dim = 8, 64
     bits = []
     for j in range(nbits):
         p = hyperplane(j, dim)
         plit = "[" + ", ".join(repr(x) for x in p) + "]"
         bits.append(
-            f"(CASE WHEN {_EMB_DOT.format(a='embedding', b=plit)} >= 0 "
+            f"(CASE WHEN {_EMB_DOT.format(a=col, b=plit)} >= 0 "
             f"THEN '1' ELSE '0' END)"
         )
-    bucket = " || ".join(bits)
+    return " || ".join(bits)
+
+
+def _lsh_oracle() -> str:
+    from wrds2pg_spark.operators.similarity import probe_buckets
+
+    nbits = 8
+    bucket = _bucket_bits_sql(nbits)
     probes = ", ".join(f"'{b}'" for b in probe_buckets(_QVEC, nbits, radius=1))
     return f"""
     SELECT vec_id, {_emb_cos_sql('embedding', _QVEC_SQL)} AS cos_sim
@@ -1448,18 +1465,10 @@ def _lsh_oracle() -> str:
 
 
 def _recall_oracle() -> str:
-    from wrds2pg_spark.operators.similarity import hyperplane, probe_buckets
+    from wrds2pg_spark.operators.similarity import probe_buckets
 
-    nbits, dim, k = 8, 64, 20
-    bits = []
-    for j in range(nbits):
-        p = hyperplane(j, dim)
-        plit = "[" + ", ".join(repr(x) for x in p) + "]"
-        bits.append(
-            f"(CASE WHEN {_EMB_DOT.format(a='embedding', b=plit)} >= 0 "
-            f"THEN '1' ELSE '0' END)"
-        )
-    bucket = " || ".join(bits)
+    nbits, k = 8, 20
+    bucket = _bucket_bits_sql(nbits)
     probes = ", ".join(f"'{b}'" for b in probe_buckets(_QVEC, nbits, radius=1))
     return f"""
     WITH exact AS (
@@ -1922,17 +1931,7 @@ def similarity_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_incremental_oracle(nbits: int = 6, threshold: float = 0.3) -> str:
-    from wrds2pg_spark.operators.similarity import hyperplane
-
-    bits = []
-    for j in range(nbits):
-        p = hyperplane(j, 64)
-        plit = "[" + ", ".join(repr(x) for x in p) + "]"
-        bits.append(
-            f"(CASE WHEN {_EMB_DOT.format(a='embedding', b=plit)} >= 0 "
-            f"THEN '1' ELSE '0' END)"
-        )
-    bucket = "'b' || " + " || ".join(bits)
+    bucket = "'b' || " + _bucket_bits_sql(nbits)
     raw = _emb_cos_sql("a.embedding", "b.embedding", rounded=False)
     return f"""
     WITH bk AS (

@@ -75,6 +75,15 @@ def get_spark(
         # (driver testdata stores naive timestamps).
         "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
         "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+        # PROCESS-UNIQUE warehouse: the session catalog is in-memory,
+        # so managed-table files can never be adopted by another
+        # process — a shared warehouse dir only lets two concurrent
+        # processes clobber each other's bucketed fixtures mid-read
+        # (observed: bench rebuilding bkt_lineitem while pytest
+        # scanned it -> FAILED_READ_FILE).  A per-PID dir makes every
+        # process's managed tables private; /tmp reaps them.
+        "spark.sql.warehouse.dir":
+            f"file:///tmp/wrds2pg_spark_warehouse/{os.getpid()}",
     }
     if extra_conf:
         conf.update(extra_conf)
