@@ -208,6 +208,8 @@ HEADLINE = [
     "json_variant_extract",
     "agg_listagg",
     "join_lateral_topn",
+    "agg_bitmap_distinct",
+    "window_cume_dist",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]

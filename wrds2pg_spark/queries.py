@@ -5084,6 +5084,73 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through Spark 4's bitmap aggregates —
+    the at-scale alternative to COUNT(DISTINCT) for integer keys.
+    Each key maps to (bucket = key >> 15, bit = key & 32767); partial
+    aggregation ORs fixed-4KB bitmaps map-side, so the shuffle
+    carries |groups| x |touched buckets| rows of <=4 KB instead of
+    one row per distinct (group, key) pair, and the second (tiny)
+    agg sums per-bucket popcounts.  Unlike COUNT(DISTINCT) the first
+    pass never widens with multi-distinct Expand (memory:
+    spark-perf-pitfalls), and unlike approx_count_distinct the answer
+    is exact — same result, hash-checked against DuckDB's
+    COUNT(DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("__bkt"))
+        .agg(F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("o_custkey"))).alias("__bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("__bm")).alias("n_custkeys"))
+    )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           cume_dist() OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal)
+               AS cume_dist,
+           percent_rank() OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal)
+               AS pct_rank
+    FROM customer
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — cume_dist / percent_rank per
+    nation over account balance (the remaining ANSI window family
+    after rank/ntile/frames).  Both are rank-over-count ratios, so
+    ties get identical values on any engine.  Deliberately RAW
+    doubles, no ROUND: k/n of small ints is one IEEE division —
+    bitwise identical on both engines — while ROUND(.,6) breaks on
+    exactly-representable halves (41/640 = 0.0640625 rounds half-up
+    on Spark, half-even on DuckDB — caught by the sf0.1 sweep; the
+    rounding doctrine is for DERIVED irrational floats, not exact
+    ratios).  One keyed exchange + in-partition sort — same plan
+    family as window_rank."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
     "agg_median_mode",
     oracle="""
     WITH med AS (
