@@ -210,6 +210,7 @@ HEADLINE = [
     "join_lateral_topn",
     "agg_bitmap_distinct",
     "window_cume_dist",
+    "scan_zorder_pruned",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
 ]

@@ -594,3 +594,17 @@ def test_lateral_topn_decorrelates_to_window(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_scan_prunes_cells(spark):
+    """scan_zorder_pruned: the 2-D rectangle maps to exactly 12 of
+    256 Morton cells, the isin lands in PartitionFilters (listing-
+    time prune), and both exact predicates still reach the parquet
+    reader as PushedFilters (cells are a superset)."""
+    plan = formatted_plan(spark, "scan_zorder_pruned")
+    m = re.search(r"PartitionFilters: \[zcell#\d+ INSET ([^\]]*)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 12
+    m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m2 and "o_orderdate" in m2.group(1)
+    assert "o_totalprice" in m2.group(1)

@@ -573,6 +573,112 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Z-order clustered lake: multi-dimensional data skipping -----------
+# 4 bits per dimension, interleaved into a 0..255 cell id.  Constants
+# are part of the LAYOUT (written into the fixture's directory names):
+# changing them means re-clustering the lake.
+_Z_EPOCH = "1992-01-01"     # TPC-H order-date domain start
+_Z_DAY_SPAN = 151           # 2406 order days / 16 cells
+_Z_PRICE_SPAN = 40000.0     # o_totalprice ~[850, 560k) / 16 cells
+
+
+def _z_interleave(d: int, p: int) -> int:
+    """Morton-interleave two 4-bit cell coordinates (day bits at even
+    positions, price bits at odd) — the SAME formula, in Python for
+    the driver-side probe enumeration and in _zcell_col for the
+    write-side expression; they must stay in lockstep."""
+    z = 0
+    for i in range(4):
+        z |= ((d >> i) & 1) << (2 * i)
+        z |= ((p >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _zcell_col():
+    """The write-side z-cell expression over orders — pure JVM
+    arithmetic (datediff/floor/shift/or), whole-stage-codegen'd."""
+    d = F.least(F.lit(15), F.greatest(F.lit(0), F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH))
+        / F.lit(_Z_DAY_SPAN)))).cast("int")
+    p = F.least(F.lit(15), F.greatest(F.lit(0), F.floor(
+        F.col("o_totalprice") / F.lit(_Z_PRICE_SPAN)))).cast("int")
+    z = F.lit(0)
+    for i in range(4):
+        z = z.bitwiseOR(F.shiftleft(d.bitwiseAND(F.lit(1 << i)), i))
+        z = z.bitwiseOR(F.shiftleft(p.bitwiseAND(F.lit(1 << i)), i + 1))
+    return z.cast("int")
+
+
+@register(
+    "scan_zorder_pruned",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           {DSUM_SQL('o_totalprice', 2)} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND o_totalprice >= 50000 AND o_totalprice < 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered lake + 2-D pruned scan: orders written once
+    per sf partitioned by a Morton cell interleaving 4 bits of
+    order-DATE with 4 bits of total-PRICE, so file locality tracks
+    BOTH dimensions at once — the lakehouse answer to "my queries
+    filter on two columns but the lake can only be sorted by one".
+    The probe rectangle (one year x one price band) maps driver-side
+    — pure arithmetic on the query constants, no collect, the same
+    discipline as the LSH/IVF probes — to the 12 of 256 z-cells it
+    can overlap; the isin lands in PartitionFilters, so only those
+    directories are ever LISTED (plan-gated).  A 1-D date partition
+    reads the whole year (~1/7 of the lake) to serve this query;
+    the z-layout reads ~12/256 and its advantage grows with the
+    lake.  At 100 TB the same cell id, extended to more bits, also
+    becomes the sortWithinPartitions key so parquet row-group
+    min/max stay tight on both dims INSIDE each cell.  Exact
+    predicates re-apply after the prune (cells are a superset);
+    the oracle recomputes from the unclustered table."""
+    import datetime as _dt
+
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "orders")
+    lake = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/orders_zorder_{tag}",
+        lambda tmp: (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("zcell", _zcell_col())
+            .repartition("zcell")           # one file per cell dir
+            .write.mode("overwrite").partitionBy("zcell").parquet(tmp)
+        ),
+    )
+    epoch = _dt.date.fromisoformat(_Z_EPOCH)
+    d_lo = (_dt.date(1994, 1, 1) - epoch).days // _Z_DAY_SPAN
+    d_hi = (_dt.date(1994, 12, 31) - epoch).days // _Z_DAY_SPAN
+    p_lo, p_hi = int(50000 // _Z_PRICE_SPAN), int(149999 // _Z_PRICE_SPAN)
+    cells = sorted({
+        _z_interleave(min(d, 15), min(p, 15))
+        for d in range(d_lo, d_hi + 1) for p in range(p_lo, p_hi + 1)
+    })
+    return (
+        spark.read.parquet(lake)
+        .filter(F.col("zcell").isin(cells))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast(
+                "timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast(
+                "timestamp"))
+            & (F.col("o_totalprice") >= 50000)
+            & (F.col("o_totalprice") < 150000))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 @register(
     "dedup_minhash_portable",
     oracle="""
