@@ -287,3 +287,23 @@ def test_index_upsert_rejects_parameter_mismatch(spark, tmp_path):
         lsh_incremental_pairs(
             spark, lsh, emb.filter(F.col("vec_id") % 13 == 5),
             threshold=0.3, dim=64, nbits=8)
+
+
+def test_anchored_cell_expr_sql_equals_column_form(spark):
+    """The SQL-string fast path of anchored_cell_expr (hot since the
+    bench times plan construction) must assign every vector the same
+    cell as the Column-by-Column form."""
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.operators.similarity import (
+        anchored_cell_expr, ivf_anchors,
+    )
+    from wrds2pg_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = ivf_anchors(16, 64)
+    a = emb.select("vec_id", anchored_cell_expr(
+        "embedding", anchors).alias("c")).collect()
+    b = emb.select("vec_id", anchored_cell_expr(
+        F.col("embedding"), anchors).alias("c")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

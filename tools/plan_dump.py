@@ -120,6 +120,12 @@ SHOWCASE = {
         "PartitionFilters, so non-matching partition dirs are never "
         "listed; the aggregate on top still map-side combines."
     ),
+    "scan_zorder_pruned": (
+        "Multi-dimensional data skipping: the date x price rectangle "
+        "maps driver-side to 12 of 256 Morton cells (PartitionFilters "
+        "INSET), while both exact predicates still reach the reader "
+        "as PushedFilters — 2-D pruning a 1-D sort can't give."
+    ),
     "join_interval_overlap": (
         "Interval x interval overlap as a binned hash equi-join: both "
         "sides explode to covered bins, join on the bin id, and the "

@@ -1400,26 +1400,30 @@ def similarity_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks, dim, k = 8, 64, 20
     step = dim // n_chunks
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding")
-    score = None
-    # dots unrolled to flat getItem*lit expression sums, NOT
+    # dots unrolled to flat subscript*literal sums, NOT
     # zip_with/aggregate lambdas: higher-order functions evaluate
     # INTERPRETED per element and break whole-stage codegen — the HOF
     # form measured 38.9 s on 20k vectors at sf1, the unrolled tree
-    # 2.2 s.  The left-to-right addition order matches both the HOF
-    # fold and DuckDB's list_dot_product at 6-dp rounding.
+    # 2.2 s.  The 512-term tree is rendered as ONE SQL string parsed
+    # JVM-side (F.expr): building it term-by-term through Column ops
+    # cost ~7 s of Py4J round-trips PER CALL (caught when the bench
+    # started timing plan construction); the parsed expression is
+    # identical, left-to-right addition order preserved, so it stays
+    # bitwise equal to the HOF fold and DuckDB's list_dot_product at
+    # 6-dp rounding.  The 'D' suffix forces DOUBLE literals (a bare
+    # decimal literal would parse as DECIMAL and change the arithmetic).
+    chunks = []
     for i in range(n_chunks):
         q_i = _QVEC[i * step:(i + 1) * step]
         dots = []
         for j in range(n_chunks):
-            d = None
-            for t in range(step):
-                term = (e.getItem(j * step + t).cast("double")
-                        * F.lit(float(q_i[t])))
-                d = term if d is None else d + term
-            dots.append(d)
-        term = F.greatest(*dots)
-        score = term if score is None else score + term
+            terms = " + ".join(
+                f"(CAST(embedding[{j * step + t}] AS DOUBLE)"
+                f" * {float(q_i[t])!r}D)"
+                for t in range(step))
+            dots.append("(" + terms + ")")
+        chunks.append("greatest(" + ", ".join(dots) + ")")
+    score = F.expr(" + ".join(chunks))
     return (
         emb.select("vec_id", F.round(score, 6).alias("maxsim"))
         .orderBy(F.desc("maxsim"), "vec_id")
