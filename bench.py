@@ -213,6 +213,8 @@ HEADLINE = [
     "scan_zorder_pruned",
     "similarity_pq_recall_at_k",
     "scan_csv_quarantine",
+    "join_dpp_pruned",
+    "agg_hll_partial_union",
 ]
 
 

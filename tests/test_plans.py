@@ -608,3 +608,30 @@ def test_zorder_scan_prunes_cells(spark):
     m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m2 and "o_orderdate" in m2.group(1)
     assert "o_totalprice" in m2.group(1)
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """join_dpp_pruned: the dim predicate is on a non-join column, so
+    the fact scan's PartitionFilters must carry a dynamicpruning
+    expression on order_yr (runtime directory pruning that reuses the
+    dim broadcast), and the join must be the broadcast plan DPP's
+    reuseBroadcastOnly mode requires.  Checks the EXECUTED plan — a
+    localCheckpoint anywhere upstream would silently drop the dynamic
+    filter (the checkpoint-kills-DPP trap)."""
+    df = REGISTRY["join_dpp_pruned"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*dynamicpruning", plan), plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_partial_union_no_expand(spark):
+    """agg_hll_partial_union keeps the exact and sketch sides as
+    SEPARATE aggregation passes: an Expand node would mean Catalyst's
+    multi-distinct rewrite got reintroduced (33.6 s at sf1, see
+    agg_approx_error_audit's docstring)."""
+    plan = plan_of(spark, "agg_hll_partial_union")
+    assert "Expand" not in plan
+    assert "hll_union_agg" in plan or "HllUnionAgg" in plan.lower() or \
+        "hllunionagg" in plan.lower()

@@ -525,6 +525,28 @@ def scan_orc_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_year_lake(spark: SparkSession, sf_dir: str) -> str:
+    """The hive-layout orders lake partitioned by order year, written
+    once per sf (sinks/parquet.py write_partitioned) — shared by
+    scan_partition_pruned (static pruning) and join_dpp_pruned
+    (dynamic pruning)."""
+    from wrds2pg_spark.sinks.parquet import write_partitioned
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "orders")
+    return ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/orders_by_yr_{tag}",
+        lambda tmp: write_partitioned(
+            load_table(spark, sf_dir, "orders").withColumn(
+                "order_yr", F.year("o_orderdate").cast("int")
+            ),
+            tmp,
+            ["order_yr"],
+        ),
+    )
+
+
+
 @register(
     "scan_partition_pruned",
     oracle=f"""
@@ -545,27 +567,57 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of how many years the lake holds (tests/test_plans.py
     asserts the plan).  The oracle recomputes from the unpartitioned
     table."""
-    import hashlib
-    import os
-
-    from wrds2pg_spark.sinks.parquet import write_partitioned
-
-    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
-    tag = fixture_tag(sf_dir, "orders")
-    lake = ensure_dir_fixture(
-        f"/tmp/wrds2pg_spark_fixtures/orders_by_yr_{tag}",
-        lambda tmp: write_partitioned(
-            load_table(spark, sf_dir, "orders").withColumn(
-                "order_yr", F.year("o_orderdate").cast("int")
-            ),
-            tmp,
-            ["order_yr"],
-        ),
-    )
+    lake = _orders_year_lake(spark, sf_dir)
     return (
         spark.read.parquet(lake)
         .filter(F.col("order_yr") == 1997)
         .groupBy("order_yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "join_dpp_pruned",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_yr, o_orderstatus,
+           count(*) AS n_orders, {DSUM_SQL('o_totalprice', 2)} AS total
+    FROM orders
+    WHERE year(o_orderdate) >= 1996
+    GROUP BY order_yr, o_orderstatus
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning on the star-schema shape: the fact
+    side is the year-partitioned orders lake (same fixture as
+    scan_partition_pruned), the dim side a tiny calendar table whose
+    predicate (era = 'modern') is on a NON-join column — so static
+    pruning is impossible and Catalyst must insert a dynamicpruning
+    subquery that reuses the dim broadcast to prune the fact's
+    partition LISTING at runtime (tests/test_plans.py gates the
+    plan).  This is the canonical 100-TB pattern: `fact JOIN dim
+    WHERE dim.attr = ...` touches only the qualifying date
+    directories without anyone hand-writing the date filter, and the
+    pruning subquery is free because the dim broadcast happens
+    anyway.  The calendar dim is built from spark.range (known-tiny
+    stats -> static broadcast plan, which DPP's reuseBroadcastOnly
+    mode requires); era = 'modern' <=> year >= 1996, which the oracle
+    states directly on the unpartitioned table.  NOTE: the fact scan
+    must stay lineage-live — a localCheckpoint here would freeze the
+    listing and kill DPP."""
+    lake = _orders_year_lake(spark, sf_dir)
+    dim = spark.range(1992, 2002).select(
+        F.col("id").cast("int").alias("yr"),
+        F.when(F.col("id") >= 1996, F.lit("modern"))
+        .otherwise(F.lit("classic")).alias("era"),
+    )
+    fact = spark.read.parquet(lake)
+    return (
+        fact.join(dim.filter(F.col("era") == "modern"),
+                  fact["order_yr"] == dim["yr"])
+        .groupBy("order_yr", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice"), 2).alias("total"),

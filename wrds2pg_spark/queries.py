@@ -815,6 +815,55 @@ def agg_approx_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_partial_union",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_yr,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM orders GROUP BY order_yr
+    """,
+)
+def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation — THE 100-TB rollup pattern:
+    distinct-customer sketches are built once at a fine grain
+    (year x priority, the shape a daily-partition ETL would
+    materialize) with hll_sketch_agg, then rolled UP to year by
+    hll_union_agg WITHOUT rescanning the fact table.  At scale the
+    fine-grain sketches are tiny persisted aggregates (lgK=12 -> 4 KB
+    each), so every coarser rollup is a metadata-sized merge instead
+    of a fact-table shuffle — the property exact countDistinct
+    fundamentally lacks (its partials are the distinct values
+    themselves).
+
+    Audit contract (same as agg_approx_error_audit): Datasketches HLL
+    union at equal lgK is a register-wise max, so the merged estimate
+    is bit-identical to a direct sketch of the union and a
+    deterministic function of the data; the oracle computes the exact
+    side and pins the within-5%% flag to 1, so a sketch drifting past
+    tolerance breaks the value hash.  Exact and sketch sides are
+    separate passes joined on the 7-row year key (the multi-distinct
+    Expand trap, see agg_approx_error_audit)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_yr", F.year("o_orderdate").cast("int"))
+    partials = o.groupBy("order_yr", "o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey"), F.lit(12)).alias("sk"))
+    merged = partials.groupBy("order_yr").agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sk"), F.lit(False))).alias("__est"))
+    exact = o.groupBy("order_yr").agg(
+        F.countDistinct("o_custkey").alias("__exact"))
+    return exact.join(merged, "order_yr").select(
+        "order_yr",
+        F.col("__exact").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("__est").cast("double")
+                  - F.col("__exact").cast("double"))
+            <= 0.05 * F.col("__exact").cast("double")
+        ).cast("long").alias("within_5pct"),
+    )
+
+
+@register(
     "agg_higher_moments",
     oracle=f"""
     WITH s AS (
