@@ -215,6 +215,8 @@ HEADLINE = [
     "scan_csv_quarantine",
     "join_dpp_pruned",
     "agg_hll_partial_union",
+    "agg_theta_setops",
+    "agg_kll_quantile_rollup",
 ]
 
 

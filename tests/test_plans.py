@@ -635,3 +635,24 @@ def test_hll_partial_union_no_expand(spark):
     assert "Expand" not in plan
     assert "hll_union_agg" in plan or "HllUnionAgg" in plan.lower() or \
         "hllunionagg" in plan.lower()
+
+
+def test_theta_setops_scalar_cross_only(spark):
+    """agg_theta_setops combines two 1-row scalar sides — the cross
+    joins must be broadcast nested-loops over SINGLE-ROW inputs
+    (the registered crossJoin-of-scalars shape), never a cartesian
+    of data tables, and the exact side must not Expand."""
+    plan = plan_of(spark, "agg_theta_setops")
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kll_rollup_merges_partials(spark):
+    """agg_kll_quantile_rollup: the year-level quantile comes from
+    kll_merge_agg over the fine-grain partials (sketch merge, not a
+    fact rescan), and the rank audit attaches the 10-row estimate
+    table by broadcast."""
+    plan = plan_of(spark, "agg_kll_quantile_rollup")
+    assert "kll_merge_agg" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" not in plan

@@ -864,6 +864,138 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_theta_setops",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+               AS in_a,
+             MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+               AS in_b
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersect,
+           CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS exact_diff,
+           CAST(1 AS BIGINT) AS union_within_5pct,
+           CAST(1 AS BIGINT) AS intersect_within_5pct,
+           CAST(1 AS BIGINT) AS diff_within_5pct
+    FROM d
+    """,
+)
+def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS — the capability HLL fundamentally
+    lacks (HLL merges are union-only): distinct-customer overlap
+    between two order years as sketch INTERSECTION and DIFFERENCE,
+    the retention / audience-overlap primitive.  At 100 TB each
+    year's sketch is built once from its own partitions (one pass,
+    lgK=14 -> <=256 KB), and every pairwise overlap question
+    afterwards is a driver-free merge of two sketch values — exact
+    set intersection would re-shuffle both years' distinct keys per
+    question.  Audit contract (agg_hll_partial_union pattern): theta
+    sketches are deterministic functions of the data; the oracle
+    computes the exact sides (one conditional-flag pass, no
+    self-join) and pins the within-5%% flags — measured sketch error
+    at sf1 (143k distinct union, estimation mode) is 0.1-0.3%%, and
+    below 16k distinct the sketch is in exact mode, so the flags are
+    stable at every tested scale.  The two 1-row sides combine via a
+    broadcast of single-row scalar aggregates (the registered
+    crossJoin-of-scalars shape)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int")
+    ).filter(F.col("yr").isin(1996, 1997))
+    sk = o.groupBy("yr").agg(
+        F.theta_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    a = sk.filter(F.col("yr") == 1996).select(F.col("sk").alias("sk_a"))
+    b = sk.filter(F.col("yr") == 1997).select(F.col("sk").alias("sk_b"))
+    est = a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+        .alias("e_or"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+        .alias("e_and"),
+        F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))
+        .alias("e_diff"),
+    )
+    flags = o.groupBy("o_custkey").agg(
+        F.max((F.col("yr") == 1996).cast("int")).alias("in_a"),
+        F.max((F.col("yr") == 1997).cast("int")).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersect"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("exact_diff"),
+    )
+
+    def within(est_col: str, exact_col: str):
+        return (
+            F.abs(F.col(est_col).cast("double")
+                  - F.col(exact_col).cast("double"))
+            <= 0.05 * F.col(exact_col).cast("double")
+        ).cast("long")
+
+    return exact.crossJoin(est).select(
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_intersect").cast("long").alias("exact_intersect"),
+        F.col("exact_diff").cast("long").alias("exact_diff"),
+        within("e_or", "exact_union").alias("union_within_5pct"),
+        within("e_and", "exact_intersect").alias("intersect_within_5pct"),
+        within("e_diff", "exact_diff").alias("diff_within_5pct"),
+    )
+
+
+@register(
+    "agg_kll_quantile_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_yr,
+           COUNT(*) AS n_orders,
+           CAST(1 AS BIGINT) AS median_rank_ok
+    FROM orders GROUP BY order_yr
+    """,
+)
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (Datasketches KLL) — the
+    percentile twin of agg_hll_partial_union: per-(year, priority)
+    KLL partials over o_totalprice are rolled up to year with
+    kll_merge_agg_double (a few-KB sketch merge, never a fact
+    rescan), and the merged sketch's median estimate is audited by
+    RANK: a second pass re-ranks each year's estimate against the
+    raw prices (broadcast of the 10-row estimate table) and flags
+    |rank(est) - 0.5| <= 0.02 — KLL's k=200 normalized rank-error
+    bound (~1.65%%) sits inside that line, and the sketch is a
+    deterministic function of the data, so the flag is reproducible
+    and drift breaks the value hash.  Rank is the honest audit for
+    quantile sketches: VALUE distance depends on local density, rank
+    error is what KLL actually bounds.  approx_percentile covers
+    one-shot estimation; this key covers the 100-TB property that
+    matters operationally — partial sketches materialized at a fine
+    grain answer every coarser quantile question by merge."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_yr", F.year("o_orderdate").cast("int"))
+    partials = o.groupBy("order_yr", "o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice", F.lit(200)).alias("kll"))
+    merged = partials.groupBy("order_yr").agg(
+        F.expr("kll_sketch_get_quantile_double("
+               "kll_merge_agg_double(kll), 0.5d)").alias("__est"))
+    return (
+        o.join(F.broadcast(merged), "order_yr")
+        .groupBy("order_yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.col("o_totalprice") <= F.col("__est"))
+                  .cast("long")).alias("__le"),
+        )
+        .select(
+            "order_yr", "n_orders",
+            (
+                F.abs(F.col("__le").cast("double")
+                      / F.col("n_orders").cast("double") - 0.5)
+                <= 0.02
+            ).cast("long").alias("median_rank_ok"),
+        )
+    )
+
+
+@register(
     "agg_higher_moments",
     oracle=f"""
     WITH s AS (
