@@ -217,6 +217,7 @@ HEADLINE = [
     "agg_hll_partial_union",
     "agg_theta_setops",
     "agg_kll_quantile_rollup",
+    "join_bloom_filtered",
 ]
 
 

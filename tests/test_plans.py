@@ -656,3 +656,18 @@ def test_kll_rollup_merges_partials(spark):
     assert "kll_merge_agg" in plan.lower()
     assert "BroadcastHashJoin" in plan
     assert "Expand" not in plan
+
+
+def test_bloom_filter_join_prunes_fact_rows(spark):
+    """join_bloom_filtered: the filtered dim side must grow a
+    bloom_filter_agg and the fact side a might_contain predicate
+    BELOW its exchange (row-level runtime pruning before the
+    shuffle), inside an isolated newSession so the pinned thresholds
+    never leak into other keys' plans."""
+    df = REGISTRY["join_bloom_filtered"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # isolation: the calling session's confs are untouched
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"

@@ -3503,6 +3503,57 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bloom_filtered",
+    oracle=f"""
+    SELECT p.p_brand, count(*) AS n_items,
+           {DSUM_SQL('l.l_extendedprice', 2)} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+    GROUP BY p.p_brand
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the ROW-LEVEL sibling of
+    join_dpp_pruned for when the fact is NOT partitioned on the join
+    key: Catalyst injects a bloom_filter_agg over the filtered dim's
+    join keys and plants might_contain on the fact side BELOW the
+    shuffle, so ~96%% of fact rows (one brand in 25) are dropped
+    before they are hashed, serialized and exchanged.  At 100 TB
+    this is the difference between shuffling the whole fact and
+    shuffling the selective slice when the dim is too big to
+    broadcast (broadcast joins prune implicitly; shuffle joins need
+    the bloom).  The injection is correctness-neutral — false
+    positives only ride to the real join — so the oracle is the
+    plain join.
+
+    Spark's injection thresholds default to cluster scale
+    (applicationSideScanSizeThreshold=10GB), so the key pins them in
+    an ISOLATED spark.newSession() — same SparkContext, own SQL conf
+    — to exercise the exact 100-TB plan at test scale without
+    leaking the conf into any other key's session (autoBroadcast=-1
+    models the dim exceeding the broadcast threshold, which is what
+    makes the bloom worthwhile).  Plan-gated: bloom_filter_agg on
+    the dim side, might_contain on the fact side."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", "0")
+    li = load_table(s2, sf_dir, "lineitem")
+    p = load_table(s2, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
     "join_asof_forward",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,
