@@ -218,6 +218,7 @@ HEADLINE = [
     "agg_theta_setops",
     "agg_kll_quantile_rollup",
     "join_bloom_filtered",
+    "sql_recursive_cte",
 ]
 
 

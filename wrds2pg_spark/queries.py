@@ -5772,6 +5772,77 @@ def sql_q6_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_RECURSIVE_WALK_SQL = """
+    WITH RECURSIVE
+    walk(node, hop) AS (
+      SELECT src, 0 FROM {edges}
+      WHERE src < 1000000 AND src % 199 = 0
+      GROUP BY src
+      UNION ALL
+      SELECT DISTINCT e.dst, w.hop + 1
+      FROM walk w JOIN {edges} e ON e.src = w.node
+      WHERE w.hop < 2)
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops,
+           COUNT(*) AS n_visits
+    FROM walk GROUP BY node
+"""
+
+_RECURSIVE_ORACLE_SQL = """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT CAST(c AS BIGINT) AS src, s + 1000000 AS dst FROM e0
+      UNION ALL
+      SELECT s + 1000000 AS src, CAST(c AS BIGINT) AS dst FROM e0),
+""" + _RECURSIVE_WALK_SQL.format(edges="edges").replace(
+    "WITH RECURSIVE\n    walk", "    walk", 1)
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_ORACLE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4) — 2-hop BFS reachability from a
+    seed customer set over the bipartite customer<->supplier trade
+    graph, with min-hop distance folded in the final aggregate.  The
+    iterative-SQL primitive graph_pagerank/connected_components
+    hand-roll as unrolled DataFrame loops, here declared once and
+    executed by Catalyst's recursion operator (each level a
+    distributed frontier-edges join; SELECT DISTINCT dedups the
+    frontier per level — semi-naive's visited-set subtraction isn't
+    expressible until UNION-distinct recursion lands, so revisits
+    surface honestly in n_visits).  The recursion is DEPTH-bounded
+    (hop < 2), never count-bounded: termination is structural and
+    the per-level work is one keyed join that scales with the
+    frontier, not the corpus.
+
+    The edge list is materialized ONCE (localCheckpoint) before the
+    recursion and exposed as a view — the same cut-the-lineage
+    doctrine as graph_pagerank: Spark's recursion operator re-expands
+    non-recursive CTE references EVERY level, so an inline
+    edges-from-facts CTE re-ran the 6M-row derivation join per hop
+    (measured 22.3 s at sf1; materialized: ~3 s).  DuckDB
+    materializes CTEs once by design, so the oracle keeps the inline
+    form — the recursive fragment itself is the SAME shared SQL
+    string on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("c").cast("long").alias("src"),
+                  (F.col("s") + 1000000).alias("dst"))
+        .unionAll(
+            e0.select((F.col("s") + 1000000).alias("src"),
+                      F.col("c").cast("long").alias("dst")))
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("rcte_edges")
+    return spark.sql(_RECURSIVE_WALK_SQL.format(edges="rcte_edges"))
+
+
 # Curation / analytics / corpus batches register additional keys on
 # import (placed last so `register` and the helpers above already exist).
 from wrds2pg_spark import curation as _curation  # noqa: E402,F401
