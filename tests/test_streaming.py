@@ -13,6 +13,36 @@ from wrds2pg_spark.streaming.events import (
 )
 
 
+def _write_time_split_chunks(events, src: str) -> None:
+    """Write events as 4 time-quartile parquet files named in ts
+    order, so maxFilesPerTrigger=1 replays them as micro-batches
+    whose arrival order == event-time order (the premise of the
+    stateful-crossing equivalence tests)."""
+    import shutil
+
+    bounds = list(events.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)"
+    ).collect()[0][0])
+    assert len(bounds) == 3
+    os.makedirs(src, exist_ok=True)
+    lo = None
+    for i, hi in enumerate(bounds + [None]):
+        chunk = events
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts") < F.lit(hi))
+        chunk.coalesce(1).write.parquet(os.path.join(src, f"c{i}.pq"))
+        os.rename(
+            [os.path.join(src, f"c{i}.pq", f)
+             for f in os.listdir(os.path.join(src, f"c{i}.pq"))
+             if f.endswith(".parquet")][0],
+            os.path.join(src, f"chunk_{i}.parquet"),
+        )
+        shutil.rmtree(os.path.join(src, f"c{i}.pq"))
+        lo = hi
+
+
 def test_streaming_matches_batch(spark):
     events = load_table(spark, "/root/testdata/sf0.001", "events")
     with tempfile.TemporaryDirectory() as tmp:
@@ -563,31 +593,7 @@ def test_streaming_threshold_crossings_matches_batch(spark):
         src = os.path.join(tmp, "events_pq")
         # time-split chunks written in order: per-user arrival order
         # across files == ts order, matching the batch window's sort
-        # collect()[0][0] IS the 3-element percentile array (the old
-        # [r[0] for r in Row] form silently yielded one bound -> only
-        # 2 chunks, weakening the straddle claim)
-        bounds = list(events.selectExpr(
-            "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000)"
-        ).collect()[0][0])
-        assert len(bounds) == 3
-        os.makedirs(src)
-        lo = None
-        for i, hi in enumerate(bounds + [None]):
-            chunk = events
-            if lo is not None:
-                chunk = chunk.filter(F.col("ts") >= F.lit(lo))
-            if hi is not None:
-                chunk = chunk.filter(F.col("ts") < F.lit(hi))
-            chunk.coalesce(1).write.parquet(os.path.join(src, f"c{i}.pq"))
-            os.rename(
-                [os.path.join(src, f"c{i}.pq", f)
-                 for f in os.listdir(os.path.join(src, f"c{i}.pq"))
-                 if f.endswith(".parquet")][0],
-                os.path.join(src, f"chunk_{i}.parquet"),
-            )
-            import shutil
-            shutil.rmtree(os.path.join(src, f"c{i}.pq"))
-            lo = hi
+        _write_time_split_chunks(events, src)
 
         sdf = streaming_threshold_crossings(spark, src, schema=events.schema)
         q = (
@@ -708,3 +714,4 @@ def test_threshold_crossings_crash_restart_exactly_once(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+

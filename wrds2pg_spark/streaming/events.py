@@ -801,3 +801,4 @@ def streaming_threshold_crossings(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
