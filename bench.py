@@ -219,6 +219,7 @@ HEADLINE = [
     "agg_kll_quantile_rollup",
     "join_bloom_filtered",
     "sql_recursive_cte",
+    "udtf_word_runs",
 ]
 
 

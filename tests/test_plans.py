@@ -650,9 +650,12 @@ def test_theta_setops_scalar_cross_only(spark):
 def test_kll_rollup_merges_partials(spark):
     """agg_kll_quantile_rollup: the year-level quantile comes from
     kll_merge_agg over the fine-grain partials (sketch merge, not a
-    fact rescan), and the rank audit attaches the 10-row estimate
-    table by broadcast."""
-    plan = plan_of(spark, "agg_kll_quantile_rollup")
+    fact rescan), and the rank audit attaches the ~10-row estimate
+    table by broadcast — chosen by AQE at runtime (no forced hint on
+    a fact-derived frame), so the gate reads the EXECUTED plan."""
+    df = REGISTRY["agg_kll_quantile_rollup"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "kll_merge_agg" in plan.lower()
     assert "BroadcastHashJoin" in plan
     assert "Expand" not in plan
@@ -671,3 +674,12 @@ def test_bloom_filter_join_prunes_fact_rows(spark):
     assert "might_contain" in plan
     # isolation: the calling session's confs are untouched
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_udtf_lateral_is_shuffle_free_generate(spark):
+    """udtf_word_runs: the LATERAL table function must plan as a
+    Generate/PythonUDTF over the scan — zero exchanges (the UDTF
+    evaluates per input row where the row lives), Arrow-batched."""
+    plan = plan_of(spark, "udtf_word_runs")
+    assert "UDTF" in plan or "Generate" in plan
+    assert "Exchange" not in plan

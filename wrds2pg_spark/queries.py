@@ -976,8 +976,12 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = partials.groupBy("order_yr").agg(
         F.expr("kll_sketch_get_quantile_double("
                "kll_merge_agg_double(kll), 0.5d)").alias("__est"))
+    # no broadcast hint on merged (it derives from the fact table —
+    # the lint forbids forcing those): AQE sees the ~10-row aggregate
+    # at runtime and picks the broadcast join itself (plan-gated on
+    # the EXECUTED plan)
     return (
-        o.join(F.broadcast(merged), "order_yr")
+        o.join(merged, "order_yr")
         .groupBy("order_yr")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -2441,6 +2445,78 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", F.round(py_log1p(F.col("value")), 6).alias("log1p_value")
     )
+
+
+@register(
+    "udtf_word_runs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id % 100 = 0),
+    runs AS (
+      SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                                      ORDER BY pos) AS anchor
+      FROM w),
+    grp AS (
+      SELECT doc_id, tok, MIN(pos) AS start_pos, COUNT(*) AS run_len
+      FROM runs GROUP BY doc_id, tok, anchor),
+    idx AS (
+      SELECT doc_id, tok AS token, run_len,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY start_pos) - 1 AS INT)
+               AS run_idx
+      FROM grp)
+    SELECT doc_id, run_idx, token, CAST(run_len AS INT) AS run_len
+    FROM idx WHERE run_len >= 2
+    """,
+)
+def udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function) via LATERAL join:
+    maximal runs of adjacent repeated tokens per document — the
+    stutter/repetition detector — emitted as (run_idx, token,
+    run_len) rows where run_idx counts ALL maximal runs so the index
+    is stable even for the singleton runs that aren't emitted.  The
+    imperative two-pointer scan is a natural table function (one
+    input row -> variable output rows with per-row state); the
+    oracle proves the same relation is reachable declaratively as
+    unnest + gaps-islands — at 100 TB prefer that JVM form (see
+    text_chunk_overlap for the fused-generator doctrine) and reach
+    for a UDTF only when the per-row logic stops being
+    SQL-expressible.  Arrow-batched (useArrow): rows stream through
+    the Python worker in columnar batches, no per-row pickling; the
+    UDTF evaluates per input row with no shuffle — the lateral is a
+    Generate over the scan, plan-gated like explode_unnest."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, token string, run_len int",
+          useArrow=True)
+    class WordRuns:
+        def eval(self, text: str):
+            # itertools.groupby IS the maximal-run scan, iterated in
+            # C; the irreducible cost is the per-row Python boundary
+            # itself (numpy per-row was slower on these short token
+            # arrays — object-dtype setup swamped the compare)
+            import itertools
+
+            if text is None:
+                return
+            ri = 0
+            for tok, grp in itertools.groupby(text.split(" ")):
+                n = sum(1 for _ in grp)
+                if n >= 2:
+                    yield ri, tok, n
+                ri += 1
+
+    spark.udtf.register("udtf_word_runs_fn", WordRuns)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, r.run_idx, r.token, r.run_len
+        FROM udtf_docs d, LATERAL udtf_word_runs_fn(d.text) r
+        WHERE d.doc_id % 100 = 0
+    """)
 
 
 @register(
