@@ -546,7 +546,6 @@ def _orders_year_lake(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-
 @register(
     "scan_partition_pruned",
     oracle=f"""
@@ -585,7 +584,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT) AS order_yr, o_orderstatus,
            count(*) AS n_orders, {DSUM_SQL('o_totalprice', 2)} AS total
     FROM orders
-    WHERE year(o_orderdate) >= 1996
+    WHERE year(o_orderdate) BETWEEN 1996 AND 2001
     GROUP BY order_yr, o_orderstatus
     """,
 )
@@ -603,8 +602,9 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning subquery is free because the dim broadcast happens
     anyway.  The calendar dim is built from spark.range (known-tiny
     stats -> static broadcast plan, which DPP's reuseBroadcastOnly
-    mode requires); era = 'modern' <=> year >= 1996, which the oracle
-    states directly on the unpartitioned table.  NOTE: the fact scan
+    mode requires); era = 'modern' <=> year in [1996, 2001] (the dim's upper
+    bound), which the oracle states directly on the unpartitioned
+    table.  NOTE: the fact scan
     must stay lineage-live — a localCheckpoint here would freeze the
     listing and kill DPP."""
     lake = _orders_year_lake(spark, sf_dir)

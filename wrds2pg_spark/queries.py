@@ -839,7 +839,7 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     union at equal lgK is a register-wise max, so the merged estimate
     is bit-identical to a direct sketch of the union and a
     deterministic function of the data; the oracle computes the exact
-    side and pins the within-5%% flag to 1, so a sketch drifting past
+    side and pins the within-5% flag to 1, so a sketch drifting past
     tolerance breaks the value hash.  Exact and sketch sides are
     separate passes joined on the 7-row year key (the multi-distinct
     Expand trap, see agg_approx_error_audit)."""
@@ -895,8 +895,8 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     question.  Audit contract (agg_hll_partial_union pattern): theta
     sketches are deterministic functions of the data; the oracle
     computes the exact sides (one conditional-flag pass, no
-    self-join) and pins the within-5%% flags — measured sketch error
-    at sf1 (143k distinct union, estimation mode) is 0.1-0.3%%, and
+    self-join) and pins the within-5% flags — measured sketch error
+    at sf1 (143k distinct union, estimation mode) is 0.1-0.3%, and
     below 16k distinct the sketch is in exact mode, so the flags are
     stable at every tested scale.  The two 1-row sides combine via a
     broadcast of single-row scalar aggregates (the registered
@@ -961,7 +961,7 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANK: a second pass re-ranks each year's estimate against the
     raw prices (broadcast of the 10-row estimate table) and flags
     |rank(est) - 0.5| <= 0.02 — KLL's k=200 normalized rank-error
-    bound (~1.65%%) sits inside that line, and the sketch is a
+    bound (~1.65%) sits inside that line, and the sketch is a
     deterministic function of the data, so the flag is reproducible
     and drift breaks the value hash.  Rank is the honest audit for
     quantile sketches: VALUE distance depends on local density, rank
@@ -2478,7 +2478,7 @@ def udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stutter/repetition detector — emitted as (run_idx, token,
     run_len) rows where run_idx counts ALL maximal runs so the index
     is stable even for the singleton runs that aren't emitted.  The
-    imperative two-pointer scan is a natural table function (one
+    imperative run scan is a natural table function (one
     input row -> variable output rows with per-row state); the
     oracle proves the same relation is reachable declaratively as
     unnest + gaps-islands — at 100 TB prefer that JVM form (see
@@ -3593,7 +3593,7 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_dpp_pruned for when the fact is NOT partitioned on the join
     key: Catalyst injects a bloom_filter_agg over the filtered dim's
     join keys and plants might_contain on the fact side BELOW the
-    shuffle, so ~96%% of fact rows (one brand in 25) are dropped
+    shuffle, so ~96% of fact rows (one brand in 25) are dropped
     before they are hashed, serialized and exchanged.  At 100 TB
     this is the difference between shuffling the whole fact and
     shuffling the selective slice when the dim is too big to
