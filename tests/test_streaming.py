@@ -714,4 +714,3 @@ def test_threshold_crossings_crash_restart_exactly_once(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-

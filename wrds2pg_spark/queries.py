@@ -5896,7 +5896,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine as graph_pagerank: Spark's recursion operator re-expands
     non-recursive CTE references EVERY level, so an inline
     edges-from-facts CTE re-ran the 6M-row derivation join per hop
-    (measured 22.3 s at sf1; materialized: ~3 s).  DuckDB
+    (measured 22.3 s at sf1; materialized: 5.6 s).  DuckDB
     materializes CTEs once by design, so the oracle keeps the inline
     form — the recursive fragment itself is the SAME shared SQL
     string on both engines."""

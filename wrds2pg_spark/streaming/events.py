@@ -801,4 +801,3 @@ def streaming_threshold_crossings(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
