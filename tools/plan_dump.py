@@ -120,6 +120,32 @@ SHOWCASE = {
         "PartitionFilters, so non-matching partition dirs are never "
         "listed; the aggregate on top still map-side combines."
     ),
+    "join_dpp_pruned": (
+        "Dynamic partition pruning: the dim's era filter cannot reach "
+        "the fact statically, so the fact scan's PartitionFilters "
+        "carries a dynamicpruning subquery that reuses the dim "
+        "broadcast — only qualifying year directories are listed at "
+        "runtime."
+    ),
+    "join_bloom_filtered": (
+        "Runtime bloom-filter join pruning (isolated-session "
+        "thresholds): bloom_filter_agg over the filtered dim's keys, "
+        "might_contain planted on the fact below its exchange — ~96% "
+        "of fact rows dropped before being hashed and shipped."
+    ),
+    "agg_hll_partial_union": (
+        "Mergeable-sketch rollup: fine-grain hll_sketch_agg partials "
+        "re-aggregated with hll_union_agg — the coarser rollup is a "
+        "sketch merge, never a fact rescan; exact and sketch sides "
+        "stay separate passes (no Expand)."
+    ),
+    "sql_recursive_cte": (
+        "Recursive CTE (UnionLoop): depth-bounded BFS where each level "
+        "is a distributed frontier-edges join over the checkpointed "
+        "edge view — the recursion operator re-expands non-recursive "
+        "CTEs per level, so the base table is materialized once "
+        "outside it."
+    ),
     "scan_zorder_pruned": (
         "Multi-dimensional data skipping: the date x price rectangle "
         "maps driver-side to 12 of 256 Morton cells (PartitionFilters "
