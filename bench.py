@@ -220,6 +220,7 @@ HEADLINE = [
     "join_bloom_filtered",
     "sql_recursive_cte",
     "udtf_word_runs",
+    "join_point_in_time",
 ]
 
 

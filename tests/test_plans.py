@@ -683,3 +683,14 @@ def test_udtf_lateral_is_shuffle_free_generate(spark):
     plan = plan_of(spark, "udtf_word_runs")
     assert "UDTF" in plan or "Generate" in plan
     assert "Exchange" not in plan
+
+
+def test_point_in_time_is_single_exchange_asof(spark):
+    """join_point_in_time rides the as-of union+window machinery: ONE
+    hash exchange on the by-key for probes+history together, never an
+    interval theta-join (no CartesianProduct / BroadcastNestedLoop),
+    and the SCD2 history build reuses the same user_id partitioning."""
+    plan = plan_of(spark, "join_point_in_time")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # history + union

@@ -604,6 +604,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type),
+    probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0)
+    SELECT p.event_id, p.user_id, p.ts,
+           h.event_type AS state_at_ts,
+           h.valid_from AS state_since
+    FROM probes p LEFT JOIN LATERAL (
+        SELECT event_type, valid_from FROM changes c
+        WHERE c.user_id = p.user_id AND c.valid_from <= p.ts
+        ORDER BY c.valid_from DESC LIMIT 1
+    ) h ON TRUE
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension — THE warehouse
+    temporal pattern: each probe row is attached to the dimension
+    VERSION that was valid at its timestamp (state_at_ts /
+    state_since), here probing a 1-in-7 event sample against the
+    scd2_intervals history built from the same stream.  Because SCD2
+    intervals are CONTIGUOUS per key (each valid_to equals the next
+    valid_from, last interval open), "the version containing ts"
+    equals "the last version with valid_from <= ts" — so the join is
+    a backward as-of (operators/asof.py union+window: ONE shuffle on
+    user_id for |probes|+|history| rows), never an interval
+    theta-join, and no valid_to guard is needed.  At 100 TB this is
+    how fact-to-dimension temporal enrichment should run: the fact
+    pays one keyed exchange, the history rides the same partitioning,
+    and nothing is broadcast or re-scanned per version."""
+    from wrds2pg_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "ts")
+    # via REGISTRY: scd2_intervals lives in curation.py, which imports
+    # from this module (registered by the import at the bottom)
+    history = REGISTRY["scd2_intervals"].fn(spark, sf_dir).select(
+        "user_id", "event_type", "valid_from")
+    out = asof_join(
+        probes, history,
+        left_on="ts", right_on="valid_from",
+        left_by="user_id", right_by="user_id",
+        right_cols=["event_type", "valid_from"],
+        prefix="pit_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("pit_event_type").alias("state_at_ts"),
+        F.col("pit_valid_from").alias("state_since"),
+    )
+
+
 _ASOF_TOL_S = 90 * 86400  # 90 days
 
 
