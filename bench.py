@@ -221,6 +221,7 @@ HEADLINE = [
     "sql_recursive_cte",
     "udtf_word_runs",
     "join_point_in_time",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -1709,3 +1709,84 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("t")).alias("p"),
         )
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN CAST((CAST(round(o_totalprice * 100) AS BIGINT)
+                             * 11 + 5) // 10 AS DOUBLE) / 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey))
+    SELECT o_orderkey,
+           CASE WHEN old_price IS NULL THEN 'I'
+                WHEN new_price IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           old_price, new_price
+    FROM d
+    WHERE old_price IS NULL OR new_price IS NULL
+       OR old_price <> new_price
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — the inverse of cdc_apply_changelog: given two
+    versions of a keyed table, EMIT the changelog (I/U/D per key)
+    that turns v1 into v2 — the replication-audit / backfill-
+    validation primitive (v2 here is a deterministic mutation of
+    orders: 1-in-97 keys deleted, 1-in-89 repriced +10% in exact integer cents — engine ROUND
+    half-cases diverge, integer arithmetic doesn't — so all three ops
+    appear and both engines derive the same v2).  One full-outer
+    join on the key classifies everything: null-left = insert,
+    null-right = delete, value-inequality = update; unchanged rows
+    are filtered AFTER classification so the emitted log is minimal.
+    At 100 TB the join is the canonical bucketed-table case — two
+    snapshots bucketed on the key diff with ZERO exchange
+    (sinks/bucketed.py) — and the value compare extends column-wise
+    (a struct inequality over the non-key columns) without changing
+    the plan.  Null-safe by construction: the key is non-null, and
+    only COALESCE'd keys and explicitly null-checked sides feed the
+    classifier."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.expr("(cast(round(o_totalprice * 100) as bigint)"
+                       " * 11 + 5) div 10").cast("double") / 100.0,
+            )
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+    )
+    d = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("old_price"),
+    ).join(
+        v2.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("new_price"),
+        ),
+        "k", "full_outer",
+    )
+    return (
+        d.select(
+            F.col("k").alias("o_orderkey"),
+            F.when(F.col("old_price").isNull(), "I")
+            .when(F.col("new_price").isNull(), "D")
+            .otherwise("U").alias("op"),
+            "old_price", "new_price",
+        )
+        .filter(
+            F.col("old_price").isNull() | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )
