@@ -222,6 +222,7 @@ HEADLINE = [
     "udtf_word_runs",
     "join_point_in_time",
     "cdc_snapshot_diff",
+    "dq_expectations",
 ]
 
 

@@ -1790,3 +1790,108 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("old_price") != F.col("new_price"))
         )
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'row_count_min' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS metric,
+           CAST(COUNT(*) >= 1 AS BIGINT) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'pk_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) = COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'fk_customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) = 0 AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate (the Great-Expectations /
+    dbt-test shape, AS A RELATION so it composes with sinks and
+    alerting): one row per check with its violation metric and a
+    passed flag — row-count floor, primary-key uniqueness, null
+    rate, value domain, range, and referential integrity against the
+    customer dim.  Plan shape: the four row-local checks fuse into
+    ONE conditional-aggregate pass over orders (map-side combined,
+    4 numbers cross the wire); pk_unique is its own pass because
+    mixing COUNT(DISTINCT) into the shared pass triggers the Expand
+    trap (agg_approx_error_audit); fk_customer is an anti-join (no forced
+    broadcast — customer scales with the lake; AQE broadcasts it
+    while it fits and degrades to a keyed shuffle when it doesn't).  Three passes over the fact TOTAL, each
+    O(1) output — at 100 TB the gate costs what three scans cost,
+    never a shuffle of data rows, and new checks extend the
+    conditional pass for free."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def row(name, metric, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            metric.cast("long").alias("metric"),
+            passed.cast("long").alias("passed"),
+        )
+
+    nulls = F.sum(F.col("o_custkey").isNull().cast("long"))
+    nonpos = F.sum((F.col("o_totalprice") <= 0).cast("long"))
+    baddom = F.sum(
+        (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+    fused = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        nulls.alias("nulls"),
+        nonpos.alias("nonpos"),
+        baddom.alias("baddom"),
+    ).select(
+        F.array(
+            row("row_count_min", F.col("n"), F.col("n") >= 1),
+            row("custkey_not_null", F.col("nulls"), F.col("nulls") == 0),
+            row("price_positive", F.col("nonpos"), F.col("nonpos") == 0),
+            row("status_domain", F.col("baddom"), F.col("baddom") == 0),
+        ).alias("checks")
+    ).select(F.explode("checks").alias("c")).select("c.*")
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dups")
+    ).select(
+        F.lit("pk_unique").alias("check_name"),
+        F.col("dups").cast("long").alias("metric"),
+        (F.col("dups") == 0).cast("long").alias("passed"),
+    )
+    fk = (
+        o.join(c.select("c_custkey"),
+               o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .select(
+            F.lit("fk_customer").alias("check_name"),
+            F.col("orphans").cast("long").alias("metric"),
+            (F.col("orphans") == 0).cast("long").alias("passed"),
+        )
+    )
+    return fused.unionAll(pk).unionAll(fk)
