@@ -193,3 +193,49 @@ def test_variant_extract_null_on_malformed_json(spark, tmp_path):
     df = REGISTRY["json_variant_extract"].fn(spark, str(tmp_path))
     got = {r["event_type"]: (r["sum_k"], r["n"]) for r in df.collect()}
     assert got == {"click": (7, 2), "view": (None, 1)}
+
+
+def test_snapshot_diff_apply_roundtrip(spark):
+    """diff-then-apply is the identity: applying cdc_snapshot_diff's
+    emitted I/U/D log to snapshot v1 must reproduce v2 exactly — the
+    property that makes the diff trustworthy for replication audit
+    (a missed change, phantom change, or misclassified op breaks
+    the reconstruction, not just a count)."""
+    diff = run("cdc_snapshot_diff", spark)
+    v1 = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice")
+    # reconstruct v2: drop D and U keys, add back I and U new values
+    changed = diff.filter(F.col("op").isin("D", "U")).select(
+        F.col("o_orderkey").alias("k"))
+    kept = v1.join(changed, v1["o_orderkey"] == changed["k"],
+                   "left_anti")
+    upserts = diff.filter(F.col("op").isin("I", "U")).select(
+        "o_orderkey", F.col("new_price").alias("o_totalprice"))
+    rebuilt = {(r[0], r[1]) for r in kept.unionAll(upserts).collect()}
+    # independent v2 derivation (same mutation the key documents)
+    v2 = {
+        (r[0], r[1])
+        for r in v1.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 89 == 0,
+                   F.expr("(cast(round(o_totalprice * 100) as bigint)"
+                          " * 11 + 5) div 10").cast("double") / 100.0)
+            .otherwise(F.col("o_totalprice")),
+        ).collect()
+    }
+    assert rebuilt == v2 and len(v2) > 0
+
+
+def test_point_in_time_state_matches_probe_event(spark):
+    """SCD2 invariant: the state valid AT an event's own timestamp is
+    that event's type (the event either started its run or continues
+    it) — must hold for every probe row, and every probe must match
+    (history covers each user from their first event)."""
+    out = run("join_point_in_time", spark)
+    ev = load_table(spark, SF, "events").select(
+        "event_id", F.col("event_type").alias("true_type"))
+    joined = out.join(ev, "event_id").collect()
+    assert len(joined) > 0
+    assert all(r["state_at_ts"] is not None for r in joined)
+    assert all(r["state_at_ts"] == r["true_type"] for r in joined)
