@@ -223,6 +223,7 @@ HEADLINE = [
     "join_point_in_time",
     "cdc_snapshot_diff",
     "dq_expectations",
+    "agg_grouping_id",
 ]
 
 

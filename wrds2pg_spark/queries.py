@@ -789,6 +789,39 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id() markers — the disambiguator
+    between a subtotal row's structural NULL and a genuine NULL group
+    value (without it, rollup outputs are unconsumable when the
+    grouped column itself contains nulls).  Both engines follow the
+    SQL standard bit order (leftmost grouping column = most
+    significant bit): detail rows gid=0, returnflag subtotals gid=1,
+    grand total gid=3 — value-hashed to prove the conventions agree.
+    Same single-shuffle Expand plan as agg_grouping_sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "agg_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
