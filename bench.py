@@ -224,6 +224,7 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "dq_expectations",
     "agg_grouping_id",
+    "join_null_safe",
 ]
 
 

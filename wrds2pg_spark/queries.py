@@ -3674,6 +3674,46 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS k, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0),
+    r AS (
+      SELECT NULLIF(n_nationkey % 7, 0) AS k, n_name
+      FROM nation WHERE n_nationkey < 10)
+    SELECT l.o_orderkey, l.k, r.n_name
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (SQL's IS NOT DISTINCT FROM, Spark's <=>):
+    NULL keys MATCH each other instead of vanishing — the semantics
+    entity-resolution and late-arriving-dimension joins need when
+    "unknown" is itself a join value.  Critically this stays a HASH
+    join (EqualNullSafe is a valid equi-join key, null hashing to a
+    bucket like any value), not a nested-loop residual — same single
+    broadcast/shuffle shape as a plain equi-join, so the null-safety
+    is free at 100 TB.  Keys are derived NULLIF values so both
+    engines build identical null populations."""
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    l = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k"),
+        "o_totalprice",
+    )
+    r = n.filter(F.col("n_nationkey") < 10).select(
+        F.nullif(F.col("n_nationkey") % 7, F.lit(0)).alias("rk"),
+        "n_name",
+    )
+    return (
+        l.join(F.broadcast(r), l["k"].eqNullSafe(r["rk"]))
+        .select("o_orderkey", "k", "n_name")
+    )
+
+
+@register(
     "join_bloom_filtered",
     oracle=f"""
     SELECT p.p_brand, count(*) AS n_items,

@@ -41,7 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ident = (st.st_mtime_ns, st.st_size)
     except OSError:
         ident = None
-    key = (spark.sparkContext.applicationId, sf_dir, name, ident)
+    # id(spark) is in the key because DataFrames are session-bound:
+    # applicationId is SHARED by spark.newSession() children, and
+    # serving a memoized frame from a DIFFERENT session silently
+    # re-binds the caller's plan to that session's conf (found when
+    # join_bloom_filtered's isolated-session thresholds vanished
+    # whenever another key had warmed the memo first).  The memo
+    # holds the frame, the frame holds its session, so ids stay
+    # unique among live entries.
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name, ident)
     df = _DF_MEMO.get(key)
     if df is None:
         df = _DF_MEMO[key] = _load_table_uncached(spark, sf_dir, name)
