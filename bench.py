@@ -225,6 +225,7 @@ HEADLINE = [
     "dq_expectations",
     "agg_grouping_id",
     "join_null_safe",
+    "scan_xml_typed",
 ]
 
 

@@ -525,6 +525,52 @@ def scan_orc_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_xml_typed",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier
+    WHERE s_nationkey < 12
+    """,
+)
+def scan_xml_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source scan — Spark 4's NATIVE XML data source (merged
+    from spark-xml in 4.0), the fourth ingest format next to typed
+    CSV/JSONL/ORC.  The fixture derives once per sf from the supplier
+    parquet; the read applies an EXPLICIT schema (schema-on-read type
+    coercion, no inference pass) plus projection and predicate.
+    Honest scale note: XML is a row-based TEXT format — no column
+    pruning, no predicate pushdown, no splitting within a document —
+    so it is an INGEST format only: land it, convert to parquet (the
+    reference's own CSV->typed-load doctrine), never serve queries
+    off it.  DuckDB has no XML reader, so the oracle proves value
+    parity from the parquet twin."""
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "supplier")
+    xml_dir = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/supplier_xml_{tag}",
+        lambda tmp: (
+            load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .save(tmp)
+        ),
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey bigint")
+        .load(xml_dir)
+        .filter(F.col("s_nationkey") < 12)
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
 def _orders_year_lake(spark: SparkSession, sf_dir: str) -> str:
     """The hive-layout orders lake partitioned by order year, written
     once per sf (sinks/parquet.py write_partitioned) — shared by
