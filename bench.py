@@ -226,6 +226,12 @@ HEADLINE = [
     "agg_grouping_id",
     "join_null_safe",
     "scan_xml_typed",
+    # quantitative-research stats family
+    "stats_ols_by_group",
+    "stats_rolling_beta",
+    "stats_portfolio_deciles",
+    "stats_fama_macbeth",
+    "stats_event_study_car",
 ]
 
 

@@ -513,6 +513,7 @@ def test_no_forced_broadcast_in_curation_corpus_operators():
     a vocabulary, not by SF."""
     import wrds2pg_spark.corpus as cor
     import wrds2pg_spark.curation as cur
+    import wrds2pg_spark.finance as fin
     import wrds2pg_spark.operators.dedup as dd
     import wrds2pg_spark.operators.multimodal as mm
     import wrds2pg_spark.operators.similarity as sim
@@ -537,8 +538,10 @@ def test_no_forced_broadcast_in_curation_corpus_operators():
         # held-out benchmark suite: small by construction (an eval
         # set), and DISTINCT-collapsed before the probe
         ("decontaminate_ngram", "bench"),
+        # per-event_type means: bounded 5-value vocabulary
+        ("stats_event_study_car", "mu"),
     }
-    for mod in (cur, cor, dd, mm, sim, sk, se):
+    for mod in (cur, cor, fin, dd, mm, sim, sk, se):
         v = _forced_broadcast_violations(mod, banned, allow)
         assert v == [], f"{mod.__name__}: forced SF-scaling broadcast: {v}"
 
@@ -694,3 +697,35 @@ def test_point_in_time_is_single_exchange_asof(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # history + union
+
+
+def test_stats_ols_single_aggregation_pass(spark):
+    """stats_ols_by_group: ONE map-side-combined aggregate over the
+    fact scan — a single hash exchange carrying 6 numbers per group,
+    no window, no join, no second fact pass."""
+    plan = plan_of(spark, "stats_ols_by_group")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_stats_rolling_beta_one_exchange_one_sort(spark):
+    """stats_rolling_beta chains two windows (row index, then the
+    5-moment trailing frame) over the SAME partitioning+ordering:
+    exactly one series-key exchange, and no second sort for the
+    second window (its required ordering is satisfied by the
+    first's)."""
+    plan = plan_of(spark, "stats_rolling_beta")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1, plan
+
+
+def test_stats_fama_macbeth_broadcast_attach_no_forced_hint(spark):
+    """stats_fama_macbeth: the characteristic attach must be a plain
+    equi-join Catalyst is free to re-plan (broadcast at bench scale
+    via stats/AQE — asserted; shuffle join at real scale), and the
+    second pass must reduce to a 1-row aggregate, not a window."""
+    plan = plan_of(spark, "stats_fama_macbeth")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange SinglePartition") == 1

@@ -166,3 +166,19 @@ def test_chunk_overlap_covers_and_reconstructs(tokens):
     for s, c in zip(starts, chunks):
         if s + W <= n:
             assert len(c) == W
+
+
+@given(st.lists(st.integers(min_value=-(10 ** 14), max_value=10 ** 14),
+                min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_split_sum_identity(products):
+    """finance._split_sums contract, pure-Python replica: summing the
+    arithmetic-shift hi terms and masked lo terms separately and
+    recombining as hi*2^26 + lo reconstructs the exact integer sum
+    for ANY int64 products, negatives included (two's-complement
+    identity p == (p>>26)*2^26 + (p & (2^26-1)))."""
+    from wrds2pg_spark.finance import _MASK, _SPLIT
+
+    hi = sum(p >> _SPLIT for p in products)
+    lo = sum(p & _MASK for p in products)
+    assert hi * (1 << _SPLIT) + lo == sum(products)

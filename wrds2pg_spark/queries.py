@@ -6058,3 +6058,4 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 # import (placed last so `register` and the helpers above already exist).
 from wrds2pg_spark import curation as _curation  # noqa: E402,F401
 from wrds2pg_spark import corpus as _corpus  # noqa: E402,F401
+from wrds2pg_spark import finance as _finance  # noqa: E402,F401
