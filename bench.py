@@ -232,6 +232,7 @@ HEADLINE = [
     "stats_portfolio_deciles",
     "stats_fama_macbeth",
     "stats_event_study_car",
+    "sql_pipe_syntax",
 ]
 
 

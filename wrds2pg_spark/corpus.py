@@ -236,9 +236,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token junk a unigram LM scores as fluent).
 
     Plan shape: the bigram stream is built row-locally (zip_with over
-    the shifted token array — no self-join, no shuffle to form pairs),
-    then joined against the bigram/unigram count tables; the per-doc
-    agg is the only corpus-sized shuffle.  The count-table joins carry
+    the shifted token array — no self-join, no shuffle to form pairs)
+    and immediately collapsed to DOC-GRAIN counts (doc_id, w1, w2, k)
+    — round 6: the corpus count table derives from that same
+    aggregate (Σk) and the count-table join probes doc-DISTINCT
+    bigrams instead of every instance, with k weighting the per-doc
+    fold; one tokenize+explode pass and the instance-grain join
+    disappear (measured 1.52 -> 1.37 s at sf0.1, bit-identical — the
+    smoothed nll depends only on the bigram, so instance grain was
+    pure redundancy).  The count-table joins carry
     NO broadcast hint: the bigram vocab grows ~linearly with corpus
     tokens, so a hard-coded broadcast would hit the 8 GB limit /
     executor memory long before 100 TB — AQE sizes the built table at
@@ -257,15 +263,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
+    dg = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k"))
     uni = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
     vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("vocab"))
-    bif = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bif = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     scored = (
-        big.join(bif, ["w1", "w2"])
+        dg.join(bif, ["w1", "w2"])
         .join(uni.withColumnRenamed("token", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "k",
             F.round(
                 -F.log((F.col("c12") + F.lit(1))
                        / (F.col("c1") + F.col("vocab"))), 6
@@ -278,8 +287,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's binary-double round; (2s + c) div (2c) is half-up
     # on the exact rational and bit-identical everywhere
     agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.sum(F.round(F.col("nll") * F.lit(1e6), 0).cast("long")).alias("s"),
+        F.sum("k").cast("long").alias("c"),
+        F.sum(F.col("k")
+              * F.round(F.col("nll") * F.lit(1e6), 0).cast("long"))
+        .alias("s"),
     )
     return agg.select(
         "doc_id",

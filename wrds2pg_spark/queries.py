@@ -5983,6 +5983,41 @@ def sql_q6_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {DSUM_SQL('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem
+    WHERE l_quantity < 24
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (new in Spark 4) — the same filtered revenue
+    aggregate as the classic form, declared as a linear `|>` operator
+    chain (FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY).  Pipe
+    SQL is sugar over the same Catalyst logical plan: the WHERE stage
+    still reaches the scan as a pushed filter and the AGGREGATE stage
+    still plans map-side partials — proving the third front door
+    (DataFrame, ANSI SQL, pipe SQL) hits the identical engine.  The
+    oracle is the classic-SQL spelling of the same query."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_pipe_lineitem"
+    )
+    return spark.sql("""
+        FROM sql_pipe_lineitem
+        |> WHERE l_quantity < 24
+        |> EXTEND CAST(round((l_extendedprice * (1 - l_discount))
+                             * 10000.0, 0) AS BIGINT) AS rev4
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(rev4) AS DOUBLE) / 10000.0 AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_lines, revenue
+    """)
+
+
 _RECURSIVE_WALK_SQL = """
     WITH RECURSIVE
     walk(node, hop) AS (
