@@ -714,3 +714,41 @@ def test_threshold_crossings_crash_restart_exactly_once(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_rolling_beta_matches_batch(spark):
+    """The stateful rolling-beta stream must reproduce the batch
+    window twin exactly: a frame that straddles a micro-batch
+    boundary regresses over carried state + new rows, and the closed-
+    form Σx/Σx² in the global row counter must keep the integer tree
+    identical to the batch form's window sums."""
+    from wrds2pg_spark.finance import stats_rolling_beta
+    from wrds2pg_spark.streaming.events import streaming_rolling_beta
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_pq")
+        _write_time_split_chunks(events, src)
+
+        sdf = streaming_rolling_beta(spark, src, schema=events.schema)
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("memory").queryName("rolling_beta_out").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["event_type"], r["event_id"]): r["beta"]
+                for r in spark.sql(
+                    "SELECT * FROM rolling_beta_out").collect()
+            }
+        finally:
+            q.stop()
+
+    want = {
+        (r["event_type"], r["event_id"]): r["beta"]
+        for r in stats_rolling_beta(
+            spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(want) > 0
+    assert got == want

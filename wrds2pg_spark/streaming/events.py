@@ -801,3 +801,90 @@ def streaming_threshold_crossings(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_rolling_beta(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    window: int = 20,
+):
+    """Stateful rolling regression slope on a live stream — the
+    real-time form of finance.stats_rolling_beta: per event_type,
+    emit the trailing-``window`` OLS slope of value against the
+    within-series row index for every full window, carrying (row
+    counter, last window-1 scaled values) across micro-batches in
+    ``applyInPandasWithState``.
+
+    State per series: one BIGINT counter + (window-1) scaled-long
+    observations — O(series x window), never O(events).  The slope
+    arithmetic is the batch twin's exact integer tree transposed to
+    numpy int64: x is the global row index rn, so the frame's
+    Σx/Σx² collapse to closed forms in rn (20rn-190 and
+    20rn²-380rn+2470 for window=20), Σy/Σ(d·y) come from one
+    sliding-window matrix product over [carried state ++ batch], and
+    beta = (kΣxy - ΣxΣy)/(kΣx² - (Σx)²) rounds at 6 dp exactly like
+    the batch key.  Rows inside a batch sort by (ts, event_id);
+    cross-batch order is arrival order — time-split files (one per
+    trigger) make that equal to the batch window's global ordering,
+    the same premise as streaming_threshold_crossings."""
+    import numpy as np
+
+    k = int(window)
+    offs = np.arange(k, dtype="int64")
+
+    def update(key, pdf_iter, state):
+        rn0, hist = state.get if state.exists else (0, [])
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if not frames:
+            state.update((rn0, list(hist)))
+            return
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        yv = np.rint(
+            batch["value"].to_numpy(dtype="float64") * 100
+        ).astype("int64")
+        n = len(yv)
+        full = np.concatenate(
+            [np.asarray(hist, dtype="int64"), yv])
+        rns = rn0 + np.arange(1, n + 1, dtype="int64")
+        state.update((int(rns[-1]), [int(v) for v in full[-(k - 1):]]))
+        # windows ending at each NEW row with a full k-frame
+        emit = rns >= k
+        if not emit.any():
+            return
+        # sliding k-windows over [hist ++ batch]: row i of M is the
+        # frame ending at batch row (i + k-1 - len(hist))
+        M = np.lib.stride_tricks.sliding_window_view(full, k)
+        sel = M[len(hist) + np.flatnonzero(emit) - (k - 1)]
+        rn = rns[emit]
+        sy = sel.sum(axis=1)
+        d_dot = sel @ offs
+        sxy = (rn - (k - 1)) * sy + d_dot
+        sx = k * rn - (k * (k - 1)) // 2
+        sxx = (k * rn * rn - k * (k - 1) * rn
+               + ((k - 1) * k * (2 * k - 1)) // 6)
+        num = (k * sxy - sx * sy).astype("float64")
+        den = (k * sxx - sx * sx).astype("float64")
+        beta = np.round(num / den, 6)
+        hit = batch[emit]
+        yield pd.DataFrame({
+            "event_type": np.repeat(key[0], len(rn)),
+            "event_id": hit["event_id"].astype("int64"),
+            "beta": beta,
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, event_id bigint, beta double",
+        stateStructType="rn bigint, hist array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
