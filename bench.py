@@ -233,6 +233,7 @@ HEADLINE = [
     "stats_fama_macbeth",
     "stats_event_study_car",
     "sql_pipe_syntax",
+    "scan_text_lines",
 ]
 
 

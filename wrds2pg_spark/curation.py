@@ -571,6 +571,64 @@ def scan_xml_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_text_lines",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           min(md5(text)) AS min_h,
+           max(md5(text)) AS max_h
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line ingestion (``spark.read.text``) — the
+    pre-parse front door every real pipeline starts from when the
+    input is log/line-delimited data no typed reader understands yet:
+    read lines as-is, parse with ordinary column expressions, fail
+    loud on malformed rows.  The fixture derives once per sf from the
+    documents parquet as '|'-joined lines (doc_id|lang|n_chars|md5);
+    the scan splits, types and filters them, and the oracle computes
+    the same aggregate straight from the parquet view — so the check
+    covers the full text round-trip including the md5 payloads.
+    Scale note: a text source splits by line ranges exactly like CSV
+    (parallel within files), but carries no schema, no pushdown and
+    no pruning — land it, type it, convert to parquet (the
+    reference's CSV->typed-load doctrine, codegen.py:52-65)."""
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "documents")
+    txt_dir = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/documents_lines_{tag}",
+        lambda tmp: (
+            load_table(spark, sf_dir, "documents")
+            .select(F.concat_ws(
+                "|",
+                F.col("doc_id"), F.col("lang"),
+                F.col("n_chars"), F.md5(F.col("text")),
+            ).alias("value"))
+            .write.mode("overwrite")
+            .text(tmp)
+        ),
+    )
+    p = F.split(F.col("value"), r"\|")
+    return (
+        spark.read.text(txt_dir)
+        .select(
+            p.getItem(1).alias("lang"),
+            p.getItem(2).cast("long").alias("n_chars"),
+            p.getItem(3).alias("h"),
+        )
+        .filter(F.col("lang") == "en")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
+
+
 def _orders_year_lake(spark: SparkSession, sf_dir: str) -> str:
     """The hive-layout orders lake partitioned by order year, written
     once per sf (sinks/parquet.py write_partitioned) — shared by
