@@ -223,6 +223,22 @@ SHOWCASE = {
         "max-cosine probe inside mapInPandas, and only the per-label "
         "rollup exchanges."
     ),
+    "stats_ols_by_group": (
+        "Per-group OLS as ONE map-side-combined moment aggregate: "
+        "a single hash exchange carries 7 integers per group "
+        "(overflow-prone squares ride hi/lo split-long sums — the "
+        "DECIMAL-sum alternative measured a 39x codegen cliff); the "
+        "slope/intercept/R-squared combination is per-group project "
+        "work above the final aggregate."
+    ),
+    "stats_fama_macbeth": (
+        "Fama-MacBeth two-pass: the characteristic attach is a "
+        "hint-free equi-join (stats/AQE pick broadcast while the "
+        "customer side fits), pass 1 is one month-keyed moment "
+        "aggregate, and pass 2 reduces the rounded slopes to a "
+        "single row — the fact table is scanned once and the driver "
+        "never sees data."
+    ),
 }
 
 
