@@ -234,6 +234,8 @@ HEADLINE = [
     "stats_event_study_car",
     "sql_pipe_syntax",
     "scan_text_lines",
+    "sample_reservoir_group",
+    "scan_schema_evolution",
 ]
 
 

@@ -729,3 +729,24 @@ def test_stats_fama_macbeth_broadcast_attach_no_forced_hint(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_reservoir_sample_window_group_limit(spark):
+    """sample_reservoir_group: the rank<=k filter must compile to
+    WindowGroupLimit Partial (below the exchange) + Final — each
+    input partition keeps only k rows per group BEFORE the shuffle,
+    the distributed-reservoir merge derived by the optimizer."""
+    plan = plan_of(spark, "sample_reservoir_group")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_schema_evolution_union_schema(spark):
+    """scan_schema_evolution: the merged scan must expose the union
+    schema (o_orderpriority present) while reading both generations
+    of files — and the aggregate stays map-side partial."""
+    plan = formatted_plan(spark, "scan_schema_evolution")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "o_orderpriority" in m.group(1)
+    assert plan.count("HashAggregate") >= 2

@@ -55,6 +55,47 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_reservoir_group",
+    oracle="""
+    WITH r AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+    SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 50
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample PER GROUP (exactly 50 docs per
+    language) — the distributed, deterministic stand-in for reservoir
+    sampling: ordering by md5(id) is a random-uniform permutation
+    that is identical on any partitioning and any engine, so
+    rank<=k IS a k-reservoir, reproducibly.  Where hash-THRESHOLD
+    sampling (sample_stratified) gives a fixed RATE, this gives a
+    fixed BUDGET per stratum — the eval-set / per-language-probe
+    shape.
+
+    Scale shape: the rank<=k filter compiles to WindowGroupLimit
+    (Partial below the exchange, Final above — plan-gated): each
+    input partition keeps only its top-k rows per group BEFORE the
+    shuffle, so the exchange carries at most k x groups x partitions
+    rows, never the corpus, and the sort that survives is over those
+    k-bounded slices.  That is exactly the distributed-reservoir
+    merge (keep k smallest keys locally, merge k-lists), derived by
+    the optimizer from the declarative window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 50)
+    )
+
+
+@register(
     "split_train_test",
     oracle=f"""
     WITH tagged AS (
@@ -625,6 +666,62 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.min("h").alias("min_h"),
             F.max("h").alias("max_h"),
+        )
+    )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle=f"""
+    WITH lake AS (
+        SELECT o_totalprice,
+               CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL('o_totalprice', 2)} AS total
+    FROM lake GROUP BY o_orderpriority
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (``mergeSchema``): a lake written in
+    two schema VERSIONS — v1 files lack the o_orderpriority column a
+    later writer added — reads back as one relation with the union
+    schema, old files yielding NULL for the new column.  Schema drift
+    is a fact of life for any lake fed over months; at 100 TB you
+    cannot rewrite history to add a column, so evolve-on-read (or a
+    one-time metadata-only catalog update) is the only viable
+    doctrine.  Honest cost note: mergeSchema=true footer-merges
+    EVERY file's schema at listing time — fine per directory
+    generation, wasteful as a default; production lakes pin the
+    union schema in a catalog and read with an explicit schema
+    instead (same plan, no merge pass — this key's read is the
+    discovery-time path).  The oracle replays the version split
+    (even orderkeys = v1) on the parquet view."""
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "orders")
+
+    def build(tmp: str) -> None:
+        o = load_table(spark, sf_dir, "orders")
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0)
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1)
+        v1.select("o_orderkey", "o_totalprice").write.mode(
+            "overwrite").parquet(f"{tmp}/gen=1")
+        v2.select("o_orderkey", "o_totalprice", "o_orderpriority").write.mode(
+            "overwrite").parquet(f"{tmp}/gen=2")
+
+    lake = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/orders_evolved_{tag}", build)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(lake)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
         )
     )
 
