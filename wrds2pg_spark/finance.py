@@ -141,7 +141,7 @@ def stats_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     notwithstanding.
 
     Scale shape: ONE map-side-combined aggregate over the fact scan;
-    the exchange carries 6 numbers per group.  No second pass, no
+    the exchange carries 7 integers per group.  No second pass, no
     broadcast, no UDF."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
@@ -207,7 +207,7 @@ _ROLL = 20  # trailing observations per beta (the classic 20-bar frame)
     """,
 )
 def stats_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling regression slope over the trailing {20} observations
+    """Rolling regression slope over the trailing 20 observations
     per series (events partitioned by event_type, ordered by time):
     the rolling-beta / local-trend estimator of every event-study and
     risk pipeline, emitted for every full window.

@@ -27,6 +27,7 @@ __all__ = [
     "user_totals", "streaming_foreachbatch_upsert",
     "windowed_topk", "streaming_windowed_topk", "topk_from_serving",
     "streaming_threshold_crossings",
+    "streaming_rolling_beta",
 ]
 
 
@@ -847,7 +848,10 @@ def streaming_rolling_beta(
         full = np.concatenate(
             [np.asarray(hist, dtype="int64"), yv])
         rns = rn0 + np.arange(1, n + 1, dtype="int64")
-        state.update((int(rns[-1]), [int(v) for v in full[-(k - 1):]]))
+        # len(full)-(k-1) start (not -(k-1):) so window=1 carries an
+        # EMPTY history instead of the whole array (a -0 slice)
+        state.update((int(rns[-1]),
+                      [int(v) for v in full[len(full) - (k - 1):]]))
         # windows ending at each NEW row with a full k-frame
         emit = rns >= k
         if not emit.any():
@@ -865,7 +869,22 @@ def streaming_rolling_beta(
                + ((k - 1) * k * (2 * k - 1)) // 6)
         num = (k * sxy - sx * sy).astype("float64")
         den = (k * sxx - sx * sx).astype("float64")
-        beta = np.round(num / den, 6)
+        # Spark's round(double, 6) is HALF_UP on the double's SHORTEST
+        # decimal repr (BigDecimal.valueOf); np.round is half-even on
+        # the binary value — they diverge on reachable quotients
+        # (e.g. 0.0221025 -> 0.022103 vs 0.022102), which would break
+        # the exact streaming==batch equivalence.  Python repr(float)
+        # is the same shortest repr, so Decimal(repr).quantize(HALF_UP)
+        # reproduces Spark bit-for-bit; the per-row loop is fine at
+        # the Python batch boundary we already pay here.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        beta = np.fromiter(
+            (float(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP))
+             for v in num / den),
+            dtype="float64",
+        )
         hit = batch[emit]
         yield pd.DataFrame({
             "event_type": np.repeat(key[0], len(rn)),
