@@ -236,6 +236,7 @@ HEADLINE = [
     "scan_text_lines",
     "sample_reservoir_group",
     "scan_schema_evolution",
+    "stats_herfindahl",
 ]
 
 

@@ -752,3 +752,76 @@ def test_streaming_rolling_beta_matches_batch(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_rolling_beta_crash_restart_exact_recovery(spark):
+    """Kill the rolling-beta stream after batch 2's sink write but
+    before its offset commit, restart from the checkpoint: the
+    replayed batch regresses against the PRE-batch state (row counter
+    + carried window), the deterministic integer kernel recomputes
+    the same betas, and the idempotent per-batch-id sink overwrites —
+    so the recovered output equals the batch twin exactly, no frame
+    emitted twice."""
+    import glob
+    import shutil
+
+    from wrds2pg_spark.finance import stats_rolling_beta
+    from wrds2pg_spark.streaming.events import streaming_rolling_beta
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    tmp = tempfile.mkdtemp()
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        flag = os.path.join(tmp, "CRASH")
+        os.makedirs(out)
+        _write_time_split_chunks(events, src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id}"))
+            if os.path.exists(flag) and batch_id == 2:
+                raise RuntimeError("injected crash after sink write")
+
+        def start():
+            return (
+                streaming_rolling_beta(spark, src, schema=events.schema)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        open(flag, "w").close()
+        q = start()
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        crashed = q.exception() is not None
+        try:
+            q.stop()
+        except Exception:
+            crashed = True
+        assert crashed, "injected crash did not fire"
+        assert os.path.isdir(os.path.join(out, "b2"))
+
+        os.remove(flag)
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+        got_rows = spark.read.parquet(
+            *glob.glob(os.path.join(out, "b*"))).collect()
+        got = {(r["event_type"], r["event_id"]): r["beta"]
+               for r in got_rows}
+        assert len(got_rows) == len(got)  # no frame emitted twice
+        want = {(r["event_type"], r["event_id"]): r["beta"]
+                for r in stats_rolling_beta(
+                    spark, "/root/testdata/sf0.001").collect()}
+        assert len(want) > 0
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

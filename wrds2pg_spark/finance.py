@@ -501,3 +501,65 @@ def stats_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_window",
         (F.col("car100").cast("double") / F.lit(100.0)).alias("car"),
     )
+
+
+@register(
+    "stats_herfindahl",
+    oracle="""
+    WITH cv AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               o_custkey,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS sv
+        FROM orders GROUP BY 1, 2),
+    m AS (
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS n_buyers,
+               SUM(sv) AS total,
+               SUM(CAST(sv AS HUGEINT) * sv) AS sq
+        FROM cv GROUP BY month)
+    SELECT month, n_buyers,
+           round(CAST(sq AS DOUBLE)
+                 / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)),
+                 6) AS hhi
+    FROM m
+    """,
+)
+def stats_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per month: the sum of
+    squared buyer market shares, the antitrust / market-structure
+    statistic every industrial-organization pipeline computes from
+    exactly this kind of transaction table.  HHI = Σ sv² / (Σ sv)²
+    needs NO per-share division: both terms come from the same
+    per-(month, buyer) cent-exact totals, so the whole statistic is
+    two integers per month converted once to double — bit-identical
+    cross-engine by the module's standard tree.
+
+    Scale shape: two chained aggregations — (month, buyer) then
+    month — where the second reuses the first's hash partitioning
+    only if month leads the key; the sv² totals ride the hi/lo
+    split-long sums (sv² ~1e16 per buyer, Σ over buyers outgrows
+    2^63; same _split_sums as the OLS keys, same 39x-cliff
+    avoidance).  The per-buyer grain is the only corpus-sized
+    exchange; months are O(periods)."""
+    o = load_table(spark, sf_dir, "orders")
+    cv = (
+        o.groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+            ).alias("month"),
+            "o_custkey",
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .alias("sv"))
+    )
+    m = cv.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        F.sum("sv").alias("total"),
+        *_split_sums(F.col("sv") * F.col("sv"), "sq"),
+    )
+    td = F.col("total").cast("double")
+    return m.select(
+        "month",
+        "n_buyers",
+        F.round(_split_val("sq").cast("double") / (td * td), 6).alias("hhi"),
+    )
