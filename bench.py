@@ -237,6 +237,7 @@ HEADLINE = [
     "sample_reservoir_group",
     "scan_schema_evolution",
     "stats_herfindahl",
+    "stats_rfm_segments",
 ]
 
 

@@ -750,3 +750,16 @@ def test_schema_evolution_union_schema(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "o_orderpriority" in m.group(1)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_rfm_windows_share_one_segment_exchange(spark):
+    """stats_rfm_segments: the three quintile windows must share ONE
+    segment hash exchange (three in-partition sorts off one shuffle),
+    on top of the per-customer aggregate's exchange — and no window
+    may be global/single-partition (the q11-fallback anti-pattern the
+    docstring rules out)."""
+    plan = plan_of(spark, "stats_rfm_segments")
+    assert plan.count("Window ") == 3
+    assert plan.count("Sort ") == 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]

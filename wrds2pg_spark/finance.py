@@ -563,3 +563,86 @@ def stats_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buyers",
         F.round(_split_val("sq").cast("double") / (td * td), 6).alias("hhi"),
     )
+
+
+@register(
+    "stats_rfm_segments",
+    oracle=f"""
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    cu AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT mxd FROM mx)) AS rec_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS mon_cents
+        FROM orders GROUP BY o_custkey),
+    sc AS (
+        SELECT c.c_mktsegment AS segment,
+               ntile(5) OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY cu.rec_days DESC,
+                                       cu.o_custkey) AS r,
+               ntile(5) OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY cu.freq, cu.o_custkey) AS f,
+               ntile(5) OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY cu.mon_cents, cu.o_custkey) AS m,
+               cu.mon_cents
+        FROM cu JOIN customer c ON cu.o_custkey = c.c_custkey)
+    SELECT segment, CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_cents) AS DOUBLE) / 100.0 AS total_monetary
+    FROM sc GROUP BY segment, r, f, m
+    """,
+)
+def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM scoring grid, computed SEGMENT-RELATIVE: each
+    customer's three quintile scores rank within their market segment
+    (ntile(5) with the custkey tiebreak that makes remainder
+    assignment engine-identical), then the grid cells aggregate
+    customer counts and cent-exact monetary totals.
+
+    Scale note: a GLOBAL ntile would be a single-partition window —
+    the exact anti-pattern the q11 fallback exists for — so the
+    scoring is deliberately partitioned by segment (the form RFM
+    takes in practice anyway: scores are only comparable within a
+    market).  All three windows share the segment hash exchange; the
+    planner runs three in-partition sorts off one shuffle.  Recency
+    anchors on the dataset's own max order date (a 1-row broadcast),
+    so the key is reproducible on any snapshot."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    cu = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("mon_cents"),
+    )
+    base = (
+        cu.crossJoin(F.broadcast(mx))
+        .withColumn("rec_days",
+                    F.datediff(F.col("mxd"), F.col("last_order")))
+        .join(c, cu.o_custkey == c.c_custkey)
+        .select("o_custkey", F.col("c_mktsegment").alias("segment"),
+                "rec_days", "freq", "mon_cents")
+    )
+
+    def score(order_cols):
+        return F.ntile(5).over(
+            W.partitionBy("segment").orderBy(*order_cols, "o_custkey")
+        ).cast("long")
+
+    sc = base.select(
+        "segment",
+        "mon_cents",
+        score([F.col("rec_days").desc()]).alias("r"),
+        score(["freq"]).alias("f"),
+        score(["mon_cents"]).alias("m"),
+    )
+    return sc.groupBy("segment", "r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("mon_cents").cast("double") / F.lit(100.0))
+        .alias("total_monetary"),
+    )
