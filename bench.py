@@ -238,6 +238,7 @@ HEADLINE = [
     "scan_schema_evolution",
     "stats_herfindahl",
     "stats_rfm_segments",
+    "ts_seasonal_decompose",
 ]
 
 

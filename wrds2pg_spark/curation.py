@@ -2096,3 +2096,67 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.unionAll(pk).unionAll(fk)
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sv
+        FROM events GROUP BY 1, 2),
+    tr AS (
+        SELECT event_type, day, sv,
+               SUM(sv) OVER w AS sum7,
+               CAST(count(*) OVER w AS BIGINT) AS k
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+    SELECT event_type, CAST(isodow(day) AS BIGINT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(sv * 7 - sum7) AS DOUBLE)
+                 / (700.0 * count(*)), 6) AS seasonal
+    FROM tr WHERE k = 7
+    GROUP BY event_type, weekday
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, the additive
+    moving-average form: daily series per event_type, trend = the
+    centered 7-observation moving average, seasonal = the per-weekday
+    mean of the detrended values — the decomposition every
+    monitoring/forecasting pipeline starts from.
+
+    Exactness: the detrended value is kept as the EXACT long
+    ``sv*7 - sum7`` (value minus trend, scaled by 7x100 — no
+    division until the final per-weekday mean), so the only floats
+    are one sum-to-double conversion and one division per output
+    row.  The trend window and the weekday aggregation both ride the
+    series-key exchange from the daily rollup: one corpus-sized
+    shuffle total, the window reusing the groupBy's partitioning.
+    Partial edges (first/last 3 observations) are excluded on both
+    engines (k = 7), the standard centered-MA convention."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sv"))
+    w7 = (W.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3))
+    tr = daily.select(
+        "event_type",
+        "day",
+        "sv",
+        F.sum("sv").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("k"),
+    ).filter(F.col("k") == 7)
+    return tr.groupBy(
+        "event_type",
+        (F.weekday(F.col("day")) + 1).cast("long").alias("weekday"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum(F.col("sv") * 7 - F.col("sum7")).cast("double")
+            / (F.lit(700.0) * F.count(F.lit(1))), 6
+        ).alias("seasonal"),
+    )
