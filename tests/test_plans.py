@@ -763,3 +763,15 @@ def test_rfm_windows_share_one_segment_exchange(spark):
     assert plan.count("Sort ") == 3
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange SinglePartition" not in plan.split("Window")[0]
+
+
+def test_q11_shape_single_fact_scan(spark):
+    """tpch_q11_shape (round 6 rewrite): the global threshold must
+    NOT re-derive the fact subtree — exactly one lineitem scan in the
+    executed plan (the crossJoin(broadcast(thr)) form measured 2
+    scans and 0 ReusedExchange under AQE), and the default branch
+    carries the threshold in an empty-frame window."""
+    df = REGISTRY["tpch_q11_shape"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan

@@ -4499,20 +4499,53 @@ def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE value > (SELECT {DAVG_SQL('value', 2)} FROM val) * 1.1
     """,
 )
-def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpch_q11_shape(
+    spark: SparkSession, sf_dir: str,
+    max_window_parts: int = 100_000_000,
+) -> DataFrame:
     """TPC-H Q11 shape: parts whose aggregate supply value exceeds a
     global threshold — aggregate feeding a scalar subquery over its own
     output.  The threshold is 1.1x the mean per-part value (scale-
     invariant selectivity, unlike Q11's literal fraction which pins to
-    one SF).  Plan: pair-key agg -> partkey re-agg (both map-side
-    combined), 1-row mean broadcast back as a cross-join filter —
-    the fact data never moves twice."""
+    one SF).
+
+    Plan: pair-key agg -> partkey re-agg (both map-side combined),
+    then the global threshold as an EMPTY-FRAME WINDOW over the
+    per-part values — the same form (and plan switch) as
+    tpch_q11_bucketed.  The round-4 crossJoin(broadcast(threshold))
+    formulation promised 'the fact never moves twice' but the
+    EXECUTED plan broke the promise: under AQE the threshold
+    subtree's exchange never matched for reuse (0 ReusedExchange),
+    so lineitem was scanned and pair-aggregated TWICE — 13 stages,
+    1.14 s at sf0.1.  The window form computes the mean over the
+    one materialized val stream: one lineitem scan, ~half the
+    stages.  Above ``max_window_parts`` (footer-read bound, no Spark
+    job) it switches to localCheckpoint + 1-row broadcast exactly
+    like the bucketed twin; both branches share its oracle
+    arithmetic."""
     ps = _partsupp_surrogate(spark, sf_dir)
     val = ps.groupBy("ps_partkey").agg(
         dsum(F.col("ps_supplycost"), 2).alias("value"))
-    thr = val.agg((davg(F.col("value"), 2) * F.lit(1.1)).alias("__thr"))
+    scaled_sum = F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+    if _parquet_footer_rows(sf_dir, "part") > max_window_parts:
+        val = val.localCheckpoint(eager=True)
+        thr_row = val.agg(
+            (
+                scaled_sum.cast("double") / 100.0
+                / F.count(F.col("value")).cast("double") * 1.1
+            ).alias("__thr"))
+        return (
+            val.join(F.broadcast(thr_row))
+            .filter(F.col("value") > F.col("__thr"))
+            .select("ps_partkey", "value")
+        )
+    w = W.partitionBy()
+    thr = (
+        scaled_sum.over(w).cast("double") / 100.0
+        / F.count(F.col("value")).over(w).cast("double")
+    ) * 1.1
     return (
-        val.crossJoin(F.broadcast(thr))
+        val.withColumn("__thr", thr)
         .filter(F.col("value") > F.col("__thr"))
         .select("ps_partkey", "value")
     )
