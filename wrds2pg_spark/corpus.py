@@ -168,31 +168,46 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     for quality filtering (the CCNet/Gopher 'LM score' slot, with the
     n-gram LM reduced to unigrams so the oracle stays exact).
 
-    Plan shape: one token explode feeds BOTH the frequency build and
-    the scoring join; the frequency table (vocabulary-sized —
-    SUBLINEAR in the corpus by Heaps' law — tiny relative to the
-    token stream) broadcasts via AQE's runtime stats, so the only
-    shuffles are the vocab agg and the per-doc agg.  Round 6 dropped
-    the forced hint (lint): AQE keeps the same broadcast at bench
-    scale (A/B 0.71 forced vs 0.69 hint-free at sf0.1) and degrades
-    to a token-keyed shuffle if a 100-TB vocabulary ever outgrows
+    Plan shape (round 6, doc-grain collapse like text_bigram_logprob):
+    one token explode collapses immediately to (doc_id, token, k)
+    counts; the corpus frequency table derives from THAT aggregate
+    (Σk) and the scoring join probes doc-DISTINCT tokens with k
+    weighting the per-doc fold — the nll depends only on the token,
+    so instance grain was redundancy (the executed crossJoin plan
+    re-tokenized documents 3x: AQE never reused the exchanges; this
+    form tokenizes once).  The frequency table (vocabulary-sized —
+    SUBLINEAR in the corpus by Heaps' law) broadcasts via AQE's
+    runtime stats, no forced hint (lint): it degrades to a
+    token-keyed shuffle if a 100-TB vocabulary ever outgrows
     executors instead of OOMing.  The 1-row total joins the same
     way."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = _tokens(docs)
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    dg = _tokens(docs).groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("k"))
+    freq = dg.groupBy("token").agg(F.sum("k").alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("total"))
     scored = (
-        tok.join(freq, "token")
+        dg.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
+            "k",
             F.round(-F.log(F.col("c") / F.col("total")), 6).alias("nll"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
-        F.round(davg(F.col("nll"), 6), 6).alias("avg_nll"),
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_tok"),
+        F.sum(F.col("k")
+              * F.round(F.col("nll") * F.lit(1e6), 0).cast("long"))
+        .alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        F.round(
+            (F.col("s").cast("double") / F.lit(1e6))
+            / F.col("n_tok").cast("double"), 6
+        ).alias("avg_nll"),
     )
 
 
@@ -265,13 +280,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dg = big.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k"))
-    uni = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("vocab"))
+    # vocab stamps onto uni itself via an empty-frame count window —
+    # a vocab = uni.agg(count) scalar would RERUN the tokenize+count
+    # pipeline (AQE never reuses exchanges across the broadcast
+    # boundary; round-6 finding, BASELINE.md).  The window input is
+    # the vocabulary — Heaps-sublinear, the smallest stream here.
+    uni = (
+        _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+        .withColumn(
+            "vocab",
+            F.count(F.lit(1)).over(W.partitionBy()).cast("double"))
+    )
     bif = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     scored = (
         dg.join(bif, ["w1", "w2"])
         .join(uni.withColumnRenamed("token", "w1"), "w1")
-        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             "k",
@@ -331,24 +354,28 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF-IDF — the
-    classic keyword-extraction / topic-tagging pass.  Term frequencies
-    and document frequencies come from the same token explode; the
-    document-frequency table is vocabulary-sized and broadcasts, so
-    scoring is a map-side join onto the tf stream and the only wide
-    ops are the two count aggregates plus the per-doc top-k window
-    (which reuses the tf shuffle's doc_id partitioning).  No UDF —
-    ln() and the window stay in codegen."""
+    classic keyword-extraction / topic-tagging pass.  Document
+    frequency rides a COUNT WINDOW over tf's own rows (tf's
+    (doc, token) grain is already doc-distinct, so count-per-token IS
+    df) — no df aggregate, no vocab join, and the corpus tokenizes
+    ONCE: the executed plan of the independent-aggregates form re-ran
+    the explode 3x because AQE never reuses exchanges across the
+    broadcast boundary (round 6 engine finding, BASELINE.md; same
+    fix as tpch_q11_shape).  Wide ops: the tf aggregate, the token
+    window, and the per-doc top-k window.  No UDF — ln() and both
+    windows stay in codegen."""
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df as a count window over tf's own (already doc-distinct) rows:
+    # no second tf subtree, no vocab join — the AQE reuse failure
+    # (BASELINE r6) means a dfreq-aggregate formulation would RERUN
+    # the tokenize+tf pipeline, not share it
+    tf_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("token")))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    # vocab-sized (Heaps-sublinear) side: AQE broadcasts it from
-    # runtime stats; forced hint dropped round 6 (lint)
     scored = (
-        tf.join(dfreq, "token")
+        tf_df
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

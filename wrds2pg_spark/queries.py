@@ -4711,11 +4711,17 @@ def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: top supplier by quarterly revenue — the view-
-    plus-scalar-max query.  The revenue aggregate is computed ONCE and
-    its 1-row max broadcast back onto itself (Q15's CREATE VIEW reuse,
-    which naive engines compute twice).  Equality on the exact scaled-
-    long sum is deterministic, so ties surface identically in both
-    engines."""
+    plus-scalar-max query.  The scalar max rides an EMPTY-FRAME
+    WINDOW over the one materialized revenue stream (Q15's CREATE
+    VIEW reuse): the crossJoin(broadcast(max)) form relied on
+    exchange reuse to dedup the view, but AQE never reuses exchanges
+    across the broadcast boundary in this engine (round 6 finding,
+    BASELINE.md — same fix as tpch_q11_shape), so the fact was
+    scanned and aggregated TWICE.  The window input is supplier-grain
+    (bounded by |supplier|, ~10^7 at TPC-H sf100k — far under the
+    single-partition bound the q11 switch documents).  Equality on
+    the exact scaled-long sum is deterministic, so ties surface
+    identically in both engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -4724,9 +4730,9 @@ def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
         .alias("total_revenue"))
-    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn(
+            "__max_rev", F.max("total_revenue").over(W.partitionBy()))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
