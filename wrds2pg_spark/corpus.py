@@ -184,11 +184,18 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dg = _tokens(docs).groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("k"))
-    freq = dg.groupBy("token").agg(F.sum("k").alias("c"))
-    total = freq.agg(F.sum("c").cast("double").alias("total"))
+    # total stamps onto freq itself via an empty-frame sum window —
+    # a freq.agg(sum) scalar would RERUN the whole tokenize+count
+    # pipeline (AQE exchange-reuse failure, BASELINE.md r6); the
+    # window input is the vocabulary, Heaps-sublinear
+    freq = (
+        dg.groupBy("token").agg(F.sum("k").alias("c"))
+        .withColumn(
+            "total",
+            F.sum("c").over(W.partitionBy()).cast("double"))
+    )
     scored = (
         dg.join(freq, "token")
-        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "k",

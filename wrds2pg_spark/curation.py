@@ -1247,15 +1247,24 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("n_s"))
-    tot = counts.agg(
-        F.sum("n_s").cast("double").alias("tot_n"),
-        # dsum, not SUM(double): the sqrt terms are irrational, so a
-        # raw float sum is order-dependent in the ULP that seeds the
-        # hash-band boundary — the exact scaled-long sum is not
-        dsum(F.sqrt(F.col("n_s")), 6).alias("tot_sqrt"),
-    )
+    # totals stamp onto counts itself via empty-frame windows — a
+    # counts.agg(...) scalar crossJoined back would RERUN the corpus
+    # scan+agg (AQE exchange-reuse failure, BASELINE.md r6); the
+    # window input is source-grain, a handful of rows.  tot_sqrt uses
+    # the dsum scaled-long trick in window form: the sqrt terms are
+    # irrational, so a raw float sum is order-dependent in the ULP
+    # that seeds the hash-band boundary — the exact long sum is not.
+    w_all = W.partitionBy()
     rates = (
-        counts.crossJoin(F.broadcast(tot))
+        counts
+        .withColumn("tot_n", F.sum("n_s").over(w_all).cast("double"))
+        .withColumn(
+            "tot_sqrt",
+            F.sum(
+                F.round(F.sqrt(F.col("n_s")) * F.lit(1e6), 0)
+                .cast("long")
+            ).over(w_all).cast("double") / F.lit(1e6),
+        )
         .select(
             "source",
             F.least(
