@@ -3864,32 +3864,36 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-quantity orders — HAVING over an
-    aggregate feeding an IN-subquery.  Spark shape: the HAVING
-    aggregate becomes a filtered groupBy whose (small) key set
-    semi-joins back into the fact pipeline — hint-free since round 6:
-    AQE broadcasts the key set while its runtime size allows and
-    falls back to a keyed shuffle when the lake outgrows it.  Customer
+    aggregate feeding an IN-subquery.  Spark shape since round 6: the
+    HAVING aggregate rides ONE orderkey window over the fact instead
+    of an aggregate + semi-join-back — the agg form wrote lineitem
+    into the plan twice and relied on exchange reuse to dedup it,
+    which AQE never does (exchange-reuse failure, BASELINE.md r6).
+    One lineitem scan, one orderkey exchange; the surviving rows
+    (rare: orders with >200 total quantity) collapse to order grain
+    on the SAME partitioning (no second exchange), then join orders —
+    AQE broadcasts the tiny aggregated side at runtime.  Customer
     contributes no output columns (c_custkey == o_custkey under the
     join), so it attaches LAST as a semi join against the aggregated
-    (tiny) result instead of widening every fact row before the agg —
-    measured 5.9 s -> 2.2 s at sf1."""
+    result instead of widening every fact row — measured 5.9 s ->
+    2.2 s at sf1 for that reorder alone."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
     big = (
-        li.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity"), 2).alias("__tq"))
+        li.withColumn(
+            "__tq",
+            F.sum(F.round(F.col("l_quantity") * F.lit(100.0), 0)
+                  .cast("long")).over(w).cast("double") / F.lit(100.0),
+        )
         .filter(F.col("__tq") > 200)
-        .select("l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.first("__tq").alias("total_qty"))
     )
     agged = (
-        o.join(
-            big.withColumnRenamed("l_orderkey", "__bigkey"),
-            F.col("o_orderkey") == F.col("__bigkey"), "left_semi",
-        )
-        .join(li, li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        o.join(big, F.col("o_orderkey") == big.l_orderkey)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "total_qty")
     )
     return (
         agged.join(c, agged.o_custkey == c.c_custkey, "left_semi")
@@ -4801,22 +4805,29 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: small-quantity-order revenue — the correlated
-    per-part average, decorrelated to an aggregate + join-back on the
-    SAME partkey partitioning (the aggregate's exchange is reused by
-    the join, so the fact shuffles once).  The 0.2*avg threshold is
-    written in the same operand order on both engines; avg over
-    integral quantities is an exact scaled-long mean."""
+    per-part average, decorrelated onto ONE partkey window instead of
+    an aggregate + join-back.  The round-4 agg form wrote the target
+    subtree twice and relied on exchange reuse to dedup it; the
+    EXECUTED plan under AQE scanned lineitem twice and built the part
+    broadcast twice (exchange-reuse failure, BASELINE.md r6).  The
+    window form scans the fact once, pays one partkey exchange on the
+    brand-filtered subset (~1/125 of lineitem), and computes the
+    per-part mean as an exact scaled-long sum over the partition —
+    identical IEEE ops to the oracle's aggregate, so the 0.2*avg
+    threshold compares bit-identically."""
     li = load_table(spark, sf_dir, "lineitem")
     tp = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 10)
     ).select("p_partkey")
     target = li.join(F.broadcast(tp), li.l_partkey == F.col("p_partkey"))
-    aq = target.groupBy("l_partkey").agg(
-        davg(F.col("l_quantity"), 0).alias("avg_qty"))
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).over(w)
+        .cast("double")
+        / F.count(F.col("l_quantity")).over(w).cast("double")
+    )
     return (
-        target.drop("p_partkey")
-        .join(aq.withColumnRenamed("l_partkey", "__pk"),
-              F.col("l_partkey") == F.col("__pk"))
+        target.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg((dsum(F.col("l_extendedprice"), 2) / F.lit(7.0))
              .alias("avg_yearly"))
