@@ -233,22 +233,57 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # materialized: THREE consumers branch off the candidate set
+        # (the id dim and both verification joins), and a shared
+        # subtree re-executes once per consumer under AQE (exchange-
+        # reuse failure, BASELINE.md r6) — un-checkpointed, the whole
+        # signature pipeline ran once per branch.  The candidate set
+        # is tiny relative to N^2 by LSH design, so the checkpoint is
+        # bytes, not a corpus copy.
+        .localCheckpoint(eager=False)
     )
-    # Verification: make the (tiny) candidate set the BROADCAST side of
-    # both joins.  The broadcast exchange is built once and reused, so
-    # the whole signature pipeline above executes exactly once — and
-    # shingle-hashing for verification happens AFTER the join, i.e.
-    # only for candidate rows, never a second full-corpus pass.
+    return _verify_pairs_exact(df, cand, threshold, text_col, id_col)
+
+
+def _verify_pairs_exact(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of a (tiny, checkpointed) candidate
+    pair set: ONE corpus scan computes shingle hashes for candidate
+    ids only (semi-broadcast of the id dim); the hashed mini-table is
+    itself checkpointed (candidate-sized) and joined twice.  The
+    pre-round-6 form broadcast the candidates into two full corpus
+    scans and relied on exchange reuse — which AQE never grants
+    (BASELINE.md r6) — so the upstream signature pipeline re-executed
+    per verification side.  Verification needs only engine-LOCAL
+    exactness, not portability: intersecting long arrays (xxhash64 of
+    each shingle) costs a fraction of string-array intersects and
+    yields identical set sizes."""
     hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
-    side_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    j = (
-        side_a.join(F.broadcast(cand), "id_a")
-        .select("id_a", "id_b", hash_of(F.col("__ta")).alias("sh_a"))
+    ids = (
+        cand.select(F.col("id_a").alias("__cid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
     )
-    side_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    hashed = (
+        df.join(F.broadcast(ids), F.col(id_col) == F.col("__cid"))
+        .select(F.col(id_col).alias("__hid"),
+                hash_of(F.col(text_col)).alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
     j = (
-        side_b.join(F.broadcast(j), "id_b")
-        .select("id_a", "id_b", "sh_a", hash_of(F.col("__tb")).alias("sh_b"))
+        cand.join(hashed, F.col("id_a") == F.col("__hid"))
+        .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
+        .join(
+            hashed.select(F.col("__hid").alias("__hid2"),
+                          F.col("__sh").alias("sh_b")),
+            F.col("id_b") == F.col("__hid2"),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
@@ -385,31 +420,16 @@ def minhash_lsh_pairs_portable(
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
+        # same rationale as the fast variant: three consumers, no
+        # exchange reuse under AQE, tiny-by-design candidate set
+        .localCheckpoint(eager=False)
     )
-    # Verification needs only engine-LOCAL exactness, not portability:
-    # intersecting long arrays (xxhash64 of each shingle) costs a
-    # fraction of string-array intersects and yields identical
-    # set sizes — the md5 family is required only where the ORACLE
-    # must reproduce values (signatures/buckets above).  Measured at
-    # a near-dup-dense sf1: 54.7s -> fast-variant territory.
-    hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
-    side_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    j = (
-        side_a.join(F.broadcast(cand), "id_a")
-        .select("id_a", "id_b", hash_of(F.col("__ta")).alias("sh_a"))
-    )
-    side_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
-    j = (
-        side_b.join(F.broadcast(j), "id_b")
-        .select("id_a", "id_b", "sh_a", hash_of(F.col("__tb")).alias("sh_b"))
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
-    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
-    return (
-        j.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    # the md5 family is required only where the ORACLE must reproduce
+    # values (signatures/buckets above); verification uses the shared
+    # engine-local exact-Jaccard pass (xxhash64 long intersects —
+    # measured at a near-dup-dense sf1: 54.7s -> fast-variant
+    # territory)
+    return _verify_pairs_exact(df, cand, threshold, text_col, id_col)
 
 
 def build_minhash_bucket_index(
@@ -468,6 +488,12 @@ def dedup_incremental_portable(
         idx.join(F.broadcast(new_keyed), "bucket")
         .select("id_new", "id_old")
         .dropDuplicates(["id_new", "id_old"])
+        # materialized: both verification joins consume the candidate
+        # set, and a shared subtree re-executes per consumer under AQE
+        # (exchange-reuse failure, BASELINE.md r6) — un-checkpointed,
+        # the index probe + arrival signature pipeline ran once per
+        # side.  Candidates are arrival-bounded, so this is bytes.
+        .localCheckpoint(eager=False)
     )
     hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
     side_new = new_docs.select(

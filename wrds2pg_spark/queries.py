@@ -5475,18 +5475,24 @@ def basket_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts, support, and lift — the association-mining shape
     (frequent itemsets at k=2).
 
-    Scale shape: the distinct (basket, item) table shuffles ONCE on
-    the basket key; the pair self-join reuses that partitioning, so
-    pair generation is per-basket quadratic over a bounded item
-    vocabulary (5 priorities -> <=10 pairs per basket).  Item
-    frequencies and the basket count are tiny aggregates broadcast
-    into the final projection — no second shuffle of the pair table.
-    Division order is pinned identically in both engines (exact
-    integer counts, two IEEE ops) so no rounding is needed."""
+    Scale shape: the distinct (basket, item) incidence table is
+    materialized ONCE (lazy localCheckpoint) — five consumers branch
+    off it (basket count, item frequencies twice, both pair-join
+    sides) and AQE never dedups a shared subtree across consumers
+    (exchange-reuse failure, BASELINE.md r6), so the un-materialized
+    form re-ran the orders scan+distinct five times.  The incidence
+    table is the algorithm's working set anyway (n_baskets x <=5
+    rows, two narrow columns); the pair self-join reuses its basket
+    partitioning, so pair generation is per-basket quadratic over a
+    bounded item vocabulary (5 priorities -> <=10 pairs per basket).
+    Item frequencies and the basket count are tiny aggregates
+    broadcast into the final projection — no second shuffle of the
+    pair table.  Division order is pinned identically in both engines
+    (exact integer counts, two IEEE ops) so no rounding is needed."""
     o = load_table(spark, sf_dir, "orders")
     items = o.select(
         F.col("o_custkey"), F.col("o_orderpriority").alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     # basket count as a broadcast 1-row aggregate — never a driver
     # action (no-collect doctrine, tests/test_plans.py)
     nb = items.agg(F.countDistinct("o_custkey").alias("n_baskets"))
@@ -5670,33 +5676,22 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median (interpolated, Spark percentile == DuckDB
-    quantile_cont) and deterministic mode (max count, priority
-    tiebreak) per order status.  The mode uses max_by over a (count,
-    priority) struct — one extra agg over the 15-row count table, no
-    window, no second shuffle of the fact."""
+    quantile_cont) and deterministic mode (max count, smallest-value
+    tiebreak) per order status, FUSED into one aggregate — the
+    round-6 form ran median and mode as two branches off the same
+    scan, which executed as two full scans (exchange-reuse failure,
+    BASELINE.md r6).  Spark's mode(deterministic=True) breaks
+    frequency ties by returning the smallest value, exactly the
+    oracle's (n DESC, priority ASC) ROW_NUMBER pick; its partial
+    buffer is a count-map over the bounded 5-value priority
+    vocabulary, so the fact shuffles once as map-side partials."""
     o = load_table(spark, sf_dir, "orders")
-    med = o.groupBy("o_orderstatus").agg(
+    return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6)
-        .alias("median_price")
+        .alias("median_price"),
+        F.mode(F.col("o_orderpriority"), deterministic=True)
+        .alias("mode_priority"),
     )
-    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    # max_by with a deterministic composite: highest n wins, then the
-    # LOWEST priority string — negate the string comparison by using
-    # a struct of (n, negated rank) ... simplest portable form: take
-    # max over (n, reversed priority) won't order strings descending,
-    # so rank the tiny count table instead (3 statuses x 5 priorities).
-    w = W.partitionBy("o_orderstatus").orderBy(
-        F.col("n").desc(), F.col("o_orderpriority")
-    )
-    md = (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_orderstatus",
-                F.col("o_orderpriority").alias("mode_priority"))
-    )
-    return med.join(md, "o_orderstatus")
 
 
 @register(
