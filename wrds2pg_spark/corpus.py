@@ -1151,14 +1151,21 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``, the already-proven pairing) broadcast back onto
     the fact stream twice — group medians first, then deviation
     medians; counts are integers and every float comparison runs the
-    same IEEE ops both engines, so no rounding is needed anywhere."""
+    same IEEE ops both engines, so no rounding is needed anywhere.
+    The deviation stream is materialized once (lazy localCheckpoint):
+    its two consumers (the MAD aggregate and the final flag pass)
+    would otherwise each re-run the scan + median subtree under the
+    AQE exchange-reuse failure (BASELINE.md r6) — 4 fact scans for a
+    2-pass algorithm.  The checkpoint is a narrow 4-column projection
+    on executor-local disk, cheaper at any scale than two extra lake
+    scans."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.percentile(F.col("value"), F.lit(0.5)).alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
-    )
+    ).localCheckpoint(eager=False)
     mad = dev.groupBy("event_type").agg(
         F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"))
     return (

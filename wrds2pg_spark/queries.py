@@ -5148,19 +5148,25 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     user dim; the real data moves once (groupBy user+day), and the
     fill is last(ignorenulls) over the same user partitioning the
     spine join just produced.  At 100 TB the spine stays tiny relative
-    to the fact and the whole op is one fact shuffle + one window."""
+    to the fact and the whole op is one fact scan + one shuffle + one
+    window: the daily aggregate — the operator's own output domain,
+    already downsampled — is materialized once (lazy localCheckpoint)
+    and the bounds/users dims derive from IT, because three subtrees
+    branching off the raw fact re-scan it once each under AQE
+    (exchange-reuse failure, BASELINE.md r6)."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum(F.col("value"), 2).alias("day_value")).localCheckpoint(
+        eager=False)
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
     )
     days = bounds.select(
         F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
         .alias("day"))
-    users = ev.select("user_id").distinct()
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(dsum(F.col("value"), 2).alias("day_value"))
+    users = daily.select("user_id").distinct()
     spine = users.crossJoin(F.broadcast(days))
     w = (
         W.partitionBy("user_id").orderBy("day")
@@ -5221,22 +5227,25 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-fill one rung above forward-fill (ts_resample_ffill): missing
     days take the value linearly between the surrounding known days,
     edge gaps take the nearest known value.  Same scale shape as the
-    ffill twin — one fact shuffle for the daily agg, then two frames
-    of ONE user-partitioned window (prev/next carriers ride the same
-    exchange and sort); the interpolation arithmetic is row-local
-    above it."""
+    ffill twin — one fact scan feeding one shuffle for the daily agg
+    (materialized lazily, like the ffill twin, so the bounds/users
+    dims don't re-scan the raw fact under the AQE exchange-reuse
+    failure), then two frames of ONE user-partitioned window
+    (prev/next carriers ride the same exchange and sort); the
+    interpolation arithmetic is row-local above it."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum(F.col("value"), 2).alias("day_value")).localCheckpoint(
+        eager=False)
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
     )
     days = bounds.select(
         F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
         .alias("day"))
-    users = ev.select("user_id").distinct()
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(dsum(F.col("value"), 2).alias("day_value"))
+    users = daily.select("user_id").distinct()
     spine = (
         users.crossJoin(F.broadcast(days))
         .join(daily, ["user_id", "day"], "left")
