@@ -238,6 +238,7 @@ HEADLINE = [
     "scan_schema_evolution",
     "stats_herfindahl",
     "stats_rfm_segments",
+    "stats_ridge_by_group",
     "ts_seasonal_decompose",
 ]
 

@@ -571,8 +571,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id % 20 == 0`` stand in for the eval set) — the standard
     pre-training hygiene pass (GPT-3 appendix C / PaLM style).
 
-    Scale shape: one shingle generator (HOF transform, fused with the
-    scan) feeds both sides; the benchmark side collapses to DISTINCT
+    Scale shape: the shingle generator (HOF transform, fused with the
+    scan) runs as two pushed-down scans over DISJOINT row sets — the
+    5% eval slice and the 95% train slice — so no shingle is computed
+    twice; the benchmark side collapses to DISTINCT
     shingles (eval suites are small — MBs against a 100 TB corpus) and
     broadcasts into a semi-join, so the training corpus streams
     through a map-side hash probe with no repartition of shingles.

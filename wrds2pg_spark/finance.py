@@ -646,3 +646,77 @@ def stats_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("mon_cents").cast("double") / F.lit(100.0))
         .alias("total_monetary"),
     )
+
+
+@register(
+    "stats_ridge_by_group",
+    oracle="""
+    WITH m AS (
+        SELECT l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(round(l_discount * 100, 0) AS BIGINT)) AS sx,
+               SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+               SUM(CAST(round(l_discount * 100, 0) AS BIGINT)
+                   * CAST(round(l_discount * 100, 0) AS BIGINT)) AS sxx,
+               SUM(CAST(round(l_discount * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_linestatus),
+    d AS (
+        SELECT l_linestatus, n,
+               CAST((CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy) AS DOUBLE) AS numd,
+               CAST((CAST(n AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * sx) AS DOUBLE) AS dend,
+               CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS n2d
+        FROM m)
+    SELECT l_linestatus, n,
+           round(numd / dend, 6) AS slope_ols,
+           round(numd / (dend + 5000.0 * n2d), 6) AS slope_ridge,
+           round(dend / (dend + 5000.0 * n2d), 6) AS shrinkage
+    FROM d
+    """,
+)
+def stats_ridge_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ridge regression (y = l_extendedprice on
+    x = l_discount, grouped by l_linestatus) next to its OLS twin —
+    the L2-regularized slope every cross-sectional factor model fits
+    when the regressor is weak or collinear.  With centered moments,
+    ridge is a closed form: slope = Sxy / (Sxx + lambda*n), which in
+    the n^2-scaled integer moments reads num / (den + lambda*n^2) —
+    no iteration, no matrix solve, one extra IEEE add over the OLS
+    denominator.  The shrinkage factor den/(den+lambda*n^2) is the
+    fraction of the OLS slope that survives (lambda=50 in x-variance
+    units; x is scaled x100, so the SQL constant is 5000).
+
+    Exactness: x (discount x100) is integral <=10, y (price x100)
+    integral -> all four moments sum exactly as BIGINT (Sxy peaks
+    ~6e15 at sf10, inside 2^63); num/den combine in DECIMAL(38,0) /
+    HUGEINT and convert to double before the division, an identical
+    IEEE tree on both engines.
+
+    Scale shape: ONE map-side-combined aggregate over the fact scan;
+    the exchange carries 5 integers per group.  No second pass, no
+    broadcast, no UDF (same plan family as stats_ols_by_group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_discount") * 100, 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    m = li.select(
+        "l_linestatus", x.alias("x"), y.alias("y")
+    ).groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num, den = _slope_cols()
+    numd, dend = num.cast("double"), den.cast("double")
+    n2d = (F.col("n").cast(_DEC) * F.col("n").cast(_DEC)).cast("double")
+    ridge_den = dend + F.lit(5000.0) * n2d
+    return m.select(
+        "l_linestatus",
+        "n",
+        F.round(numd / dend, 6).alias("slope_ols"),
+        F.round(numd / ridge_den, 6).alias("slope_ridge"),
+        F.round(dend / ridge_den, 6).alias("shrinkage"),
+    )
