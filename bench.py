@@ -178,6 +178,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "basket_priority_lift",
     "join_asof_tolerance",
+    "join_asof_cogrouped",
     # round-3 additions
     "join_interval_overlap",
     "dedup_ngram_containment",

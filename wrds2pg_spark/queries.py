@@ -666,6 +666,87 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_cogrouped",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS asof_o_orderkey,
+           o.o_orderdate AS asof_o_orderdate,
+           o.o_totalprice AS asof_o_totalprice
+    FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
+def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same backward as-of join as ``join_asof``, expressed
+    through Spark's CoGroupedMap API (``groupBy...cogroup...
+    applyInPandas``) with ``pandas.merge_asof`` doing the per-user
+    merge — the escape hatch for as-of VARIANTS the union+window
+    operator can't express (per-key custom tolerances, multi-column
+    nearest, interpolating lookups).  The cogroup key is a HASH
+    BUCKET of the user key, not the user itself: merge_asof's ``by=``
+    does the per-user split inside each Arrow batch, so the number of
+    Python invocations scales with the bucket count (cluster-sized
+    knob), never with user cardinality — keyed per-user, 10k users
+    cost 10k interpreter calls (measured 17 s at sf0.01; bucketed:
+    1.3 s).  Both sides shuffle ONCE on the bucket; sorting right by
+    (date, orderkey) makes merge_asof's last-among-ties pick equal
+    the oracle's ORDER BY ... DESC LIMIT 1.  Per-bucket frames must
+    fit one task's memory — the documented CoGroupedMap trade; the
+    JVM union+window form (join_asof) stays the scale default and
+    this key exists to keep the Python-boundary path tested against
+    the identical oracle."""
+    import pandas as _pd
+
+    n_buckets = 64
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        (F.col("user_id") % n_buckets).alias("__b"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        (F.col("o_custkey") % n_buckets).alias("__b"),
+    )
+
+    def merge(left: _pd.DataFrame, right: _pd.DataFrame) -> _pd.DataFrame:
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        out = _pd.merge_asof(
+            left.drop(columns=["__b"]),
+            right.drop(columns=["__b"]),
+            left_on="ts", right_on="o_orderdate", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        return _pd.DataFrame({
+            "event_id": out["event_id"],
+            "user_id": out["user_id"],
+            "ts": out["ts"],
+            "asof_o_orderkey": out["o_orderkey"].astype("Int64"),
+            "asof_o_orderdate": out["o_orderdate"],
+            "asof_o_totalprice": out["o_totalprice"],
+        })
+
+    return (
+        e.groupBy("__b")
+        .cogroup(o.groupBy("__b"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id long, user_id long, ts timestamp, "
+                "asof_o_orderkey long, asof_o_orderdate timestamp, "
+                "asof_o_totalprice double"
+            ),
+        )
+    )
+
+
 _ASOF_TOL_S = 90 * 86400  # 90 days
 
 
@@ -3865,31 +3946,26 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-quantity orders — HAVING over an
     aggregate feeding an IN-subquery.  Spark shape since round 6: the
-    HAVING aggregate rides ONE orderkey window over the fact instead
-    of an aggregate + semi-join-back — the agg form wrote lineitem
-    into the plan twice and relied on exchange reuse to dedup it,
-    which AQE never does (exchange-reuse failure, BASELINE.md r6).
-    One lineitem scan, one orderkey exchange; the surviving rows
-    (rare: orders with >200 total quantity) collapse to order grain
-    on the SAME partitioning (no second exchange), then join orders —
-    AQE broadcasts the tiny aggregated side at runtime.  Customer
-    contributes no output columns (c_custkey == o_custkey under the
-    join), so it attaches LAST as a semi join against the aggregated
-    result instead of widening every fact row — measured 5.9 s ->
-    2.2 s at sf1 for that reorder alone."""
+    HAVING aggregate's own sum IS the output sum, so the filtered
+    aggregate joins orders directly carrying __tq — the round-5 form
+    semi-joined the key set back into a SECOND lineitem scan and
+    re-aggregated the identical sum, relying on exchange reuse that
+    AQE never grants (BASELINE.md r6).  One lineitem scan, one
+    map-side-combined orderkey exchange (partials, never a full fact
+    sort — an orderkey-window form was measured WORSE at sf1, 1.89 vs
+    1.42 s, because windows can't partial-aggregate); AQE broadcasts
+    the rare >200-quantity aggregate into orders at runtime.
+    Customer contributes no output columns (c_custkey == o_custkey
+    under the join), so it attaches LAST as a semi join against the
+    aggregated result instead of widening every fact row — measured
+    5.9 s -> 2.2 s at sf1 for that reorder alone."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey")
     big = (
-        li.withColumn(
-            "__tq",
-            F.sum(F.round(F.col("l_quantity") * F.lit(100.0), 0)
-                  .cast("long")).over(w).cast("double") / F.lit(100.0),
-        )
-        .filter(F.col("__tq") > 200)
-        .groupBy("l_orderkey")
-        .agg(F.first("__tq").alias("total_qty"))
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
     )
     agged = (
         o.join(big, F.col("o_orderkey") == big.l_orderkey)
