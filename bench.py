@@ -164,6 +164,7 @@ HEADLINE = [
     "events_threshold_crossings",
     "graph_pagerank",
     "graph_jaccard_neighbors",
+    "graph_triangle_count",
     "profile_table",
     "dedup_survivorship",
     "stream_late_drop_counts",

@@ -6052,6 +6052,91 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangle_count",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    e AS (
+        SELECT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+        HAVING COUNT(*) >= 2),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pern AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY node)
+    SELECT node, n_triangles FROM pern
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (top-20) on the thresholded
+    co-purchase supplier graph — the clustering-coefficient /
+    community-density primitive.  Nodes are suppliers; an undirected
+    edge joins two suppliers sharing >= 2 parts (the same
+    blocked-by-part pair generation as graph_jaccard_neighbors, so
+    edge building is sum-over-parts of deg^2, never a supplier
+    self-join).
+
+    Triangle enumeration is the textbook ordered-edge join: edges
+    stored once with u < v, a path join on the middle vertex
+    (e1.v == e2.u gives a < b < c for free), then a semi-style join
+    against the closing edge (a, c).  The edge list — used by all
+    THREE join legs — is materialized once (lazy localCheckpoint):
+    under the AQE exchange-reuse failure an un-materialized edge
+    subtree would re-run the blocked pair aggregate per leg
+    (BASELINE.md r6).  The >= 2 shared-parts threshold keeps the
+    graph sparse, so the two edge joins shuffle far fewer rows than
+    the pair aggregate that built them; per-node counts are an
+    explode + map-side-combined agg, and the top-20 compiles to
+    TakeOrderedAndProject."""
+    from wrds2pg_spark.operators.skew import cap_block_rows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps_d = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    capped = cap_block_rows(ps_d, "p", "s", _JACCARD_BLOCK_CAP)
+    a = capped.alias("a")
+    b = capped.alias("b").hint("shuffle_hash")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p"))
+               & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        edges.join(e2, F.col("v") == F.col("b2"))
+        .join(e3, (F.col("u") == F.col("a3"))
+              & (F.col("c2") == F.col("c3")))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"),
+                F.col("c2").alias("c"))
+    )
+    pern = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        pern.orderBy(F.desc("n_triangles"), "node").limit(20)
+        .select("node", "n_triangles")
+    )
+
+
+@register(
     "events_threshold_crossings",
     oracle="""
     WITH seq AS (
