@@ -160,6 +160,7 @@ HEADLINE = [
     "quality_percentile_gate",
     "stream_upsert_totals",
     "agg_median_mode",
+    "agg_weighted_median",
     "events_gaps_islands",
     "events_threshold_crossings",
     "graph_pagerank",

@@ -2954,6 +2954,64 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS totw
+        FROM lineitem)
+    SELECT l_returnflag,
+           min(v) AS weighted_median,
+           CAST(min(totw) AS BIGINT) AS total_weight
+    FROM w
+    WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (l_extendedprice weighted by
+    l_quantity): the smallest value whose cumulative weight reaches
+    half the group total — the robust center a pipeline uses when
+    rows carry replication counts or importance weights, which no
+    built-in percentile covers.  Weights sum exactly as BIGINT, so
+    the 2*cumw >= totw boundary is integer-exact on both engines;
+    ordering among equal values cannot change the PICKED VALUE (the
+    tied rows all carry it), and a unique tiebreak keys the running
+    sum deterministically anyway.  One group exchange carries both
+    window frames (running and total) and the final min rides the
+    same partitioning — a 2-stage plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wr = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("l_returnflag")
+    qty = F.col("l_quantity").cast("long")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(qty).over(wr).alias("cumw"),
+        F.sum(qty).over(wt).alias("totw"),
+    )
+    return (
+        base.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("totw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
     "window_ntile",
     oracle="""
     SELECT o_orderkey, o_orderpriority, o_totalprice,
