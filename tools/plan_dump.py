@@ -171,6 +171,26 @@ SHOWCASE = {
         "hash agg, so sort-merge's sorts would be pure overhead); "
         "degree re-attach broadcasts; top-100 is TakeOrdered."
     ),
+    "graph_triangle_count": (
+        "Ordered-edge-join triangles: the checkpointed u<v edge list "
+        "feeds all three join legs (one materialization under the AQE "
+        "exchange-reuse failure); the middle-vertex path join yields "
+        "a<b<c for free and the closing-edge join is keyed, never a "
+        "cartesian; top-20 is TakeOrdered."
+    ),
+    "join_asof_cogrouped": (
+        "CoGroupedMap boundary: both sides shuffle ONCE on a hash "
+        "BUCKET of the user key (FlatMapCoGroupsInPandas), and "
+        "merge_asof's by= splits per-user inside each Arrow batch — "
+        "Python invocations scale with the bucket knob, not user "
+        "cardinality (per-user keying measured 13x slower)."
+    ),
+    "agg_weighted_median": (
+        "Weighted median: ONE l_returnflag exchange carries both "
+        "window frames (running cumulative weight and group total); "
+        "the boundary filter and final min ride the same "
+        "partitioning — no second shuffle."
+    ),
     "profile_table": (
         "Union of five per-column profiling branches, each a pruned "
         "one-column scan + groupBy(value) hash collapse — no Expand, "
