@@ -6114,11 +6114,24 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    e AS (
-        SELECT a.s AS u, b.s AS v
+    pairs AS (
+        SELECT a.s AS u, b.s AS v, COUNT(*) AS n_common
         FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-        GROUP BY a.s, b.s
-        HAVING COUNT(*) >= 2),
+        GROUP BY a.s, b.s),
+    directed AS (
+        SELECT u AS src, v AS dst, n_common FROM pairs
+        UNION ALL
+        SELECT v, u, n_common FROM pairs),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n_common DESC, dst) AS rn
+            FROM directed)
+        WHERE rn <= 4),
+    e AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM knn),
     tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM e e1
@@ -6135,26 +6148,33 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts (top-20) on the thresholded
+    """Per-node triangle counts (top-20) on the k-nearest-neighbor
     co-purchase supplier graph — the clustering-coefficient /
-    community-density primitive.  Nodes are suppliers; an undirected
-    edge joins two suppliers sharing >= 2 parts (the same
-    blocked-by-part pair generation as graph_jaccard_neighbors, so
-    edge building is sum-over-parts of deg^2, never a supplier
-    self-join).
+    community-density primitive.  Nodes are suppliers; pair strength
+    is shared-part count (the same blocked-by-part pair generation as
+    graph_jaccard_neighbors, so pair building is sum-over-parts of
+    deg^2, never a supplier self-join); each node keeps its 4
+    STRONGEST partners (deterministic tiebreak) and an undirected
+    edge survives if EITHER endpoint kept it — the standard kNN-graph
+    sparsification.  Top-k-per-node is the scale-free rule an
+    absolute threshold can't be: the fixture's co-purchase graph is
+    COMPLETE at every SF (mean shared-parts ~17 at sf0.1, so
+    HAVING >= t either keeps all C(n,2) pairs or none — the first
+    registered form measured 26 s Spark / 65 s DuckDB counting
+    C(1000,3) clique triangles), while kNN bounds degree and hence
+    triangles at any corpus size.
 
     Triangle enumeration is the textbook ordered-edge join: edges
     stored once with u < v, a path join on the middle vertex
-    (e1.v == e2.u gives a < b < c for free), then a semi-style join
-    against the closing edge (a, c).  The edge list — used by all
-    THREE join legs — is materialized once (lazy localCheckpoint):
-    under the AQE exchange-reuse failure an un-materialized edge
-    subtree would re-run the blocked pair aggregate per leg
-    (BASELINE.md r6).  The >= 2 shared-parts threshold keeps the
-    graph sparse, so the two edge joins shuffle far fewer rows than
-    the pair aggregate that built them; per-node counts are an
-    explode + map-side-combined agg, and the top-20 compiles to
-    TakeOrderedAndProject."""
+    (e1.v == e2.u gives a < b < c for free), then a join against the
+    closing edge (a, c).  The edge list — used by all THREE join
+    legs — is materialized once (lazy localCheckpoint): under the AQE
+    exchange-reuse failure an un-materialized edge subtree would
+    re-run the blocked pair aggregate per leg (BASELINE.md r6).  The
+    per-node top-k rides ONE window over the doubled pair list
+    (Spark's WindowGroupLimit keeps k rows per key per partition
+    pre-shuffle); per-node counts are an explode + map-side-combined
+    agg, and the top-20 compiles to TakeOrderedAndProject."""
     from wrds2pg_spark.operators.skew import cap_block_rows
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -6164,13 +6184,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_block_rows(ps_d, "p", "s", _JACCARD_BLOCK_CAP)
     a = capped.alias("a")
     b = capped.alias("b").hint("shuffle_hash")
-    edges = (
+    pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p"))
                & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 2)
-        .select("u", "v")
+    )
+    directed = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "n_common"
+    ).unionAll(pairs.select(
+        F.col("v").alias("src"), F.col("u").alias("dst"), "n_common"))
+    wk = W.partitionBy("src").orderBy(F.desc("n_common"), "dst")
+    edges = (
+        directed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 4)
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
         .localCheckpoint(eager=False)
     )
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
