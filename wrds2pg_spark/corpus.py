@@ -285,8 +285,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
+    # dg feeds BOTH the bigram-frequency aggregate and the scoring
+    # join; un-materialized it re-runs the zip_with explode + count
+    # per consumer (AQE exchange-reuse failure, BASELINE.md r6) —
+    # the lazy checkpoint measured 10.3 -> 9.5 s at sf1.  (The same
+    # trick on the unigram key measured a WASH: its second consumer
+    # is only the cheap vocab agg, so the materialization write costs
+    # what the saved tokenize earns.)
     dg = big.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("k"))
+        F.count(F.lit(1)).alias("k")).localCheckpoint(eager=False)
     # vocab stamps onto uni itself via an empty-frame count window —
     # a vocab = uni.agg(count) scalar would RERUN the tokenize+count
     # pipeline (AQE never reuses exchanges across the broadcast
