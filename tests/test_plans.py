@@ -775,3 +775,31 @@ def test_q11_shape_single_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1
     assert "Window" in plan
+
+
+@pytest.mark.parametrize("name,table,max_scans", [
+    # the round-6 exchange-reuse sweep: shared subtrees must not
+    # re-scan the fact once per consumer (BASELINE.md r6; the fix is
+    # a window, a lazy localCheckpoint, or a fuse — the gate protects
+    # whichever form against regressing to multi-scan)
+    ("tpch_q15_shape", "lineitem", 1),
+    ("tpch_q17_shape", "lineitem", 1),
+    ("tpch_q18_shape", "lineitem", 1),
+    ("agg_median_mode", "orders", 1),
+    ("basket_priority_lift", "orders", 1),
+    ("ts_resample_ffill", "events", 1),
+    ("ts_interpolate_linear", "events", 1),
+    ("anomaly_mad", "events", 2),          # median agg + dev build
+    ("mixture_temperature_sample", "documents", 2),  # rates + apply
+    ("tfidf_top_terms", "documents", 2),   # tokenize + pruned count
+    ("text_unigram_logprob", "documents", 2),  # dg twice, total windowed
+    ("text_bigram_logprob", "documents", 2),   # dg checkpointed; uni pass
+])
+def test_scan_budget(spark, name, table, max_scans):
+    """Same-table scan budget for the keys the round-6 sweep fixed:
+    counts Location lines in the formatted plan (lazy checkpoints
+    materialize during explain, which is fine — the budget is about
+    the executed shape)."""
+    plan = formatted_plan(spark, name)
+    n = len(re.findall(rf"Location:[^\n]*/{table}\.parquet", plan))
+    assert n <= max_scans, f"{name}: {n} scans of {table} (max {max_scans})"
