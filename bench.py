@@ -163,6 +163,7 @@ HEADLINE = [
     "agg_weighted_median",
     "events_gaps_islands",
     "events_threshold_crossings",
+    "events_ab_test_lift",
     "graph_pagerank",
     "graph_jaccard_neighbors",
     "graph_triangle_count",

@@ -2169,3 +2169,110 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(700.0) * F.count(F.lit(1))), 6
         ).alias("seasonal"),
     )
+
+
+@register(
+    "events_ab_test_lift",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS variant,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id),
+    exposed AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN t_purchase >= t_view THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted
+        FROM per_user WHERE t_view IS NOT NULL GROUP BY variant),
+    pooled AS (
+        SELECT variant, n_users, n_converted,
+               CAST(n_converted AS DOUBLE) / n_users AS conv_rate,
+               CAST(sum(n_converted) OVER () AS DOUBLE)
+                   / sum(n_users) OVER () AS p_pool,
+               CAST(sum(CASE WHEN variant = 1 THEN n_converted END)
+                        OVER () AS DOUBLE)
+                   / sum(CASE WHEN variant = 1 THEN n_users END) OVER ()
+                 - CAST(sum(CASE WHEN variant = 0 THEN n_converted END)
+                            OVER () AS DOUBLE)
+                   / sum(CASE WHEN variant = 0 THEN n_users END) OVER ()
+                   AS rate_diff,
+               CAST(sum(CASE WHEN variant = 0 THEN n_users END) OVER ()
+                    AS DOUBLE) AS n0,
+               CAST(sum(CASE WHEN variant = 1 THEN n_users END) OVER ()
+                    AS DOUBLE) AS n1
+        FROM exposed)
+    SELECT variant, n_users, n_converted,
+           round(conv_rate, 6) AS conv_rate,
+           round(rate_diff, 6) AS lift_abs,
+           round(rate_diff
+                 / sqrt(p_pool * (1 - p_pool) * (1/n0 + 1/n1)), 6) AS z
+    FROM pooled ORDER BY variant
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B conversion readout: users split into variants
+    by a deterministic key hash (user_id % 2 — the portable stand-in
+    for the production bucketing hash), exposure = has a view,
+    conversion = first purchase at/after first view; per-variant
+    rates plus the absolute lift and the pooled two-proportion
+    z-statistic every experimentation platform reports.
+
+    Scale shape: ONE user_id shuffle computes both first-touch
+    timestamps as conditional mins (the funnel_events pass with a
+    variant key); the variant rollup is 2 rows, and the pooled
+    lift/z ride empty-frame windows over those 2 rows — no second
+    scan, no driver round-trip.  Counts are exact integers; the
+    z-statistic is a fixed IEEE tree over integer-derived doubles,
+    identical in the oracle, so it hash-matches without an epsilon."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_purchase"),
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+        "t_view", "t_purchase",
+    )
+    exposed = (
+        per_user.filter(F.col("t_view").isNotNull())
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(
+                F.when(F.col("t_purchase") >= F.col("t_view"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_converted"),
+        )
+    )
+    w = W.partitionBy()
+    conv1 = F.when(F.col("variant") == 1, F.col("n_converted"))
+    users1 = F.when(F.col("variant") == 1, F.col("n_users"))
+    conv0 = F.when(F.col("variant") == 0, F.col("n_converted"))
+    users0 = F.when(F.col("variant") == 0, F.col("n_users"))
+    pooled = exposed.select(
+        "variant", "n_users", "n_converted",
+        (F.col("n_converted").cast("double")
+         / F.col("n_users").cast("double")).alias("conv_rate"),
+        (F.sum("n_converted").over(w).cast("double")
+         / F.sum("n_users").over(w).cast("double")).alias("p_pool"),
+        (F.sum(conv1).over(w).cast("double")
+         / F.sum(users1).over(w).cast("double")
+         - F.sum(conv0).over(w).cast("double")
+         / F.sum(users0).over(w).cast("double")).alias("rate_diff"),
+        F.sum(users0).over(w).cast("double").alias("n0"),
+        F.sum(users1).over(w).cast("double").alias("n1"),
+    )
+    return pooled.select(
+        "variant", "n_users", "n_converted",
+        F.round("conv_rate", 6).alias("conv_rate"),
+        F.round("rate_diff", 6).alias("lift_abs"),
+        F.round(
+            F.col("rate_diff")
+            / F.sqrt(F.col("p_pool") * (1 - F.col("p_pool"))
+                     * (1 / F.col("n0") + 1 / F.col("n1"))), 6
+        ).alias("z"),
+    ).orderBy("variant")
