@@ -305,6 +305,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab",
             F.count(F.lit(1)).over(W.partitionBy()).cast("double"))
     )
+    # c12 via agg+join, NOT a (w1,w2) window over dg: the window form
+    # measured 13% faster at sf1 (one dg exchange instead of two) but
+    # puts every row of one bigram in ONE task — bigram frequency is
+    # Zipfian and AQE can split a skewed shuffle JOIN partition but
+    # never a window partition, so the join form is the one that
+    # survives "of the" at 100 TB (recorded negative, round 6).
     bif = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     scored = (
         dg.join(bif, ["w1", "w2"])
