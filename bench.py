@@ -190,6 +190,7 @@ HEADLINE = [
     "anomaly_mad",
     "text_zipf_slope",
     "similarity_recall_at_k",
+    "similarity_matryoshka_recall",
     "dedup_exact_substr",
     "text_hapax_ratio",
     "overlap_source_trigram",

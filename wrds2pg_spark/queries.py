@@ -1874,6 +1874,63 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIM = 16  # serving prefix width for the matryoshka audit
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle=f"""
+    WITH exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY {_emb_cos_sql('embedding', _QVEC_SQL)} DESC, vec_id
+      LIMIT 20),
+    approx AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY {_emb_cos_sql(f'embedding[1:{_MRL_DIM}]',
+                             f'({_QVEC_SQL})[1:{_MRL_DIM}]')} DESC, vec_id
+      LIMIT 20)
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / 20 AS recall_at_k
+    FROM exact JOIN approx USING (vec_id)
+    """,
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / prefix-dimension serving audit: recall@20 of
+    cosine top-k computed on the first {_MRL_DIM} embedding
+    dimensions against the full-width exact top-k — the measurement
+    behind the standard retrieval trade of serving a truncated prefix
+    (4x less memory bandwidth and index footprint) and re-ranking
+    with full vectors only when recall demands it.  Both sides are
+    narrow projection + TakeOrderedAndProject over ONE corpus scan
+    each (no shuffle, no index); the prefix side's scan reads the
+    same column and slices JVM-side, so at 100 TB the audit costs two
+    pruned scans regardless of corpus width.  Deterministic formula
+    query vector keeps even the approximation's quality
+    oracle-checkable."""
+    from wrds2pg_spark.operators.similarity import (
+        brute_force_topk, cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 20
+    exact = brute_force_topk(emb, _QVEC, k=k).select("vec_id")
+    qpre = F.array(*[F.lit(x) for x in _QVEC[:_MRL_DIM]])
+    pre_cos = F.round(
+        cosine_similarity(F.slice(F.col("embedding"), 1, _MRL_DIM), qpre), 6)
+    approx = (
+        emb.select("vec_id", pre_cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    return exact.join(approx, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / k).alias("recall_at_k"),
+    )
+
+
 def _ivf_recall_oracle(nlist: int = 16, nprobe: int = 2, k: int = 20) -> str:
     from wrds2pg_spark.operators.similarity import (
         anchored_probe_cells, ivf_anchors,
