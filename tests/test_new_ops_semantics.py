@@ -239,3 +239,41 @@ def test_point_in_time_state_matches_probe_event(spark):
     assert len(joined) > 0
     assert all(r["state_at_ts"] is not None for r in joined)
     assert all(r["state_at_ts"] == r["true_type"] for r in joined)
+
+
+def test_weighted_median_matches_numpy_brute_force(spark):
+    """functions/numeric.weighted_median vs a numpy brute force on
+    seeded random frames: several groups, duplicate values, weights
+    including the boundary cases (1 and large)."""
+    import numpy as np
+
+    from wrds2pg_spark.functions.numeric import weighted_median
+
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        n = int(rng.randint(1, 200))
+        groups = rng.randint(0, 4, n)
+        # coarse grid forces duplicate values; weights hit 1..50
+        vals = rng.randint(-5, 6, n).astype(float)
+        wts = rng.randint(1, 51, n)
+        rows = [
+            (int(g), float(v), int(w), i)
+            for i, (g, v, w) in enumerate(zip(groups, vals, wts))
+        ]
+        df = spark.createDataFrame(rows, "g int, v double, w long, rid int")
+        got = {
+            r["g"]: (r["weighted_median"], r["total_weight"])
+            for r in weighted_median(
+                df, ["g"], "v", F.col("w"), ["rid"]
+            ).collect()
+        }
+        for g in sorted(set(groups.tolist())):
+            sel = groups == g
+            order = np.argsort(vals[sel], kind="stable")
+            v_sorted = vals[sel][order]
+            w_sorted = wts[sel][order]
+            cum = np.cumsum(w_sorted)
+            tot = int(cum[-1])
+            idx = int(np.searchsorted(2 * cum, tot, side="left"))
+            expect = float(v_sorted[idx])
+            assert got[g] == (expect, tot), (trial, g, got[g], expect, tot)

@@ -58,3 +58,46 @@ def DSUM_SQL(expr: str, scale: int = 2) -> str:
 def DAVG_SQL(expr: str, scale: int = 2) -> str:
     """DuckDB-side equivalent of :func:`davg`."""
     return f"({DSUM_SQL(expr, scale)} / CAST(COUNT({expr}) AS DOUBLE))"
+
+
+def weighted_median(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    weight_col,
+    tiebreak_cols: list[str],
+):
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group total (weights summed
+    exactly as BIGINT, so the 2*cumw >= totw boundary is
+    integer-exact).  One group exchange carries both window frames
+    (running and total); the final min rides the same partitioning —
+    a 2-stage plan.  ``weight_col`` may be a Column expression; it
+    must already be integral (cast upstream).  Ordering among equal
+    values cannot change the picked VALUE; ``tiebreak_cols`` make the
+    running sum itself deterministic.
+
+    Returns one row per group: group_cols + (weighted_median,
+    total_weight)."""
+    from pyspark.sql import Window as W
+
+    wr = (
+        W.partitionBy(*group_cols)
+        .orderBy(value_col, *tiebreak_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy(*group_cols)
+    base = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.sum(weight_col).over(wr).alias("__cumw"),
+        F.sum(weight_col).over(wt).alias("__totw"),
+    )
+    return (
+        base.filter(2 * F.col("__cumw") >= F.col("__totw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias("weighted_median"),
+            F.min("__totw").cast("long").alias("total_weight"),
+        )
+    )

@@ -3043,28 +3043,17 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied rows all carry it), and a unique tiebreak keys the running
     sum deterministically anyway.  One group exchange carries both
     window frames (running and total) and the final min rides the
-    same partitioning — a 2-stage plan."""
+    same partitioning — a 2-stage plan (functions/numeric.py
+    weighted_median, property-tested against a numpy brute force)."""
+    from wrds2pg_spark.functions.numeric import weighted_median
+
     li = load_table(spark, sf_dir, "lineitem")
-    wr = (
-        W.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wt = W.partitionBy("l_returnflag")
-    qty = F.col("l_quantity").cast("long")
-    base = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.sum(qty).over(wr).alias("cumw"),
-        F.sum(qty).over(wt).alias("totw"),
-    )
-    return (
-        base.filter(2 * F.col("cumw") >= F.col("totw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("v").alias("weighted_median"),
-            F.min("totw").cast("long").alias("total_weight"),
-        )
+    return weighted_median(
+        li,
+        group_cols=["l_returnflag"],
+        value_col="l_extendedprice",
+        weight_col=F.col("l_quantity").cast("long"),
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
     )
 
 
