@@ -157,6 +157,7 @@ HEADLINE = [
     "mixture_weighted_sample",
     "mixture_temperature_sample",
     "vocab_induction",
+    "vocab_oov_coverage",
     "quality_percentile_gate",
     "stream_upsert_totals",
     "agg_median_mode",

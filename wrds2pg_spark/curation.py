@@ -1344,6 +1344,69 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_oov_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest({tokens}) AS token FROM documents),
+    counted AS (
+      SELECT token, COUNT(*) AS freq FROM tok
+      WHERE token <> '' GROUP BY token),
+    vocab AS (
+      SELECT token FROM counted
+      ORDER BY freq DESC, token LIMIT 100),
+    st AS (
+      SELECT source, unnest({tokens}) AS token FROM documents),
+    flagged AS (
+      SELECT s.source, s.token, v.token AS vt
+      FROM st s LEFT JOIN vocab v ON s.token = v.token
+      WHERE s.token <> '')
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE vt IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE vt IS NULL) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM flagged GROUP BY source
+    """,
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-source out-of-vocabulary token
+    rate against the corpus's own induced top-100 vocabulary — the
+    number a pipeline checks before committing to a tokenizer (high
+    OOV in one source means that source will fragment into bytes and
+    blow up its token count).  The vocabulary is a second aggregate
+    of the same token stream, so the corpus tokenizes twice by
+    necessity (an aggregate-derived dim can never reuse its source's
+    exchange — BASELINE.md r6); the vocab side collapses to 100 rows
+    before broadcasting into the coverage join, and the per-source
+    rollup is a map-side-combined conditional count.  Counts are
+    exact integers; the rate is one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+        .select(F.col("token").alias("__vt"))
+    )
+    st = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    flagged = st.join(
+        F.broadcast(vocab), st.token == F.col("__vt"), "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("__vt").isNull(), 1)).cast("long")
+        .alias("n_oov"),
+        (F.count(F.when(F.col("__vt").isNull(), 1)).cast("double")
+         / F.count(F.lit(1))).alias("oov_rate"),
+    )
+
+
+@register(
     "quality_percentile_gate",
     oracle=f"""
     WITH scored AS (
@@ -1390,6 +1453,10 @@ def _finalize_curation_oracles() -> None:
 
     REGISTRY["vocab_induction"].oracle = (
         REGISTRY["vocab_induction"].oracle.replace(
+            "{tokens}", TOKENS_SQL("text"))
+    )
+    REGISTRY["vocab_oov_coverage"].oracle = (
+        REGISTRY["vocab_oov_coverage"].oracle.replace(
             "{tokens}", TOKENS_SQL("text"))
     )
     q = QUALITY_SCORE_SQL("text")
