@@ -525,6 +525,8 @@ def test_no_forced_broadcast_in_curation_corpus_operators():
     allow = {
         # per-source mixture rates: source vocabulary (3-4 values)
         ("mixture_temperature_sample", "rates"),
+        # induced vocabulary: LIMIT 100 by construction, never SF
+        ("vocab_oov_coverage", "vocab"),
         # per-dimension sums: bounded by the embedding dim (64)
         ("embedding_covariance_exact", "si"),
         ("embedding_covariance_exact", "sj"),
