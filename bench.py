@@ -113,6 +113,7 @@ HEADLINE = [
     "window_topk_per_group",
     "hist_totalprice",
     "funnel_events",
+    "events_funnel_windowed",
     "cohort_retention",
     "embedding_centroid",
     "dedup_minhash_portable",

@@ -1344,6 +1344,72 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH anchored AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events),
+    per_user AS (
+        SELECT user_id,
+               max(t_view IS NOT NULL) AS viewed,
+               max(CASE WHEN event_type = 'click'
+                             AND ts >= t_view
+                             AND ts < t_view + INTERVAL 7 DAY
+                        THEN TRUE ELSE FALSE END) AS clicked_7d,
+               max(CASE WHEN event_type = 'purchase'
+                             AND ts >= t_view
+                             AND ts < t_view + INTERVAL 7 DAY
+                        THEN TRUE ELSE FALSE END) AS purchased_7d
+        FROM anchored GROUP BY user_id)
+    SELECT CAST(count(*) FILTER (WHERE viewed) AS BIGINT) AS n_viewed,
+           CAST(count(*) FILTER (WHERE viewed AND clicked_7d) AS BIGINT)
+               AS n_clicked_7d,
+           CAST(count(*) FILTER (WHERE viewed AND purchased_7d) AS BIGINT)
+               AS n_purchased_7d
+    FROM per_user
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: click / purchase count only
+    within 7 days of the user's FIRST view — the attribution-window
+    semantics real funnels carry (the unbounded funnel_events
+    overstates conversion on long histories).  The anchor is a
+    per-user min window, so the bound test is row-local on the SAME
+    user_id exchange the rollup then reuses — one scan, one
+    exchange, two aggregates riding it.  Timestamp comparisons are
+    exact (no float anywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    anchored = ev.select(
+        "user_id", "event_type", "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(wu).alias("t_view"),
+    )
+    in_window = (
+        (F.col("ts") >= F.col("t_view"))
+        & (F.col("ts") < F.col("t_view") + F.expr("INTERVAL 7 DAY"))
+    )
+    per_user = anchored.groupBy("user_id").agg(
+        F.max(F.col("t_view").isNotNull()).alias("viewed"),
+        F.max(F.when((F.col("event_type") == "click") & in_window,
+                     F.lit(True)).otherwise(F.lit(False)))
+        .alias("clicked_7d"),
+        F.max(F.when((F.col("event_type") == "purchase") & in_window,
+                     F.lit(True)).otherwise(F.lit(False)))
+        .alias("purchased_7d"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("viewed"), 1)).cast("long").alias("n_viewed"),
+        F.count(F.when(F.col("viewed") & F.col("clicked_7d"), 1))
+        .cast("long").alias("n_clicked_7d"),
+        F.count(F.when(F.col("viewed") & F.col("purchased_7d"), 1))
+        .cast("long").alias("n_purchased_7d"),
+    )
+
+
+@register(
     "vocab_oov_coverage",
     oracle="""
     WITH tok AS (
