@@ -375,27 +375,27 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF-IDF — the
     classic keyword-extraction / topic-tagging pass.  Document
-    frequency rides a COUNT WINDOW over tf's own rows (tf's
-    (doc, token) grain is already doc-distinct, so count-per-token IS
-    df) — no df aggregate, no vocab join, and the corpus tokenizes
-    ONCE: the executed plan of the independent-aggregates form re-ran
-    the explode 3x because AQE never reuses exchanges across the
-    broadcast boundary (round 6 engine finding, BASELINE.md; same
-    fix as tpch_q11_shape).  Wide ops: the tf aggregate, the token
-    window, and the per-doc top-k window.  No UDF — ln() and both
-    windows stay in codegen."""
+    frequency is an AGGREGATE over tf's (already doc-distinct) rows
+    joined back onto tf, with tf lazily checkpointed so the corpus
+    still tokenizes ONCE (the AQE exchange-reuse failure, BASELINE.md
+    r6, would otherwise re-run the explode per consumer).  Round 7:
+    the r6 count-WINDOW-over-token form was retired — a stop-word
+    token's window partition holds ~n_docs rows in ONE task, and AQE
+    can split a skewed shuffle-JOIN partition but never a window
+    partition (the repo's own bigram-c12 negative, round 6) — the
+    join form is the one that survives "the" at 100 TB.  Wide ops:
+    the tf aggregate, the df aggregate + token-keyed join (AQE
+    broadcasts the Heaps-sublinear df table while it fits), and the
+    per-doc top-k window.  No UDF — ln() and the window stay in
+    codegen."""
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs)
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df as a count window over tf's own (already doc-distinct) rows:
-    # no second tf subtree, no vocab join — the AQE reuse failure
-    # (BASELINE r6) means a dfreq-aggregate formulation would RERUN
-    # the tokenize+tf pipeline, not share it
-    tf_df = tf.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("token")))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf_df
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -71,8 +71,12 @@ def _split_val(name):
 
 def _slope_cols(n="n", sx="sx", sy="sy", sxx="sxx", sxy="sxy"):
     """Exact OLS numerator/denominator from integer moment columns,
-    as DECIMAL(38,0) Columns.  The y-scale cancels between n·Σxy and
-    Σx·Σy, so callers never un-scale."""
+    as DECIMAL(38,0) Columns.  NOTE the y-scale does NOT cancel in
+    the slope: both n·Σxy and Σx·Σy carry one factor of the y-scale,
+    so num ∝ scale and num/den is a slope in SCALED-y units per unit
+    x — callers reporting coefficients must divide by the scale (see
+    stats_ols_by_group).  The scale does cancel in R² (num² and
+    den·ssy each carry scale²)."""
     nD = F.col(n).cast(_DEC)
     sxD = F.col(sx).cast(_DEC)
     num = nD * F.col(sxy).cast(_DEC) - sxD * F.col(sy).cast(_DEC)
@@ -114,9 +118,9 @@ _SLOPE_SQL_DEN = ("(CAST({n} AS HUGEINT) * {sxx}"
                CAST(n AS DOUBLE) AS nd
         FROM m)
     SELECT l_returnflag, n,
-           round(numd / dend, 6) AS slope,
+           round(numd / dend / 100.0, 6) AS slope,
            round(syd / (100.0 * nd)
-                 - (numd / dend) * (sxd / nd), 6) AS intercept,
+                 - (numd / dend / 100.0) * (sxd / nd), 6) AS intercept,
            round((numd * numd) / (dend * ssyd), 6) AS r2
     FROM d
     """,
@@ -127,6 +131,14 @@ def stats_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact integer moments — the cross-sectional-regression
     primitive of empirical finance, the first thing a WRDS user runs
     after the reference lands their tables.
+
+    Units: y is aggregated cent-scaled (×100) for exactness, so the
+    raw moment slope num/den is in cents per unit x; both reported
+    coefficients are un-scaled back to DOLLAR units — slope =
+    (num/den)/100 and intercept = Σy/(100n) − slope·Σx/n — so
+    intercept is the dollar mean of y minus the dollar slope times
+    mean x (the r6 form mixed the two scales; ADVICE r6).  R² is
+    scale-invariant (the ×100 cancels between num² and den·ssy).
 
     Exactness: x is integral, y carries 2 decimals → Σx/Σx²/Σxy/Σy
     sum as BIGINT (Σxy peaks ~3e15 at sf1, inside 2^63), and Σy² —
@@ -161,7 +173,7 @@ def stats_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            - F.col("sy").cast(_DEC) * F.col("sy").cast(_DEC))
     numd, dend, ssyd = (num.cast("double"), den.cast("double"),
                         ssy.cast("double"))
-    slope = numd / dend
+    slope = numd / dend / F.lit(100.0)
     return m.select(
         "l_returnflag",
         "n",

@@ -6053,9 +6053,18 @@ _JACCARD_BLOCK_CAP = 1024
     WITH ps AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     deg AS (SELECT s, COUNT(*) AS d FROM ps GROUP BY s),
+    -- mirror of cap_block_rows(_JACCARD_BLOCK_CAP): first 1024
+    -- suppliers (sorted) per part feed PAIR GENERATION; degrees stay
+    -- uncapped, matching the Spark window-before-cap order
+    psc AS (
+        SELECT p, s FROM (
+            SELECT p, s,
+                   row_number() OVER (PARTITION BY p ORDER BY s) AS rn
+            FROM ps)
+        WHERE rn <= 1024),
     com AS (
         SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_common
-        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        FROM psc a JOIN psc b ON a.p = b.p AND a.s < b.s
         GROUP BY a.s, b.s)
     SELECT s_a, s_b, n_common,
            CAST(n_common AS DOUBLE)
@@ -6159,7 +6168,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle="""
     WITH ps AS (
-        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        SELECT p, s FROM (
+            SELECT l_partkey AS p, l_suppkey AS s,
+                   row_number() OVER (PARTITION BY l_partkey
+                                      ORDER BY l_suppkey) AS rn
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+        WHERE rn <= 1024),
     pairs AS (
         SELECT a.s AS u, b.s AS v, COUNT(*) AS n_common
         FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s

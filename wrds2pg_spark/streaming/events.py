@@ -841,9 +841,18 @@ def streaming_rolling_beta(
             state.update((rn0, list(hist)))
             return
         batch = pd.concat(frames).sort_values(["ts", "event_id"])
-        yv = np.rint(
-            batch["value"].to_numpy(dtype="float64") * 100
-        ).astype("int64")
+        # same HALF_UP-on-shortest-repr kernel as the beta rounding
+        # below: the batch twin scales with Spark round(value*100, 0)
+        # = BigDecimal.valueOf(v*100).setScale(0, HALF_UP); np.rint
+        # is half-even on the binary value and flips the tie cases
+        # (value*100 landing exactly on .5, e.g. 0.125) — ADVICE r6.
+        from decimal import ROUND_HALF_UP as _HU, Decimal as _D
+
+        yv = np.fromiter(
+            (int(_D(repr(float(v))).quantize(_D("1"), _HU))
+             for v in batch["value"].to_numpy(dtype="float64") * 100),
+            dtype="int64",
+        )
         n = len(yv)
         full = np.concatenate(
             [np.asarray(hist, dtype="int64"), yv])
