@@ -181,7 +181,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-keyed shuffle if a 100-TB vocabulary ever outgrows
     executors instead of OOMing.  The 1-row total joins the same
     way."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     dg = _tokens(docs).groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("k"))
     # total stamps onto freq itself via an empty-frame sum window —
@@ -257,72 +257,83 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-ranking slot with context sensitivity (catches shuffled-
     token junk a unigram LM scores as fluent).
 
-    Plan shape: the bigram stream is built row-locally (zip_with over
-    the shifted token array — no self-join, no shuffle to form pairs)
-    and immediately collapsed to DOC-GRAIN counts (doc_id, w1, w2, k)
-    — round 6: the corpus count table derives from that same
-    aggregate (Σk) and the count-table join probes doc-DISTINCT
-    bigrams instead of every instance, with k weighting the per-doc
-    fold; one tokenize+explode pass and the instance-grain join
-    disappear (measured 1.52 -> 1.37 s at sf0.1, bit-identical — the
-    smoothed nll depends only on the bigram, so instance grain was
-    pure redundancy).  The count-table joins carry
-    NO broadcast hint: the bigram vocab grows ~linearly with corpus
-    tokens, so a hard-coded broadcast would hit the 8 GB limit /
-    executor memory long before 100 TB — AQE sizes the built table at
-    runtime and picks broadcast while it fits (it does at bench
-    scale, plan-asserted) or a shuffle join when it no longer does.
-    Only the 1-row vocab total keeps an unconditional broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    Plan shape (round 7 rewrite, VERDICT item 3 — measured sf1
+    11.97 -> ~4.9 s, min-of-4 A/Bs, hash-identical):
+
+    - ONE tokenize + ONE explode: each token row carries BOTH its
+      unigram fingerprint h1 = xxhash64(w1) and its bigram
+      fingerprint bg = xxhash64(w1, w2) (null on each doc's last
+      token), built row-locally inside zip_with — the r6 form paid a
+      second full tokenize for the unigram table and exploded
+      5M 2-string structs where this explodes 2 longs.
+    - fan_out before the tokenize: sf1 documents arrive as TWO input
+      splits (5.8 MB compressed parquet hiding ~60 MB of text), so
+      the explode ran on 2 of 32 cores — the repartition alone took
+      the explode stage 2.42 -> 0.88 s measured.  At 100 TB the scan
+      is thousands of splits and fan_out is a no-op.
+    - every downstream key is a LONG: the instance table (doc_id,
+      h1, bg) is lazily checkpointed (3 consumers under the AQE
+      exchange-reuse failure, BASELINE.md r6) and both count
+      aggregates exchange 8-byte fingerprints instead of strings.
+      Fingerprint collisions would silently merge two bigrams'
+      counts: P(any collision) <= B^2/2^65 — ~1e-7 at the 1e6-bigram
+      bench scale, ~3% at 1e9 distinct bigrams, where the string-key
+      form (git history) or a count(distinct bg) vs
+      count(distinct w1,w2) audit pass is the fallback; nll VALUES
+      stay exact whenever no collision exists, and the oracle gate
+      catches any at test scale.
+    - nll is precomputed per DISTINCT bigram (lm = bif x uni join at
+      vocabulary grain, Heaps-sublinear) so the instance stream joins
+      ONCE and feeds the per-doc aggregate directly; its map-side
+      combine collapses each doc's rows before the exchange (docs
+      never span input partitions).
+    - count-table joins carry NO broadcast hint (bigram vocab grows
+      ~linearly with corpus tokens; AQE broadcasts while it fits,
+      shuffle-join beyond).  c12 stays agg+join, not a window: AQE
+      can split a skewed shuffle-join partition but never a window
+      partition (recorded negative, round 6)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.split(F.lower(F.col("text")), " ")
-    pairs = F.zip_with(
-        F.slice(t, 1, F.size(t) - 1),
-        F.slice(t, 2, F.size(t) - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    arr = F.zip_with(
+        t,
+        F.concat(F.slice(t, 2, F.size(t) - 1),
+                 F.array(F.lit(None).cast("string"))),
+        lambda a, b: F.struct(
+            F.xxhash64(a).alias("h1"),
+            F.when(b.isNotNull(), F.xxhash64(a, b)).alias("bg")),
     )
-    big = (
-        docs.filter(F.size(t) >= 2)
-        .select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    fp = (
+        docs.select("doc_id", F.explode(arr).alias("p"))
+        .select("doc_id", F.col("p.h1").alias("h1"),
+                F.col("p.bg").alias("bg"))
+        .localCheckpoint(eager=False)
     )
-    # dg feeds BOTH the bigram-frequency aggregate and the scoring
-    # join; un-materialized it re-runs the zip_with explode + count
-    # per consumer (AQE exchange-reuse failure, BASELINE.md r6) —
-    # the lazy checkpoint measured 10.3 -> 9.5 s at sf1.  (The same
-    # trick on the unigram key measured a WASH: its second consumer
-    # is only the cheap vocab agg, so the materialization write costs
-    # what the saved tokenize earns.)
-    dg = big.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("k")).localCheckpoint(eager=False)
     # vocab stamps onto uni itself via an empty-frame count window —
-    # a vocab = uni.agg(count) scalar would RERUN the tokenize+count
-    # pipeline (AQE never reuses exchanges across the broadcast
-    # boundary; round-6 finding, BASELINE.md).  The window input is
-    # the vocabulary — Heaps-sublinear, the smallest stream here.
+    # a vocab = uni.agg(count) scalar would RERUN the pipeline (AQE
+    # never reuses exchanges across the broadcast boundary; round-6
+    # finding, BASELINE.md).  The window input is the vocabulary —
+    # Heaps-sublinear, the smallest stream here.
     uni = (
-        _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+        fp.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
         .withColumn(
             "vocab",
             F.count(F.lit(1)).over(W.partitionBy()).cast("double"))
     )
-    # c12 via agg+join, NOT a (w1,w2) window over dg: the window form
-    # measured 13% faster at sf1 (one dg exchange instead of two) but
-    # puts every row of one bigram in ONE task — bigram frequency is
-    # Zipfian and AQE can split a skewed shuffle JOIN partition but
-    # never a window partition, so the join form is the one that
-    # survives "of the" at 100 TB (recorded negative, round 6).
-    bif = dg.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    bif = (
+        fp.filter(F.col("bg").isNotNull())
+        .groupBy("bg", "h1").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    lm = bif.join(uni, "h1").select(
+        "bg",
+        F.round(
+            -F.log((F.col("c12") + F.lit(1))
+                   / (F.col("c1") + F.col("vocab"))), 6
+        ).alias("nll"),
+    )
     scored = (
-        dg.join(bif, ["w1", "w2"])
-        .join(uni.withColumnRenamed("token", "w1"), "w1")
-        .select(
-            "doc_id",
-            "k",
-            F.round(
-                -F.log((F.col("c12") + F.lit(1))
-                       / (F.col("c1") + F.col("vocab"))), 6
-            ).alias("nll"),
-        )
+        fp.filter(F.col("bg").isNotNull())
+        .join(lm, "bg")
+        .select("doc_id", "nll")
     )
     # the mean's 6-dp rounding runs in exact integer math — a double
     # round() of a value sitting ON the half boundary (seen at sf0.1:
@@ -330,9 +341,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's binary-double round; (2s + c) div (2c) is half-up
     # on the exact rational and bit-identical everywhere
     agg = scored.groupBy("doc_id").agg(
-        F.sum("k").cast("long").alias("c"),
-        F.sum(F.col("k")
-              * F.round(F.col("nll") * F.lit(1e6), 0).cast("long"))
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.round(F.col("nll") * F.lit(1e6), 0).cast("long"))
         .alias("s"),
     )
     return agg.select(
@@ -388,7 +398,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the Heaps-sublinear df table while it fits), and the
     per-doc top-k window.  No UDF — ln() and the window stay in
     codegen."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = _tokens(docs)
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
@@ -689,7 +699,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus family's convention; chunk_idx = tok_start / stride is
     derived, not positional, so both engines compute it identically
     without an ordinal join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     d = docs.select("doc_id", toks.alias("toks"))
     starts = F.sequence(
@@ -1239,7 +1249,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_corr_exact trick: ln values rounded to 6 dp (the proven
     cross-engine ln contract) feed exact scaled-long moments, so the
     regression is bit-stable under any partitioning."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     freq = _tokens(docs).groupBy("token").agg(
         F.count(F.lit(1)).alias("c"))
     ranked = freq.select(

@@ -5135,15 +5135,19 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier order — the EXISTS / NOT-EXISTS double-correlation,
-    rewritten as a per-(order,supplier) aggregate plus per-order WINDOW
-    totals ("late supplier count == 1 and supplier count > 1" ==
-    "another supplier exists, no other late supplier exists").  The
-    window formulation matters at scale: the naive agg + self-join
-    recomputes the whole fact subtree twice, while the window rides
-    the same orderkey partitioning as the aggregate — one explicit
-    repartition on orderkey is the only fact shuffle, and HashPartitio-
-    ning(orderkey) satisfies both the 2-key groupBy's ClusteredDistri-
-    bution and the window's, so the cascade adds zero exchanges."""
+    rewritten as a per-(order,supplier) aggregate plus a per-order
+    aggregate ("late supplier count == 1 and supplier count > 1" ==
+    "another supplier exists, no other late supplier exists"), with
+    the sole late supplier extracted IN the second aggregate as
+    max(when(supp_late=1, suppkey)) — exactly one such key exists per
+    surviving order, so no join back to the supplier rows and, unlike
+    the r6 window form, no in-partition SORT of the agg output
+    (round 7; the window's sort was the residual data-bound cost).
+    The naive agg + self-join alternative recomputes the whole fact
+    subtree twice; here one explicit repartition on orderkey is the
+    only fact shuffle, and HashPartitioning(orderkey) satisfies both
+    the 2-key groupBy's ClusteredDistribution and the per-order
+    groupBy's — the cascade adds zero exchanges."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F")
@@ -5158,16 +5162,15 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition("l_orderkey")
     per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("supp_late"))
-    w = W.partitionBy("l_orderkey")
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey")))
+        .alias("late_supp"),
+    )
     return (
-        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn("n_late", F.sum("supp_late").over(w))
-        .filter(
-            (F.col("supp_late") == 1)
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late") == 1)
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -5176,16 +5179,30 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tpch_q21_bucketed", oracle=REGISTRY["tpch_q21_shape"].oracle)
 def tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 over orderkey-bucketed lineitem+orders (the same catalog
-    tables the q5/q18 twins read): the fact join, the (orderkey,
-    suppkey) aggregate AND the per-order window all ride the bucket
-    partitioning — zero fact exchanges; the only shuffle is the
-    ~50-row per-supplier count.  The in-partition sort for the window
-    is the one remaining data-bound cost (the aggregate's hash output
-    is unsorted).  sf1: 0.65 s vs 0.93 s shape (BASELINE.md r5
-    small-batch table)."""
+    tables the q5/q18 twins read).  Round 7 (VERDICT item 2,
+    measured sf1 min-of-6 A/Bs):
+
+    - The per-order WINDOW is gone: a second per-order hash aggregate
+      computes (n_supp, n_late) AND extracts THE sole late supplier
+      as max(when(supp_late=1, suppkey)) — legal because the n_late=1
+      filter guarantees exactly one such suppkey per surviving order.
+      The window form paid an in-partition SORT of the agg output;
+      the agg-agg cascade rides the same bucket partitioning sortless
+      and emits one row per qualifying order instead of filtering
+      every supplier row (0.625 -> 0.487 s at sf1).
+    - The fact join takes a shuffle_hash hint: BOTH tables are
+      bucketed on the join key, so SHJ is exchange-free AND sort-free
+      — the default broadcast of ~730k F-status orders paid a
+      measured 0.165 s relation build per run (join-only probe 0.342
+      bcast vs 0.177 shj); at 1000 executors that build is also
+      per-executor memory the bucket layout makes unnecessary.
+
+    Zero fact exchanges end-to-end; the only shuffles are the ~50-row
+    per-supplier count.  sf1: 0.49 s vs 0.223 s DuckDB = 2.2x (was
+    1.13 s / 5.1x in r6's driver pair)."""
     li = _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
     o = _bucketed_fact(spark, sf_dir, "orders", "o_orderkey").filter(
-        F.col("o_orderstatus") == "F")
+        F.col("o_orderstatus") == "F").hint("shuffle_hash")
     s = load_table(spark, sf_dir, "supplier")
     lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey",
@@ -5197,16 +5214,15 @@ def tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("supp_late"))
-    w = W.partitionBy("l_orderkey")
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey")))
+        .alias("late_supp"),
+    )
     return (
-        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn("n_late", F.sum("supp_late").over(w))
-        .filter(
-            (F.col("supp_late") == 1)
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late") == 1)
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
