@@ -5337,20 +5337,32 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap-fill: regularize events to a dense
-    per-user daily grid and forward-fill missing days — the hypertable
-    /downsampling primitive every metrics pipeline needs.  The day
-    spine is generated from the data's own bounds (sequence + explode,
-    ~rows=days so effectively free), cross-joined against the distinct-
-    user dim; the real data moves once (groupBy user+day), and the
-    fill is last(ignorenulls) over the same user partitioning the
-    spine join just produced.  At 100 TB the spine stays tiny relative
-    to the fact and the whole op is one fact scan + one shuffle + one
-    window: the daily aggregate — the operator's own output domain,
-    already downsampled — is materialized once (lazy localCheckpoint)
-    and the bounds/users dims derive from IT, because three subtrees
-    branching off the raw fact re-scan it once each under AQE
-    (exchange-reuse failure, BASELINE.md r6)."""
+    per-user daily grid (global corpus day bounds, per the oracle) and
+    forward-fill missing days — the hypertable/downsampling primitive
+    every metrics pipeline needs.
+
+    Round 7 rewrite (VERDICT item 4): the grid is GENERATED, never
+    joined.  One lead() window over the daily aggregate finds each
+    known day's successor; each known row then explodes
+    sequence(day, next_day - 1) (or to the global end for the user's
+    last row), emitting its own gap days with the fill value carried
+    ROW-LOCALLY; a user's pre-history (global start to first
+    observation) is a second cheap generator off the rn=1 rows.  That
+    deletes the r6 users x broadcast(days) BNLJ spine, the dense-grid
+    left JOIN (450k x 400k rows at sf1) and the last(ignorenulls)
+    frame scan over the dense grid — measured 1.19 -> 0.96 s at sf1
+    (1.7x DuckDB, was 2.7x), identical 449,730-row output.
+
+    Scale shape: one fact exchange for the (user, day) aggregate
+    (safe under a hot user — the agg key includes day; a repartition
+    by user alone measured slightly faster locally but concentrates a
+    power user's raw events in one task, the recorded negative), one
+    day-grain window exchange (output-domain-sized), generators and
+    fill arithmetic all row-local.  daily is lazily checkpointed:
+    bounds + the window branch off it (AQE exchange-reuse failure,
+    BASELINE.md r6)."""
     ev = load_table(spark, sf_dir, "events")
+    day1 = F.expr("INTERVAL 1 DAY")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(dsum(F.col("value"), 2).alias("day_value")).localCheckpoint(
@@ -5359,23 +5371,38 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),
     )
-    days = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
-        .alias("day"))
-    users = daily.select("user_id").distinct()
-    spine = users.crossJoin(F.broadcast(days))
-    w = (
-        W.partitionBy("user_id").orderBy("day")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.partitionBy("user_id").orderBy("day")
+    d2 = (
+        daily
+        .withColumn("next_day", F.lead("day").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(bounds))
     )
-    return (
-        spine.join(daily, ["user_id", "day"], "left")
-        .select(
-            "user_id", "day", "day_value",
-            F.last("day_value", ignorenulls=True).over(w)
-            .alias("filled_value"),
-        )
+    head = d2.filter(
+        (F.col("rn") == 1) & (F.col("day") > F.col("d0"))
+    ).select(
+        "user_id",
+        F.explode(F.sequence("d0", F.col("day") - day1, day1))
+        .alias("day"),
+        F.lit(None).cast("double").alias("day_value"),
+        F.lit(None).cast("double").alias("filled_value"),
     )
+    main = d2.select(
+        "user_id",
+        F.col("day").alias("kday"),
+        "day_value",
+        F.explode(F.sequence(
+            "day",
+            F.coalesce(F.col("next_day") - day1, F.col("d1")),
+            day1)).alias("day"),
+    ).select(
+        "user_id",
+        "day",
+        F.when(F.col("day") == F.col("kday"), F.col("day_value"))
+        .alias("day_value"),
+        F.col("day_value").alias("filled_value"),
+    )
+    return head.unionByName(main.select(*head.columns))
 
 
 @register(
@@ -5422,14 +5449,20 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over the dense per-user daily grid — the
     gap-fill one rung above forward-fill (ts_resample_ffill): missing
     days take the value linearly between the surrounding known days,
-    edge gaps take the nearest known value.  Same scale shape as the
-    ffill twin — one fact scan feeding one shuffle for the daily agg
-    (materialized lazily, like the ffill twin, so the bounds/users
-    dims don't re-scan the raw fact under the AQE exchange-reuse
-    failure), then two frames of ONE user-partitioned window
-    (prev/next carriers ride the same exchange and sort); the
-    interpolation arithmetic is row-local above it."""
+    edge gaps take the nearest known value.
+
+    Round 7 rewrite (same generator doctrine as the ffill twin): one
+    lead() window carries (next_day, next_value); each known row
+    explodes its own gap days and interpolates ROW-LOCALLY —
+    pv + (nv - pv) * (gap_pos / gap_len), the identical IEEE tree to
+    the oracle's pd/nd form since pd == the emitting row's day and
+    nd == next_day.  No spine BNLJ, no dense-grid join, no
+    double-frame (preceding+following) window over the dense grid —
+    measured 1.53 -> 0.98 s at sf1 (1.8x DuckDB, was 2.8x),
+    identical output.  Exchanges: the (user, day) fact aggregate +
+    one day-grain window; everything else is a generator."""
     ev = load_table(spark, sf_dir, "events")
+    day1 = F.expr("INTERVAL 1 DAY")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(dsum(F.col("value"), 2).alias("day_value")).localCheckpoint(
@@ -5438,38 +5471,52 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),
     )
-    days = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
-        .alias("day"))
-    users = daily.select("user_id").distinct()
-    spine = (
-        users.crossJoin(F.broadcast(days))
-        .join(daily, ["user_id", "day"], "left")
+    w = W.partitionBy("user_id").orderBy("day")
+    d2 = (
+        daily
+        .withColumn("next_day", F.lead("day").over(w))
+        .withColumn("next_value", F.lead("day_value").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(bounds))
     )
-    wp = (W.partitionBy("user_id").orderBy("day")
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    wn = (W.partitionBy("user_id").orderBy("day")
-          .rowsBetween(W.currentRow, W.unboundedFollowing))
-    known_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
-    ctx = spine.select(
-        "user_id", "day", "day_value",
-        F.last("day_value", ignorenulls=True).over(wp).alias("pv"),
-        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
-        F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
-        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    head = d2.filter(
+        (F.col("rn") == 1) & (F.col("day") > F.col("d0"))
+    ).select(
+        "user_id",
+        F.explode(F.sequence("d0", F.col("day") - day1, day1))
+        .alias("day"),
+        F.lit(None).cast("double").alias("day_value"),
+        F.round(F.col("day_value"), 6).alias("interp_value"),
     )
-    frac = (F.datediff(F.col("day"), F.col("pd")).cast("double")
-            / F.datediff(F.col("nd"), F.col("pd")).cast("double"))
+    gap_frac = (
+        F.datediff(F.col("day"), F.col("kday")).cast("double")
+        / F.datediff(F.col("next_day"), F.col("kday")).cast("double")
+    )
     interp = (
-        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
-        .when(F.col("pv").isNull() | F.col("nv").isNull(),
-              F.coalesce("pv", "nv"))
-        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        F.when(F.col("day") == F.col("kday"), F.col("day_value"))
+        .when(F.col("next_value").isNull(), F.col("day_value"))
+        .otherwise(
+            F.col("day_value")
+            + (F.col("next_value") - F.col("day_value")) * gap_frac)
     )
-    return ctx.select(
-        "user_id", "day", "day_value",
+    main = d2.select(
+        "user_id",
+        F.col("day").alias("kday"),
+        "day_value",
+        "next_day",
+        "next_value",
+        F.explode(F.sequence(
+            "day",
+            F.coalesce(F.col("next_day") - day1, F.col("d1")),
+            day1)).alias("day"),
+    ).select(
+        "user_id",
+        "day",
+        F.when(F.col("day") == F.col("kday"), F.col("day_value"))
+        .alias("day_value"),
         F.round(interp, 6).alias("interp_value"),
     )
+    return head.unionByName(main.select(*head.columns))
 
 
 @register(
