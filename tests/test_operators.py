@@ -76,6 +76,29 @@ def test_minhash_bucket_cap_bounds_pairs(spark):
     assert capped <= full
 
 
+def test_minhash_portable_cap_bounds_pairs(spark):
+    """Same cap contract for the md5-portable pipeline backing the
+    ORACLE-CHECKED dedup_minhash_capped key: capped pairs are the
+    cap*(cap-1)/2 prefix pairs of the sorted bucket and a subset of
+    the uncapped output."""
+    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine ten")
+         for i in range(15)],
+        ["doc_id", "text"],
+    )
+    full = {(r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs_portable(
+                docs, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_pairs_portable(
+                  docs, threshold=0.5, max_bucket_size=3).collect()}
+    assert len(full) == 15 * 14 // 2
+    assert capped == {(0, 1), (0, 2), (1, 2)}
+    assert capped <= full
+
+
 def test_blocked_pairs_block_cap_bounds_pairs(spark):
     """max_block_size mirrors the minhash cap for embedding pair
     generation: a hub block contributes at most cap*(cap-1)/2 pairs,

@@ -987,6 +987,85 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_portable(docs, threshold=0.5)
 
 
+_MINHASH_CAP = 2  # small enough to BITE on the fixtures (max bucket
+#                   3 at sf0.01, 5 at sf0.1) so the truncation path is
+#                   what the oracle actually checks, not dead code
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+    ng AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS gs(i)
+        WHERE len(t) >= 3),
+    sets AS (
+        SELECT doc_id, list_distinct(list(g)) AS gs FROM ng GROUP BY doc_id),
+    sh AS (
+        SELECT doc_id,
+               md5(g) || md5('a' || g) || md5('b' || g) AS d
+        FROM (SELECT doc_id, UNNEST(gs) AS g FROM sets)),
+    sig AS (
+        SELECT doc_id, s, min(substr(d, s * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST(generate_series(0, 11)) AS ss(s)
+        GROUP BY doc_id, s),
+    bands AS (
+        SELECT doc_id,
+               md5(CAST(s // 3 AS VARCHAR) || '|' ||
+                   string_agg(mh, '|' ORDER BY s)) AS bkey
+        FROM sig GROUP BY doc_id, s // 3),
+    -- the cap: only the first {_MINHASH_CAP} ids (sorted) per bucket
+    -- feed pair generation — the SQL model of slice(sort_array(ids),
+    -- 1, cap) on the Spark side
+    bandc AS (
+        SELECT doc_id, bkey FROM (
+            SELECT doc_id, bkey,
+                   row_number() OVER (PARTITION BY bkey
+                                      ORDER BY doc_id) AS rn
+            FROM bands)
+        WHERE rn <= {_MINHASH_CAP}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandc a
+        JOIN bandc b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(sa.gs, sb.gs))
+                     / CAST(len(sa.gs) + len(sb.gs)
+                            - len(list_intersect(sa.gs, sb.gs)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_a
+        JOIN sets sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-bucket safety valve ORACLE-CHECKED (round 7, VERDICT
+    item 8): dedup_minhash_portable with max_bucket_size=_MINHASH_CAP
+    (=2) ON,
+    against an oracle that models the truncation exactly (per-bucket
+    row_number <= cap over sorted ids == the Spark side's
+    slice(sort_array, 1, cap)).  The cap deliberately BITES at test
+    scale — fixture buckets reach size 3 (sf0.01) / 5 (sf0.1), so the
+    hash gate exercises the truncated pair generation, not a no-op
+    branch.  This closes the r6 audit note that the registered LSH
+    keys left the valve off: a worst-case all-identical 100 TB slice
+    bounds per-bucket pair work at cap*(cap-1)/2 per band instead of
+    quadratic in the bucket; the giant cluster still surfaces because
+    its members co-occur across many band buckets with rotating
+    survivors of the sorted-prefix cut.  Pair bound
+    property-tested in tests/test_dedup.py."""
+    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(
+        docs, threshold=0.5, max_bucket_size=_MINHASH_CAP)
+
+
 @register(
     "dedup_incremental_minhash",
     oracle="""

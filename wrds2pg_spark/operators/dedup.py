@@ -371,9 +371,16 @@ def minhash_lsh_pairs_portable(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH with an engine-portable hash family —
     the oracle-checkable twin of :func:`minhash_lsh_pairs`.
+    ``max_bucket_size`` is the same mega-bucket valve as the fast
+    variant's (first ``cap`` ids in sorted order feed pair
+    generation, bounding per-bucket pairs at cap*(cap-1)/2); with the
+    md5 family the truncation is ORACLE-MODELABLE — a row_number()
+    over (bucket ORDER BY id) <= cap in SQL reproduces the slice of
+    the sorted collect_list exactly (see dedup_minhash_capped).
 
     The fast variant's xxhash64 + uint64 universal hashing cannot be
     reproduced in another engine, so its query key is rows-only
@@ -401,6 +408,10 @@ def minhash_lsh_pairs_portable(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.select(
+            F.slice("ids", 1, max_bucket_size).alias("ids")
+        ).filter(F.size("ids") > 1)
     pair_structs = let_(
         F.col("ids"),
         lambda ids: F.flatten(
