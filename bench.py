@@ -117,6 +117,7 @@ HEADLINE = [
     "cohort_retention",
     "embedding_centroid",
     "dedup_minhash_portable",
+    "dedup_minhash_capped",
     "merge_upsert",
     "scd2_intervals",
     "scan_orc_typed",
@@ -300,6 +301,7 @@ def main() -> None:
     for _ in range(2):
         for name in (
             "dedup_minhash_lsh", "dedup_minhash_portable",
+            "dedup_minhash_capped",
             "dedup_ngram_jaccard", "dedup_simhash",
             "dedup_simhash_portable",
             "dedup_embedding_cosine", "dedup_levenshtein",

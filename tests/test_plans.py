@@ -344,9 +344,13 @@ def test_q9_q11_bucketed_exchange_free_aggs(spark):
 
 
 def test_q21_bucketed_no_fact_exchange(spark):
-    """q21's fact join, pair-grain aggregate and per-order window all
-    ride the orderkey buckets; only the per-supplier rollup (and the
-    supplier broadcast) may exchange."""
+    """q21's fact join and BOTH aggregates (pair grain, then per-order
+    with the sole-late-supplier extraction) ride the orderkey buckets;
+    only the per-supplier rollup (and the supplier broadcast) may
+    exchange.  Round 7: the per-order WINDOW is gone — the agg-agg
+    cascade needs no sort — and the fact join is an exchange-free
+    ShuffledHashJoin on the co-bucketed tables instead of a ~730k-row
+    orders broadcast build."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -355,7 +359,8 @@ def test_q21_bucketed_no_fact_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan
+    assert "ShuffledHashJoin" in plan
 
 
 def test_profile_table_no_expand_no_sortagg(spark):

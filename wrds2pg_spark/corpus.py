@@ -759,7 +759,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY over everything).  Token counts are row-local; the one
     shuffle is the source-keyed window, and the manifest agg reuses
     its partitioning."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sized = docs.select(
         "doc_id",
         "source",

@@ -983,7 +983,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:minhash_lsh_pairs_portable."""
     from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs_portable(docs, threshold=0.5)
 
 
@@ -1061,7 +1061,7 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_dedup.py."""
     from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs_portable(
         docs, threshold=0.5, max_bucket_size=_MINHASH_CAP)
 
@@ -1126,7 +1126,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_minhash_bucket_index, dedup_incremental_portable,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     corpus = docs.filter(F.col("doc_id") % 17 != 3)
     new = docs.filter(F.col("doc_id") % 17 == 3)
     from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
@@ -1405,7 +1405,7 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined count -> TakeOrdered: the shuffle carries one row per
     DISTINCT token (not per occurrence), and top-k never sorts the
     full vocabulary."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     counted = (
         docs.select(F.explode(toks).alias("token"))
@@ -1525,7 +1525,7 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     before broadcasting into the coverage join, and the per-source
     rollup is a map-side-combined conditional count.  Counts are
     exact integers; the rate is one IEEE division."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     vocab = (
         docs.select(F.explode(toks).alias("token"))
@@ -1954,7 +1954,7 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no per-partition blowup at scale; a pathological single-key
     cluster would surface in AQE skew metrics and is exactly the
     case the upstream exact-dedup pass collapses first."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     n = docs.select(
         "doc_id",
         "n_chars",

@@ -1506,7 +1506,7 @@ def _json_props_impl(
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.dedup import dedup_exact
 
-    return dedup_exact(load_table(spark, sf_dir, "documents"))
+    return dedup_exact(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 @register(
@@ -1531,7 +1531,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp in codegen and only (hash, id) travels in the shuffle."""
     from wrds2pg_spark.operators.dedup import dedup_exact
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     norm = docs.select(
         "doc_id",
         F.trim(F.regexp_replace(F.lower(F.col("text")),
@@ -2464,7 +2464,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality metrics per document, all JVM-side."""
     from wrds2pg_spark.functions import text as X
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -2509,7 +2509,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak) next to the fixture's label."""
     from wrds2pg_spark.functions.text import predicted_lang
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -2530,7 +2530,7 @@ def _fingerprint_oracle() -> str:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.functions.text import fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -2571,7 +2571,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py)."""
     from wrds2pg_spark.operators.multimodal import binary_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     as_bin = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -2608,7 +2608,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     slip, or channel swap in the decoder fails the value hash."""
     from wrds2pg_spark.operators.multimodal import decode_image_bmp, synth_bmp
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_image_bmp(synth_bmp(docs, "doc_id"), "payload", "id")
 
 
@@ -2651,7 +2651,10 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image_png, synth_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # zlib inflate dominates this key (~10x the other decoders), so
+    # it spreads even small corpora: 0.77 vs 1.08-1.34 s at sf0.1
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                   min_bytes=256 * 1024)
     return decode_image_png(synth_png(docs, "doc_id"), "payload", "id")
 
 
@@ -3325,7 +3328,7 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern avoids engine-specific syntax so Java and RE2 agree."""
     from wrds2pg_spark.functions.text import token_count
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -3358,7 +3361,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     below 2^35, bit-identical across engines."""
     from wrds2pg_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok_vals = F.transform(
         tokens(F.col("text")),
         lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long"),
@@ -3495,7 +3498,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     RMS bit-identical to the oracle's same op sequence."""
     from wrds2pg_spark.operators.multimodal import decode_audio_wav, synth_wav
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_audio_wav(synth_wav(docs, "doc_id"), "payload", "id")
 
 
@@ -3526,7 +3529,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames_real, synth_frame_container,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return sample_frames_real(
         synth_frame_container(docs, "doc_id"), "payload", "id",
         every=2, fps=1.0,
@@ -3563,7 +3566,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_image_bmp, synth_bmp,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return resize_image_bmp(
         synth_bmp(docs, "doc_id"), "payload", "id"
     ).drop("resized")
@@ -3616,7 +3619,7 @@ def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames_real, synth_frame_container,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     frames = sample_frames_real(
         synth_frame_container(docs, "doc_id"), "payload", "id",
         every=1, fps=1.0,
@@ -3831,7 +3834,7 @@ def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered over the merged counts."""
     from wrds2pg_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -4105,6 +4108,10 @@ def dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Singleton docs are their own component."""
     from wrds2pg_spark.operators.dedup import connected_components
 
+    # NO fan_out here: the iterative CC loop re-reads its edge
+    # checkpoint, not the scan, and the extra exchange measured
+    # 2.29 -> 3.06 s at sf1 (round-7 A/B) — the md5 hash is too
+    # cheap per byte to amortize a text shuffle
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select("doc_id", F.md5(F.col("text")).alias("__h"))
     # rep has distinct-text cardinality — SF-scaling, so no forced
@@ -4300,7 +4307,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted_lang, quality_score, token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     feat = docs.select(
         F.md5(t).alias("__h"),
@@ -5540,7 +5547,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count and a TakeOrdered top-k, so the full
     n-gram stream is never materialized or sorted globally.  Both
     engines index arrays 1-based (element_at / list index)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
     ng = toks.filter(F.size("t") >= 3).select(
         F.explode(
@@ -5583,7 +5590,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     to bound the DP matrix.  The self-join shuffles both sides on the
     block key once; everything else is narrow.  Both engines implement
     classic unit-cost Levenshtein."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     blk = docs.select(
         "doc_id",
         F.floor(F.col("n_chars") / 10.0).cast("long").alias("b"),

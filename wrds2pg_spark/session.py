@@ -121,13 +121,27 @@ def _parse_bytes(value, default: int = 128 * 1024 * 1024) -> int:
         return default
 
 
-def fan_out(df, min_partitions: int | None = None):
+_FAN_OUT_MIN_BYTES = 2 * 1024 * 1024  # skip below this total (see doc)
+
+
+def fan_out(df, min_partitions: int | None = None,
+            min_bytes: int = _FAN_OUT_MIN_BYTES):
     """Repartition a narrow input so heavy per-row map work uses every
     core.  Small reference tables (the sf0.1 documents parquet is one
     ~1.5 MB file) arrive as a single input split, which serializes any
     expensive map stage (shingling, hashing, Pandas UDFs) onto one
     task; on a real cluster the same applies to any source with fewer
     splits than executor slots.  No-op when the input is already wide.
+
+    ``min_bytes`` floor (round 7): below ~2 MB of source bytes the
+    repartition EXCHANGE costs more than the parallelism earns — the
+    round-7 sf0.1 sweep measured +0.1..0.4 s regressions on sub-second
+    text keys from an unconditional fan_out, while the same keys won
+    1.4-3.4x at sf1 (5.8 MB compressed documents hiding ~60 MB of
+    text and ~2.4 s of single-task tokenize CPU).  Both regimes are
+    served by one rule: spread only when there is enough data for the
+    shuffle to amortize.  At 100 TB every real table is far above the
+    floor AND has more splits than slots, so this stays a no-op.
 
     Width is estimated from the source file listing (count + sizes vs
     spark.sql.files.maxPartitionBytes — the same arithmetic Spark's
@@ -153,12 +167,16 @@ def fan_out(df, min_partitions: int | None = None):
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         splits = 0
+        total = 0
         for f in files:
             p = jvm.org.apache.hadoop.fs.Path(f)
             size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            total += size
             splits += max(1, -(-size // max_bytes))
             if splits >= target:
                 return df
+        if total < min_bytes:
+            return df
     except Exception:
         pass  # listing-only estimate was already < target
     return df.repartition(target)
