@@ -244,6 +244,7 @@ HEADLINE = [
     "scan_text_lines",
     "sample_reservoir_group",
     "scan_schema_evolution",
+    "scan_sas7bdat",
     "stats_herfindahl",
     "stats_rfm_segments",
     "stats_ridge_by_group",

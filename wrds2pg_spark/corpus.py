@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.queries import register
-from wrds2pg_spark.session import fan_out
+from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
 from wrds2pg_spark.sources.testdata import load_table
 
 
@@ -181,7 +181,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-keyed shuffle if a 100-TB vocabulary ever outgrows
     executors instead of OOMing.  The 1-row total joins the same
     way."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     dg = _tokens(docs).groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("k"))
     # total stamps onto freq itself via an empty-frame sum window —
@@ -398,7 +399,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the Heaps-sublinear df table while it fits), and the
     per-doc top-k window.  No UDF — ln() and the window stay in
     codegen."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     tok = _tokens(docs)
     tf = tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
@@ -699,7 +701,8 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus family's convention; chunk_idx = tok_start / stride is
     derived, not positional, so both engines compute it identically
     without an ordinal join."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     d = docs.select("doc_id", toks.alias("toks"))
     starts = F.sequence(
@@ -759,7 +762,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY over everything).  Token counts are row-local; the one
     shuffle is the source-keyed window, and the manifest agg reuses
     its partitioning."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     sized = docs.select(
         "doc_id",
         "source",
@@ -1249,7 +1253,8 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_corr_exact trick: ln values rounded to 6 dp (the proven
     cross-engine ln contract) feed exact scaled-long moments, so the
     regression is bit-stable under any partitioning."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     freq = _tokens(docs).groupBy("token").agg(
         F.count(F.lit(1)).alias("c"))
     ranked = freq.select(

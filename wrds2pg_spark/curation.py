@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.queries import register
-from wrds2pg_spark.session import fan_out
+from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
 from wrds2pg_spark.sources.testdata import load_table
 
 
@@ -671,6 +671,64 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_sas7bdat",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
+           {DSUM_SQL('o_totalprice', 2)} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def scan_sas7bdat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE sas7bdat ingest on the oracle-checked surface (round 7):
+    a projected orders slice is written ONCE per sf as a real
+    multi-file sas7bdat lake (sinks/sas7bdat.py, one binary file per
+    partition, executor-side), read back through the distributed
+    mapInArrow reader (sources/sas7bdat.py, un-mocked pandas.read_sas
+    per file) and aggregated; the oracle computes the same aggregate
+    straight from the parquet view, so the hash gate covers the full
+    binary round-trip — float64 exactness (SAS numerics ARE IEEE
+    doubles; orderkey < 2^53 so the double transport is exact) and
+    the space-padded char columns' trim-on-read.
+
+    Scale shape: one file per partition at write, one task per file
+    at read (a sas7bdat is unsplittable — the same parallelism
+    contract as the reference's one-CSV-stream-per-dataset,
+    wrds2pg/sas/stream.py:29-88); the aggregate is map-side combined
+    above the decode."""
+    from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat_files
+    from wrds2pg_spark.sources.sas7bdat import read_sas7bdat
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "orders")
+    lake = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/orders_sas_{tag}",
+        lambda tmp: write_sas7bdat_files(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").cast("double").alias("o_orderkey"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                F.col("o_orderpriority"),
+            ).repartition(8),
+            tmp,
+        ).write.mode("overwrite").format("noop").save(),
+    )
+    return (
+        read_sas7bdat(
+            spark, lake,
+            schema="o_orderkey double, o_totalprice double, "
+                   "o_orderpriority string",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("sum_key"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "scan_schema_evolution",
     oracle=f"""
     WITH lake AS (
@@ -983,7 +1041,10 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:minhash_lsh_pairs_portable."""
     from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # no outer fan_out: the portable pipeline spreads internally
+    # (operators/dedup.py portable_bucket_keys); doubling it measured
+    # +0.2..0.5 s at sf0.1 (round 7)
+    docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs_portable(docs, threshold=0.5)
 
 
@@ -1061,7 +1122,10 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_dedup.py."""
     from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # no outer fan_out: the portable pipeline spreads internally
+    # (operators/dedup.py portable_bucket_keys); doubling it measured
+    # +0.2..0.5 s at sf0.1 (round 7)
+    docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs_portable(
         docs, threshold=0.5, max_bucket_size=_MINHASH_CAP)
 
@@ -1126,7 +1190,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_minhash_bucket_index, dedup_incremental_portable,
     )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # no outer fan_out: the portable pipeline spreads internally
+    # (operators/dedup.py portable_bucket_keys); doubling it measured
+    # +0.2..0.5 s at sf0.1 (round 7)
+    docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 17 != 3)
     new = docs.filter(F.col("doc_id") % 17 == 3)
     from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
@@ -1405,7 +1472,8 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined count -> TakeOrdered: the shuffle carries one row per
     DISTINCT token (not per occurrence), and top-k never sorts the
     full vocabulary."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     counted = (
         docs.select(F.explode(toks).alias("token"))
@@ -1525,7 +1593,8 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     before broadcasting into the coverage join, and the per-source
     rollup is a map-side-combined conditional count.  Counts are
     exact integers; the rate is one IEEE division."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     vocab = (
         docs.select(F.explode(toks).alias("token"))
@@ -1954,7 +2023,8 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no per-partition blowup at scale; a pathological single-key
     cluster would surface in AQE skew metrics and is exactly the
     case the upstream exact-dedup pass collapses first."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     n = docs.select(
         "doc_id",
         "n_chars",

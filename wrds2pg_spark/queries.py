@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.plans.ingest import IngestOptions, apply_options
-from wrds2pg_spark.session import fan_out
+from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
 from wrds2pg_spark.sources.testdata import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1506,7 +1506,8 @@ def _json_props_impl(
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.dedup import dedup_exact
 
-    return dedup_exact(fan_out(load_table(spark, sf_dir, "documents")))
+    return dedup_exact(fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB))
 
 
 @register(
@@ -1531,7 +1532,8 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp in codegen and only (hash, id) travels in the shuffle."""
     from wrds2pg_spark.operators.dedup import dedup_exact
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     norm = docs.select(
         "doc_id",
         F.trim(F.regexp_replace(F.lower(F.col("text")),
@@ -2464,7 +2466,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality metrics per document, all JVM-side."""
     from wrds2pg_spark.functions import text as X
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -2571,7 +2574,8 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py)."""
     from wrds2pg_spark.operators.multimodal import binary_stats
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     as_bin = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -2608,7 +2612,8 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     slip, or channel swap in the decoder fails the value hash."""
     from wrds2pg_spark.operators.multimodal import decode_image_bmp, synth_bmp
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     return decode_image_bmp(synth_bmp(docs, "doc_id"), "payload", "id")
 
 
@@ -3521,7 +3526,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     RMS bit-identical to the oracle's same op sequence."""
     from wrds2pg_spark.operators.multimodal import decode_audio_wav, synth_wav
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     return decode_audio_wav(synth_wav(docs, "doc_id"), "payload", "id")
 
 
@@ -3552,7 +3558,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames_real, synth_frame_container,
     )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     return sample_frames_real(
         synth_frame_container(docs, "doc_id"), "payload", "id",
         every=2, fps=1.0,
@@ -3589,7 +3596,8 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_image_bmp, synth_bmp,
     )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     return resize_image_bmp(
         synth_bmp(docs, "doc_id"), "payload", "id"
     ).drop("resized")
@@ -3642,7 +3650,8 @@ def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames_real, synth_frame_container,
     )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     frames = sample_frames_real(
         synth_frame_container(docs, "doc_id"), "payload", "id",
         every=1, fps=1.0,
@@ -3857,7 +3866,8 @@ def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered over the merged counts."""
     from wrds2pg_spark.functions.text import tokens
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -4330,7 +4340,8 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted_lang, quality_score, token_count,
     )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     t = F.col("text")
     feat = docs.select(
         F.md5(t).alias("__h"),
@@ -5570,7 +5581,8 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined count and a TakeOrdered top-k, so the full
     n-gram stream is never materialized or sorted globally.  Both
     engines index arrays 1-based (element_at / list index)."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
     toks = docs.select(F.split(F.lower(F.col("text")), " ").alias("t"))
     ng = toks.filter(F.size("t") >= 3).select(
         F.explode(

@@ -121,11 +121,11 @@ def _parse_bytes(value, default: int = 128 * 1024 * 1024) -> int:
         return default
 
 
-_FAN_OUT_MIN_BYTES = 2 * 1024 * 1024  # skip below this total (see doc)
+FAN_OUT_2MB = 2 * 1024 * 1024  # caller-supplied floor, see below
 
 
 def fan_out(df, min_partitions: int | None = None,
-            min_bytes: int = _FAN_OUT_MIN_BYTES):
+            min_bytes: int = 0):
     """Repartition a narrow input so heavy per-row map work uses every
     core.  Small reference tables (the sf0.1 documents parquet is one
     ~1.5 MB file) arrive as a single input split, which serializes any
@@ -133,15 +133,16 @@ def fan_out(df, min_partitions: int | None = None,
     task; on a real cluster the same applies to any source with fewer
     splits than executor slots.  No-op when the input is already wide.
 
-    ``min_bytes`` floor (round 7): below ~2 MB of source bytes the
-    repartition EXCHANGE costs more than the parallelism earns — the
-    round-7 sf0.1 sweep measured +0.1..0.4 s regressions on sub-second
-    text keys from an unconditional fan_out, while the same keys won
-    1.4-3.4x at sf1 (5.8 MB compressed documents hiding ~60 MB of
-    text and ~2.4 s of single-task tokenize CPU).  Both regimes are
-    served by one rule: spread only when there is enough data for the
-    shuffle to amortize.  At 100 TB every real table is far above the
-    floor AND has more splits than slots, so this stays a no-op.
+    ``min_bytes`` (round 7): 0 by default — spread whenever the scan
+    is narrower than the slots, because per-byte CPU varies ~100x
+    between callers and a global byte floor is the wrong rule (the
+    first r7 attempt defaulted it to 2 MB and collapsed the
+    shingling/entropy keys back to one task: text_entropy 0.36 ->
+    3.9 s at sf0.1).  Callers whose map work is too CHEAP to amortize
+    the text exchange at small scale pass ``min_bytes=FAN_OUT_2MB``
+    (each such site carries its measured sf0.1 regression); heavy
+    decoders pass a lower floor (png: 256 KB).  At 100 TB every real
+    table has more splits than slots, so all of this is a no-op.
 
     Width is estimated from the source file listing (count + sizes vs
     spark.sql.files.maxPartitionBytes — the same arithmetic Spark's
