@@ -182,3 +182,77 @@ def test_split_sum_identity(products):
     hi = sum(p >> _SPLIT for p in products)
     lo = sum(p & _MASK for p in products)
     assert hi * (1 << _SPLIT) + lo == sum(products)
+
+
+# ---------------------------------------------------------------------------
+# sas7bdat writer <-> pandas.read_sas round-trip (round 7)
+# ---------------------------------------------------------------------------
+
+_sas_name = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz_"),
+    min_size=1, max_size=12)
+# SAS char fields are space-padded and the reader right-strips, so
+# trailing spaces/NULs are not representable — exclude them (the
+# writer docstring records the same fixed-width contract)
+_sas_str = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    min_size=0, max_size=24,
+).map(lambda s: s.rstrip(" \x00"))
+_sas_num = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.integers(-2**53, 2**53).map(float),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    names=st.lists(_sas_name, min_size=1, max_size=5, unique=True),
+    data=st.data(),
+)
+def test_sas7bdat_roundtrip_property(tmp_path_factory, names, data):
+    """Any frame of float64 / string columns survives the hand-built
+    binary sas7bdat byte-for-byte: doubles exactly (they ARE the SAS
+    representation), strings up to the fixed-width right-strip."""
+    import numpy as np
+    import pandas as pd
+
+    from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat
+
+    n = data.draw(st.integers(0, 60))
+    cols = {}
+    for i, name in enumerate(names):
+        if data.draw(st.booleans(), label=f"is_num_{i}"):
+            cols[name] = pd.Series(
+                data.draw(st.lists(_sas_num, min_size=n, max_size=n)),
+                dtype="float64")
+        else:
+            cols[name] = pd.Series(
+                data.draw(st.lists(_sas_str, min_size=n, max_size=n)),
+                dtype=object)
+    src = pd.DataFrame(cols, columns=list(cols))
+    path = str(tmp_path_factory.mktemp("sasprop") / "t.sas7bdat")
+    # tiny pages force the multi-page path whenever n is nontrivial
+    write_sas7bdat(src, path, page_length=1024)
+    if n == 0:
+        out = pd.read_sas(path, format="sas7bdat")
+        assert len(out) == 0
+        return
+    out = pd.read_sas(path, format="sas7bdat")
+    assert list(out.columns) != [] and len(out) == n
+    # reader emits doubles first (physical layout order)
+    for name in src.columns:
+        got = out[name]
+        if src[name].dtype == "float64":
+            assert np.array_equal(
+                got.to_numpy(dtype="float64"),
+                src[name].to_numpy(dtype="float64"),
+                equal_nan=True), name
+        else:
+            # '' is indistinguishable from SAS missing-char (all
+            # spaces) and reads back as NaN — real SAS semantics
+            want = [v if v != "" else None for v in src[name]]
+            dec = [v.decode("utf-8") if isinstance(v, bytes)
+                   else (None if v is None or v != v else v)
+                   for v in got]
+            assert dec == want, name

@@ -14,7 +14,10 @@ rowsize/colsize/text/name/attribute/format subheaders, then dense
 data pages.  SAS numerics are IEEE float64 by definition, so numeric
 columns are written as doubles (ints upcast — exactly what SAS
 itself stores); strings are fixed-width space-padded byte fields at
-the column's max observed width.  Dates/times are out of scope (SAS
+the column's max observed width.  An EMPTY string is
+indistinguishable from SAS missing-char (an all-space field) and
+reads back as NaN — the real SAS semantics, asserted by the
+round-trip property test.  Dates/times are out of scope (SAS
 stores them as formatted doubles; writing a format name into the
 text blob is the extension point).
 
@@ -88,10 +91,22 @@ def write_sas7bdat(
     layout, row_length = _layout(df)
     n_rows, n_cols = len(df), len(layout)
     int_len, bit_off, ptr_len = 4, 16, 12
-    if row_length > page_length - (bit_off + 8):
-        raise ValueError(
-            f"row_length {row_length} exceeds page capacity "
-            f"{page_length - bit_off - 8}; raise page_length")
+    # auto-size the page: metadata (fixed subheaders + the name blob +
+    # one pointer per subheader) and at least one data row must fit —
+    # the first property-test run caught a NEGATIVE placement cursor
+    # corrupting the pointer table when 5 long-named columns overflowed
+    # a 1 KB page (struct.error at pack time, garbage file if not)
+    name_bytes = sum(len(str(c).encode("utf-8")) for c in df.columns)
+    meta_needed = (
+        bit_off + 8 + (5 + n_cols) * ptr_len      # header + pointers
+        + 480 + 12 + (44 + name_bytes)            # rowsize/colsize/text
+        + (2 * int_len + 12 + 8 * n_cols)         # names
+        + (2 * int_len + 12 + 12 * n_cols)        # attributes
+        + 64 * n_cols + 8 * (5 + n_cols)          # formats + align pad
+    )
+    needed = max(meta_needed, row_length + bit_off + 8)
+    while page_length < needed:
+        page_length *= 2
 
     hdr = bytearray(_HEADER_LEN)
     _put(hdr, 0, _MAGIC)
@@ -122,6 +137,10 @@ def write_sas7bdat(
         blob += nb
     region_len = name_payload_start + len(blob)
     region_len += (-region_len) % 4
+    if region_len > 0xFFF0:
+        raise ValueError(
+            "column-name blob exceeds one u16-sized text subheader "
+            f"({region_len} bytes); multi-blob spill is unimplemented")
     text_sh = bytearray(int_len + region_len)
     _put(text_sh, 0, b"\xFD\xFF\xFF\xFF")
     _put(text_sh, int_len, struct.pack("<H", region_len))
@@ -171,8 +190,7 @@ def write_sas7bdat(
         _put(meta, ptr, struct.pack("<I", cur))
         _put(meta, ptr + 4, struct.pack("<I", len(sh)))
         ptr += ptr_len
-    if ptr > cur:
-        raise ValueError("metadata exceeds one page; raise page_length")
+    assert ptr <= cur, "internal: meta auto-size underestimated"
 
     rows_per_page = (page_length - bit_off - 8) // max(row_length, 1)
     with open(path, "wb") as f:
