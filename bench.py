@@ -205,6 +205,7 @@ HEADLINE = [
     "tpch_q9_bucketed",
     "tpch_q11_bucketed",
     "tpch_q21_bucketed",
+    "tpch_q17_bucketed",
     "agg_approx_error_audit",
     "embedding_pq_codes",
     "similarity_pq_adc",

@@ -341,6 +341,14 @@ def test_q9_q11_bucketed_exchange_free_aggs(spark):
     assert "Exchange hashpartitioning(ps_partkey" not in q11
     # the only exchange is the per-part values into the global window
     assert q11.count("Exchange") == q11.count("Exchange SinglePartition")
+    # q17's per-part average window rides the same bucket layout
+    # (round 7): no partkey exchange, only the 1-row final aggregate
+    q17 = plan_of(spark, "tpch_q17_bucketed")
+    assert "Window" in q17
+    assert "Exchange hashpartitioning(l_partkey" not in q17
+    # shuffles: only the 1-row final agg (the part dim broadcasts)
+    assert (q17.count("Exchange") - q17.count("BroadcastExchange")
+            == q17.count("Exchange SinglePartition"))
 
 
 def test_q21_bucketed_no_fact_exchange(spark):

@@ -5055,6 +5055,34 @@ def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tpch_q17_bucketed", oracle=REGISTRY["tpch_q17_shape"].oracle)
+def tpch_q17_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 over lineitem PRE-BUCKETED by partkey (round 7): the
+    correlated per-part average rides the bucket partitioning — the
+    shape form's one partkey exchange (the r6 weak-list residual,
+    9.8x sf1 / 3.2x sf10) disappears, and the bucket sortBy
+    (l_partkey, l_suppkey) covers the window's required clustering,
+    so the ONLY exchange in the whole query is the 1-row final
+    aggregate.  Same window arithmetic and oracle as the shape."""
+    li = _lineitem_by_partkey(spark, sf_dir)
+    tp = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    target = li.join(F.broadcast(tp), li.l_partkey == F.col("p_partkey"))
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).over(w)
+        .cast("double")
+        / F.count(F.col("l_quantity")).over(w).cast("double")
+    )
+    return (
+        target.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice"), 2) / F.lit(7.0))
+             .alias("avg_yearly"))
+    )
+
+
 @register(
     "tpch_q19_shape",
     oracle=f"""
