@@ -160,6 +160,7 @@ HEADLINE = [
     "mixture_temperature_sample",
     "vocab_induction",
     "vocab_oov_coverage",
+    "vocab_bpe_merges",
     "quality_percentile_gate",
     "stream_upsert_totals",
     "agg_median_mode",

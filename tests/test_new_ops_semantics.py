@@ -331,3 +331,36 @@ def test_cogrouped_asof_empty_sides(spark):
         ).collect()
     }
     assert got == {1: 7, 2: None}
+
+
+def test_bpe_merge_fold_greedy_nonoverlap(spark, tmp_path):
+    """The BPE re-tokenize fold is greedy LEFT-TO-RIGHT and
+    non-overlapping: 'a a a' with best pair (a,a) yields [aa, a] (the
+    merged token cannot immediately re-merge as the left element in
+    the same round), and 'a b a b' with (a,b) merges BOTH
+    occurrences.  This pins the exact semantics the DuckDB oracle's
+    doubled-separator replace() reproduces."""
+    import pandas as pd
+
+    from wrds2pg_spark.corpus import vocab_bpe_merges
+    from wrds2pg_spark.sources.testdata import TABLES
+
+    # build a tiny documents fixture where (a,a) then (aa,a) dominate
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a", "a b a b", "a a a a"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [5, 7, 7],
+    }).to_parquet(str(d / "documents.parquet"))
+    rows = {r["round"]: (r["w1"], r["w2"], r["merged"], r["cnt"])
+            for r in vocab_bpe_merges(spark, str(d)).collect()}
+    # round 1: pairs — (a,a): doc1 has 2, doc2 0, doc3 3 => 5;
+    # (a,b): 2; (b,a): 1  -> best (a,a,5)
+    assert rows[1] == ("a", "a", "aa", 5)
+    # after greedy merge: doc1 -> [aa, a]; doc2 unchanged;
+    # doc3 -> [aa, aa]
+    # round 2 pairs: (aa,a):1  (a,b):2 (b,a):1 (aa,aa):1 -> best (a,b,2)
+    assert rows[2] == ("a", "b", "ab", 2)

@@ -1282,3 +1282,138 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training (round 7)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_SEP_SQL = "chr(31)"  # unit separator: absent from the fixtures' text
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round over the separator-string encoding."""
+    sep, sep2 = _BPE_SEP_SQL, f"repeat({_BPE_SEP_SQL}, 2)"
+    return f"""
+t{i} AS (SELECT doc_id,
+              list_slice(string_split(s, {sep2}),
+                         2, len(string_split(s, {sep2})) - 1)
+              AS t FROM s{i - 1}),
+p{i} AS (
+    SELECT t[j] AS w1, t[j+1] AS w2, count(*) AS cnt
+    FROM t{i}, UNNEST(generate_series(1, len(t) - 1)) AS g(j)
+    GROUP BY 1, 2),
+b{i} AS (SELECT w1, w2, cnt FROM p{i} ORDER BY cnt DESC, w1, w2 LIMIT 1),
+s{i} AS (
+    SELECT doc_id,
+           replace(s, {sep} || b.w1 || {sep2} || b.w2 || {sep},
+                   {sep} || b.w1 || b.w2 || {sep}) AS s
+    FROM s{i - 1}, b{i} b)"""
+
+
+_BPE_ORACLE = (
+    f"""
+WITH s0 AS (
+    SELECT doc_id,
+           repeat({_BPE_SEP_SQL}, 2) ||
+           array_to_string(string_split(lower(text), ' '),
+                           repeat({_BPE_SEP_SQL}, 2)) ||
+           repeat({_BPE_SEP_SQL}, 2) AS s
+    FROM documents),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, w1, w2, w1 || w2 AS merged,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM b{i}"
+        for i in range(1, _BPE_ROUNDS + 1))
+)
+
+
+@register("vocab_bpe_merges", oracle=_BPE_ORACLE)
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge TRAINING (Sennrich et al. 2016), 3 rounds,
+    word-level: per round, count all adjacent token pairs corpus-wide,
+    pick the most frequent (tiebreak (cnt DESC, w1, w2) — fully
+    deterministic), and re-tokenize every document by greedily merging
+    non-overlapping occurrences left-to-right (a token produced by a
+    merge cannot immediately re-merge as the LEFT element within the
+    same round — the classic single-pass rule).  Output: the learned
+    merge table (round, w1, w2, merged, cnt).
+
+    This is the tokenizer-training primitive of every LLM data
+    pipeline, and the repo's only multi-round iterative operator whose
+    PER-ROUND global decision feeds the next round's map phase — the
+    shape GraphX/Pregel-style jobs share.  Fully declarative, ZERO
+    driver-side collect: each round is (a) one map-side-combined pair
+    count, (b) argmax via TakeOrderedAndProject(1), (c) the 1-row
+    winner crossJoin-broadcast back into a row-local aggregate() FOLD
+    that rebuilds each doc's token array in codegen.  Per round the
+    only exchange is the pair-count aggregate (vocab^2-bounded,
+    Heaps-sublinear in the corpus); document bodies never shuffle.
+    Round outputs are lazily checkpointed — 3 rounds of fold lineage
+    would otherwise replay the whole cascade per consumer (AQE
+    exchange-reuse failure, BASELINE.md r6).
+
+    The DuckDB oracle cannot fold arrays, so it runs the SAME greedy
+    merge through a separator-string encoding: tokens joined on a
+    DOUBLED chr(31), the pair replaced via single-separator-delimited
+    `replace()` whose replacement re-establishes the double-separator
+    invariant — non-overlapping left-to-right exactly like the fold
+    (the doubled separator is what makes adjacent matches
+    non-overlapping in the string; a single separator would swallow
+    the shared boundary and drop every second merge — recorded
+    derivation, tools/ history).  Hash-equal at sf0.001/0.01/0.1."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                   min_bytes=FAN_OUT_2MB)
+    cur = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t"))
+
+    def best_pair(tdf):
+        pairs = tdf.select(F.explode(F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("p")).select("p.w1", "p.w2")
+        return (pairs.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), "w1", "w2").limit(1))
+
+    def merge(tdf, bdf):
+        j = tdf.crossJoin(F.broadcast(bdf))
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"))
+        merged = F.aggregate(
+            F.col("t"), acc0,
+            lambda acc, x: F.when(
+                acc.prev.eqNullSafe(F.col("w1")) & x.eqNullSafe(F.col("w2")),
+                F.struct(
+                    F.concat(acc.out,
+                             F.array(F.concat(F.col("w1"), F.col("w2"))))
+                    .alias("out"),
+                    F.lit(None).cast("string").alias("prev")),
+            ).otherwise(F.struct(
+                F.when(acc.prev.isNull(), acc.out)
+                .otherwise(F.concat(acc.out, F.array(acc.prev))).alias("out"),
+                x.alias("prev"))),
+            lambda acc: F.when(acc.prev.isNull(), acc.out)
+            .otherwise(F.concat(acc.out, F.array(acc.prev))),
+        )
+        return j.select("doc_id", merged.alias("t")).localCheckpoint(
+            eager=False)
+
+    outs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        b = best_pair(cur).localCheckpoint(eager=False)
+        outs.append(b.select(
+            F.lit(r).cast("long").alias("round"),
+            "w1", "w2",
+            F.concat("w1", "w2").alias("merged"),
+            F.col("cnt").cast("long").alias("cnt")))
+        if r < _BPE_ROUNDS:
+            cur = merge(cur, b)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
