@@ -228,6 +228,30 @@ SHOWCASE = {
         "vectors are never read; scoring is m unpack-and-lookup "
         "codegen expressions on one BIGINT, then TakeOrdered."
     ),
+    "tpch_q21_bucketed": (
+        "Round 7: zero fact exchanges and zero sorts — the co-bucketed "
+        "fact join is a ShuffledHashJoin (no 730k-row broadcast build), "
+        "both aggregates ride the bucket partitioning, and the per-order "
+        "window is replaced by a second hash aggregate extracting the "
+        "sole late supplier via max(when(...))."
+    ),
+    "tpch_q17_bucketed": (
+        "Round 7: the correlated per-part average window rides the "
+        "partkey bucket layout — the only shuffle is the 1-row final "
+        "aggregate (part dim broadcasts)."
+    ),
+    "ts_resample_ffill": (
+        "Round 7 generator form: the dense per-user day grid is EMITTED "
+        "(lead() window + sequence/explode carrying the fill value "
+        "row-locally), never joined — no users x days BNLJ spine, no "
+        "dense-grid shuffle, no ignorenulls frame scan."
+    ),
+    "vocab_bpe_merges": (
+        "Iterative BPE training with zero driver collect: per round one "
+        "map-side-combined pair count, a TakeOrderedAndProject(1) "
+        "argmax, and the 1-row winner broadcast into a row-local "
+        "aggregate() fold; rounds separated by lazy localCheckpoints."
+    ),
     "tpch_q18_bucketed": (
         "Pre-bucketed facts: the HAVING aggregate and the "
         "lineitem<->orders SMJ both run exchange-free over "
