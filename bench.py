@@ -161,6 +161,7 @@ HEADLINE = [
     "vocab_induction",
     "vocab_oov_coverage",
     "vocab_bpe_merges",
+    "vocab_bpe_compression",
     "quality_percentile_gate",
     "stream_upsert_totals",
     "agg_median_mode",

@@ -1330,6 +1330,57 @@ WITH s0 AS (
 )
 
 
+def _bpe_chain(docs, rounds=_BPE_ROUNDS, extra_cols=()):
+    """The shared BPE training cascade: returns (per-round best-pair
+    DataFrames, final token table).  ``extra_cols`` (e.g. source) ride
+    the token table untouched through every fold."""
+    keep = list(extra_cols)
+    cur = docs.select(
+        "doc_id", *keep,
+        F.split(F.lower(F.col("text")), " ").alias("t"))
+
+    def best_pair(tdf):
+        pairs = tdf.select(F.explode(F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("p")).select("p.w1", "p.w2")
+        return (pairs.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.desc("cnt"), "w1", "w2").limit(1))
+
+    def merge(tdf, bdf):
+        j = tdf.crossJoin(F.broadcast(bdf))
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"))
+        merged = F.aggregate(
+            F.col("t"), acc0,
+            lambda acc, x: F.when(
+                acc.prev.eqNullSafe(F.col("w1")) & x.eqNullSafe(F.col("w2")),
+                F.struct(
+                    F.concat(acc.out,
+                             F.array(F.concat(F.col("w1"), F.col("w2"))))
+                    .alias("out"),
+                    F.lit(None).cast("string").alias("prev")),
+            ).otherwise(F.struct(
+                F.when(acc.prev.isNull(), acc.out)
+                .otherwise(F.concat(acc.out, F.array(acc.prev))).alias("out"),
+                x.alias("prev"))),
+            lambda acc: F.when(acc.prev.isNull(), acc.out)
+            .otherwise(F.concat(acc.out, F.array(acc.prev))),
+        )
+        return j.select("doc_id", *keep, merged.alias("t")).localCheckpoint(
+            eager=False)
+
+    bests = []
+    for r in range(1, rounds + 1):
+        b = best_pair(cur).localCheckpoint(eager=False)
+        bests.append(b)
+        cur = merge(cur, b)
+    return bests, cur
+
+
 @register("vocab_bpe_merges", oracle=_BPE_ORACLE)
 def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE merge TRAINING (Sennrich et al. 2016), 3 rounds,
@@ -1366,54 +1417,75 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation, tools/ history).  Hash-equal at sf0.001/0.01/0.1."""
     docs = fan_out(load_table(spark, sf_dir, "documents"),
                    min_bytes=FAN_OUT_2MB)
-    cur = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t"))
-
-    def best_pair(tdf):
-        pairs = tdf.select(F.explode(F.zip_with(
-            F.slice(F.col("t"), 1, F.size("t") - 1),
-            F.slice(F.col("t"), 2, F.size("t") - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )).alias("p")).select("p.w1", "p.w2")
-        return (pairs.groupBy("w1", "w2")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .orderBy(F.desc("cnt"), "w1", "w2").limit(1))
-
-    def merge(tdf, bdf):
-        j = tdf.crossJoin(F.broadcast(bdf))
-        acc0 = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("prev"))
-        merged = F.aggregate(
-            F.col("t"), acc0,
-            lambda acc, x: F.when(
-                acc.prev.eqNullSafe(F.col("w1")) & x.eqNullSafe(F.col("w2")),
-                F.struct(
-                    F.concat(acc.out,
-                             F.array(F.concat(F.col("w1"), F.col("w2"))))
-                    .alias("out"),
-                    F.lit(None).cast("string").alias("prev")),
-            ).otherwise(F.struct(
-                F.when(acc.prev.isNull(), acc.out)
-                .otherwise(F.concat(acc.out, F.array(acc.prev))).alias("out"),
-                x.alias("prev"))),
-            lambda acc: F.when(acc.prev.isNull(), acc.out)
-            .otherwise(F.concat(acc.out, F.array(acc.prev))),
-        )
-        return j.select("doc_id", merged.alias("t")).localCheckpoint(
-            eager=False)
-
-    outs = []
-    for r in range(1, _BPE_ROUNDS + 1):
-        b = best_pair(cur).localCheckpoint(eager=False)
-        outs.append(b.select(
+    bests, _final = _bpe_chain(docs)
+    outs = [
+        b.select(
             F.lit(r).cast("long").alias("round"),
             "w1", "w2",
             F.concat("w1", "w2").alias("merged"),
-            F.col("cnt").cast("long").alias("cnt")))
-        if r < _BPE_ROUNDS:
-            cur = merge(cur, b)
+            F.col("cnt").cast("long").alias("cnt"))
+        for r, b in enumerate(bests, start=1)
+    ]
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+_BPE_COMP_ORACLE = (
+    f"""
+WITH s0 AS (
+    SELECT doc_id, source,
+           repeat({_BPE_SEP_SQL}, 2) ||
+           array_to_string(string_split(lower(text), ' '),
+                           repeat({_BPE_SEP_SQL}, 2)) ||
+           repeat({_BPE_SEP_SQL}, 2) AS s
+    FROM documents),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    + f""",
+after AS (
+    SELECT s0.source,
+           len(string_split(lower(d.text), ' ')) AS n0,
+           len(list_slice(string_split(s{_BPE_ROUNDS}.s,
+                                       repeat({_BPE_SEP_SQL}, 2)),
+                          2, len(string_split(s{_BPE_ROUNDS}.s,
+                                              repeat({_BPE_SEP_SQL}, 2)))
+                             - 1)) AS n1
+    FROM s{_BPE_ROUNDS} JOIN s0 USING (doc_id)
+    JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(sum(n0) AS BIGINT) AS n_tokens_before,
+       CAST(sum(n1) AS BIGINT) AS n_tokens_after,
+       round(1.0 - CAST(sum(n1) AS DOUBLE) / CAST(sum(n0) AS DOUBLE), 6)
+           AS saved_frac
+FROM after GROUP BY source
+"""
+)
+
+
+@register("vocab_bpe_compression", oracle=_BPE_COMP_ORACLE)
+def vocab_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: re-tokenize the corpus with the
+    3 learned merges and report per-source token compression — the
+    number a tokenizer-training pipeline actually acts on (how many
+    context-window tokens each source saves for the merge budget).
+    Rides the same _bpe_chain as vocab_bpe_merges; the source column
+    and the pre-merge token count travel through every fold untouched
+    (extra_cols), so the stats are ONE map-side-combined aggregate
+    over the final token table — no joins, no second tokenize.  The
+    oracle replays the doubled-separator replace chain and joins the
+    final strings back to the raw text for the before-counts."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                   min_bytes=FAN_OUT_2MB)
+    pre = docs.withColumn(
+        "n0", F.size(F.split(F.lower(F.col("text")), " ")).cast("long"))
+    _bests, final = _bpe_chain(pre, extra_cols=("source", "n0"))
+    return final.groupBy("source").agg(
+        F.sum("n0").alias("n_tokens_before"),
+        F.sum(F.size("t").cast("long")).alias("n_tokens_after"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.size("t").cast("long")).cast("double")
+            / F.sum("n0").cast("double"), 6
+        ).alias("saved_frac"),
+    )
