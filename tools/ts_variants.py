@@ -51,7 +51,8 @@ def ffill_b(spark, sf_dir):
     # head rows: days before the user's first observation (null fill)
     head = d2.filter((F.col("rn") == 1) & (F.col("day") > F.col("d0"))).select(
         "user_id",
-        F.explode(F.sequence("d0", F.col("day") - _day(), _day())).alias("day"),
+        F.explode(F.sequence(
+            "d0", F.col("day") - _day(), _day())).alias("day"),
         F.lit(None).cast("double").alias("day_value"),
         F.lit(None).cast("double").alias("filled_value"),
     )
@@ -87,7 +88,8 @@ def interp_b(spark, sf_dir):
     )
     head = d2.filter((F.col("rn") == 1) & (F.col("day") > F.col("d0"))).select(
         "user_id",
-        F.explode(F.sequence("d0", F.col("day") - _day(), _day())).alias("day"),
+        F.explode(F.sequence(
+            "d0", F.col("day") - _day(), _day())).alias("day"),
         F.lit(None).cast("double").alias("day_value"),
         F.round(F.col("day_value"), 6).alias("interp_value"),
     )
