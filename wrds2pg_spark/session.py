@@ -70,6 +70,16 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.driver.memory": driver_memory,
+        # Long-lived sessions hold checkpointed-RDD / shuffle state
+        # until the ContextCleaner's weak refs fire, which needs a JVM
+        # GC a 64 g heap may not do for the session's life; Spark's
+        # own remedy is this knob (default 30 min — longer than our
+        # whole bench).  Honest note (round 7): an A/B full-surface
+        # bench with 2 min vs default measured NO effect (per-key
+        # median 0.985) — the observed in-marathon slowdowns were box
+        # variance, not cleaner lag — but the setting is kept as
+        # standard hygiene for any long-lived driver.
+        "spark.cleaner.periodicGC.interval": "2min",
         "spark.ui.enabled": "false",
         # Keep parquet timestamps comparable with the DuckDB oracle
         # (driver testdata stores naive timestamps).
