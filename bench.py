@@ -208,6 +208,8 @@ HEADLINE = [
     "tpch_q11_bucketed",
     "tpch_q21_bucketed",
     "tpch_q17_bucketed",
+    "tpch_q3_bucketed",
+    "tpch_q12_bucketed",
     "agg_approx_error_audit",
     "embedding_pq_codes",
     "similarity_pq_adc",

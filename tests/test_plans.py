@@ -349,6 +349,14 @@ def test_q9_q11_bucketed_exchange_free_aggs(spark):
     # shuffles: only the 1-row final agg (the part dim broadcasts)
     assert (q17.count("Exchange") - q17.count("BroadcastExchange")
             == q17.count("Exchange SinglePartition"))
+    # q3/q12 (round 7): the orderkey fact-fact joins are sort-free
+    # ShuffledHashJoins on the bucket layout — no orderkey exchange
+    for key in ("tpch_q3_bucketed", "tpch_q12_bucketed"):
+        pl = plan_of(spark, key)
+        assert "ShuffledHashJoin" in pl, key
+        assert "Exchange hashpartitioning(l_orderkey" not in pl, key
+        assert "Exchange hashpartitioning(o_orderkey" not in pl, key
+        assert "SortMergeJoin" not in pl, key
 
 
 def test_q21_bucketed_no_fact_exchange(spark):

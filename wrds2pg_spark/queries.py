@@ -3130,6 +3130,35 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tpch_q3_bucketed", oracle=REGISTRY["tpch_q3_shape"].oracle)
+def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over orderkey-bucketed lineitem+orders (round 7): the
+    lineitem->orders join AND the (orderkey, ...) revenue aggregate
+    both ride the bucket partitioning via a sort-free ShuffledHashJoin
+    (the q21_bucketed doctrine) — the only exchanges left are the
+    segment-filtered customer probe (AQE broadcasts it at bench
+    scale) and the TakeOrdered top-10.  The per-order groupBy's
+    ClusteredDistribution(l_orderkey, ...) is satisfied by
+    HashPartitioning(orderkey) (subset rule)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    # hash build on ORDERS (the smaller fact); lineitem probes
+    o = _bucketed_fact(spark, sf_dir, "orders", "o_orderkey").hint(
+        "shuffle_hash")
+    li = _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q5_asian_supplier_dims(spark: SparkSession, sf_dir: str):
     """Q5's consolidated dims, shared by the shape and bucketed twins
     (round-6 review: one definition, three consumers previously):
@@ -4190,6 +4219,30 @@ def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                .alias("low_line_count"),
+        )
+    )
+
+
+@register("tpch_q12_bucketed", oracle=REGISTRY["tpch_q12_shape"].oracle)
+def tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 over orderkey-bucketed facts (round 7): the fact-fact join
+    with its theta residual runs as an exchange-free, sort-free
+    ShuffledHashJoin on the bucket layout; the 3-group conditional
+    aggregate is map-side combined, so the only shuffle carries 3
+    rows per partition."""
+    li = _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey")
+    o = _bucketed_fact(spark, sf_dir, "orders", "o_orderkey").hint(
+        "shuffle_hash")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
