@@ -3150,7 +3150,12 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # NO forced broadcast: customer SCALES with the lake — AQE
+        # broadcasts the segment-filtered probe while it fits (it does
+        # at bench scale) and degrades to a shuffle join beyond (the
+        # r5-verdict q5 doctrine; the repo's own lint caught the
+        # forced hint here in round 7)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(rev, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
