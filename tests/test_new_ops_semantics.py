@@ -364,3 +364,65 @@ def test_bpe_merge_fold_greedy_nonoverlap(spark, tmp_path):
     # doc3 -> [aa, aa]
     # round 2 pairs: (aa,a):1  (a,b):2 (b,a):1 (aa,aa):1 -> best (a,b,2)
     assert rows[2] == ("a", "b", "ab", 2)
+
+
+def _mk_events(tmp_path, rows):
+    import datetime as dt
+
+    import pandas as pd
+
+    d = tmp_path / "tsgen"
+    d.mkdir(exist_ok=True)
+    pd.DataFrame({
+        "event_id": list(range(1, len(rows) + 1)),
+        "ts": [dt.datetime(2024, 1, day, 12) for _u, day, _v in rows],
+        "user_id": [u for u, _d, _v in rows],
+        "event_type": ["purchase"] * len(rows),
+        "value": [v for _u, _d, v in rows],
+        "props": ["{}"] * len(rows),
+    }).to_parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_ts_ffill_generator_edges(spark, tmp_path):
+    """The generator grid's edges (round 7): a user active only on the
+    global FIRST day gets no head rows and ffills to the global end; a
+    user active only on the global LAST day gets a full null-filled
+    pre-history; gap days carry the last known value with day_value
+    null."""
+    from wrds2pg_spark.queries import ts_resample_ffill
+
+    # global span: Jan 1 .. Jan 4
+    sf = _mk_events(tmp_path, [(1, 1, 10.0), (2, 4, 40.0), (3, 2, 7.0),
+                               (3, 4, 9.0)])
+    rows = {(r["user_id"], r["day"].day):
+            (r["day_value"], r["filled_value"])
+            for r in ts_resample_ffill(spark, sf).collect()}
+    assert len(rows) == 12  # 3 users x 4 days
+    # user 1: day1 known, days 2-4 ffilled from it
+    assert rows[(1, 1)] == (10.0, 10.0)
+    assert rows[(1, 3)] == (None, 10.0)
+    assert rows[(1, 4)] == (None, 10.0)
+    # user 2: days 1-3 are pre-history (null fill), day4 known
+    assert rows[(2, 1)] == (None, None)
+    assert rows[(2, 3)] == (None, None)
+    assert rows[(2, 4)] == (40.0, 40.0)
+    # user 3: gap day 3 carries day2's value
+    assert rows[(3, 3)] == (None, 7.0)
+    assert rows[(3, 4)] == (9.0, 9.0)
+
+
+def test_ts_interpolate_generator_edges(spark, tmp_path):
+    """Interpolation edges: interior gap days take the linear value
+    between the surrounding known days (exact thirds here), leading
+    gaps take the next known value, trailing gaps the last known."""
+    from wrds2pg_spark.queries import ts_interpolate_linear
+
+    # user 1 known on day1 (0.0) and day4 (9.0): days 2,3 interpolate
+    # to 3.0, 6.0; user 2 known only day2: day1 leads (takes 5.0),
+    # days 3-4 trail (keep 5.0)
+    sf = _mk_events(tmp_path, [(1, 1, 0.0), (1, 4, 9.0), (2, 2, 5.0)])
+    rows = {(r["user_id"], r["day"].day): r["interp_value"]
+            for r in ts_interpolate_linear(spark, sf).collect()}
+    assert rows[(1, 2)] == 3.0 and rows[(1, 3)] == 6.0
+    assert rows[(2, 1)] == 5.0 and rows[(2, 4)] == 5.0
