@@ -426,3 +426,55 @@ def test_ts_interpolate_generator_edges(spark, tmp_path):
             for r in ts_interpolate_linear(spark, sf).collect()}
     assert rows[(1, 2)] == 3.0 and rows[(1, 3)] == 6.0
     assert rows[(2, 1)] == 5.0 and rows[(2, 4)] == 5.0
+
+
+def test_q21_aggagg_sole_late_supplier_semantics(spark, tmp_path):
+    """Pins the round-7 agg-agg rewrite of Q21 against crafted orders:
+    only multi-supplier orders whose LATE suppliers number exactly one
+    count, the max(when) extraction returns that supplier even when
+    its late flag comes from one of several lineitems, and
+    single-supplier or multi-late orders are excluded."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from wrds2pg_spark.queries import tpch_q21_shape
+
+    d = tmp_path / "q21"
+    d.mkdir()
+    day0 = dt.datetime(2024, 1, 1)
+    late = day0 + dt.timedelta(days=90)
+    ok = day0 + dt.timedelta(days=10)
+    # o1: suppliers 1 (late on one of two lines) + 2 (on time) -> counts for s1
+    # o2: single supplier 3, late -> excluded (n_supp == 1)
+    # o3: suppliers 4 and 5 both late -> excluded (n_late == 2)
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 3, 3],
+        "l_suppkey":  [1, 1, 2, 3, 4, 5],
+        "l_shipdate": [ok, late, ok, late, late, late],
+        "l_partkey": [1] * 6, "l_quantity": [1.0] * 6,
+        "l_extendedprice": [1.0] * 6, "l_discount": [0.0] * 6,
+        "l_tax": [0.0] * 6, "l_returnflag": ["N"] * 6,
+        "l_linestatus": ["O"] * 6, "l_linenumber": [1, 2, 1, 1, 1, 1],
+    })
+    o = pd.DataFrame({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [1, 1, 1],
+        "o_orderstatus": ["F", "F", "F"],
+        "o_totalprice": [1.0] * 3,
+        "o_orderdate": [day0] * 3,
+        "o_orderpriority": ["1-URGENT"] * 3,
+    })
+    s = pd.DataFrame({
+        "s_suppkey": [1, 2, 3, 4, 5],
+        "s_name": [f"S{i}" for i in range(1, 6)],
+        "s_nationkey": [0] * 5, "s_acctbal": [0.0] * 5,
+    })
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    o["o_orderdate"] = o["o_orderdate"].astype("datetime64[us]")
+    li.to_parquet(str(d / "lineitem.parquet"))
+    o.to_parquet(str(d / "orders.parquet"))
+    s.to_parquet(str(d / "supplier.parquet"))
+    got = {(r["s_name"], r["numwait"])
+           for r in tpch_q21_shape(spark, str(d)).collect()}
+    assert got == {("S1", 1)}
