@@ -563,6 +563,12 @@ def test_no_forced_broadcast_in_curation_corpus_operators():
         ("decontaminate_ngram", "bench"),
         # per-event_type means: bounded 5-value vocabulary
         ("stats_event_study_car", "mu"),
+        # zipf two-pass rank offsets: groupBy(spark_partition_id())
+        # totals — cardinality = partition count P (~10^2-10^3 on any
+        # cluster), never SF; broadcasting them is the point of the
+        # O(P^2) offset fold (round-8 zipf rewrite)
+        ("text_zipf_slope", "ptot"),
+        ("text_zipf_slope", "offs"),
     }
     for mod in (cur, cor, fin, dd, mm, sim, sk, se):
         v = _forced_broadcast_violations(mod, banned, allow)
@@ -826,3 +832,28 @@ def test_scan_budget(spark, name, table, max_scans):
     plan = formatted_plan(spark, name)
     n = len(re.findall(rf"Location:[^\n]*/{table}\.parquet", plan))
     assert n <= max_scans, f"{name}: {n} scans of {table} (max {max_scans})"
+
+
+def test_no_single_partition_window_in_corpus_keys(spark):
+    """Round-8 gate (VERDICT r7 items 1+5): NO registered corpus key
+    may funnel data through a single-partition window — AQE can never
+    split a window partition, so an unpartitioned Window over a
+    token/vocabulary-grain stream is the unsplittable-skew class the
+    r6 (tfidf), r7 (zipf) and r8 (unigram/bigram scalar totals)
+    rewrites eliminated.  The gate walks every Window node in the
+    executed plan and asserts its input exchange is not
+    SinglePartition; global scalar totals must ride the
+    with_broadcast_scalars doctrine (functions/numeric.py) instead."""
+    corpus_keys = [
+        n for n, spec in REGISTRY.items()
+        if spec.fn.__module__ == "wrds2pg_spark.corpus"
+    ]
+    assert corpus_keys, "corpus registry scan came up empty"
+    for name in corpus_keys:
+        plan = plan_of(spark, name)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"\bWindow \[", ln):
+                ctx = "\n".join(lines[i + 1:i + 4])
+                assert "Exchange SinglePartition" not in ctx, (
+                    f"{name}: single-partition window\n{ln}\n{ctx}")

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
+from wrds2pg_spark.functions.numeric import (
+    DAVG_SQL, DSUM_SQL, davg, dsum, with_broadcast_scalars)
 from wrds2pg_spark.queries import register
 from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
 from wrds2pg_spark.sources.testdata import load_table
@@ -185,15 +186,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                   min_bytes=FAN_OUT_2MB)
     dg = _tokens(docs).groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("k"))
-    # total stamps onto freq itself via an empty-frame sum window —
-    # a freq.agg(sum) scalar would RERUN the whole tokenize+count
-    # pipeline (AQE exchange-reuse failure, BASELINE.md r6); the
-    # window input is the vocabulary, Heaps-sublinear
-    freq = (
-        dg.groupBy("token").agg(F.sum("k").alias("c"))
-        .withColumn(
-            "total",
-            F.sum("c").over(W.partitionBy()).cast("double"))
+    # total stamps onto freq via the broadcast-scalar doctrine
+    # (functions/numeric.py): the lazy checkpoint pins one
+    # materialization of the vocab-grain count table for both the
+    # total agg and the scoring join — no empty-frame window (AQE can
+    # never split a window partition: at a 10^8-token web vocabulary
+    # the r7 window form funneled the vocabulary through ONE task),
+    # and no pipeline re-run (AQE exchange-reuse failure, BASELINE.md
+    # r6, is what the checkpoint dodges).
+    freq = with_broadcast_scalars(
+        dg.groupBy("token").agg(F.sum("k").alias("c")),
+        F.sum("c").cast("double").alias("total"),
     )
     scored = (
         dg.join(freq, "token")
@@ -272,17 +275,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       the explode ran on 2 of 32 cores — the repartition alone took
       the explode stage 2.42 -> 0.88 s measured.  At 100 TB the scan
       is thousands of splits and fan_out is a no-op.
-    - every downstream key is a LONG: the instance table (doc_id,
-      h1, bg) is lazily checkpointed (3 consumers under the AQE
-      exchange-reuse failure, BASELINE.md r6) and both count
-      aggregates exchange 8-byte fingerprints instead of strings.
-      Fingerprint collisions would silently merge two bigrams'
-      counts: P(any collision) <= B^2/2^65 — ~1e-7 at the 1e6-bigram
-      bench scale, ~3% at 1e9 distinct bigrams, where the string-key
-      form (git history) or a count(distinct bg) vs
-      count(distinct w1,w2) audit pass is the fallback; nll VALUES
-      stay exact whenever no collision exists, and the oracle gate
-      catches any at test scale.
+    - every downstream key is a pair of LONGs: the instance table
+      (doc_id, h1, h1b, bg, bgb) is lazily checkpointed (3 consumers
+      under the AQE exchange-reuse failure, BASELINE.md r6) and both
+      count aggregates exchange 16-byte fingerprints instead of
+      strings.  The key is 128-bit — two independent xxhash64 chains
+      (the second prefixes a constant, re-seeding the whole chain) —
+      because a collision silently merges two bigrams' counts with no
+      runtime detection: at 64 bits that risk was ~3% at 1e9 distinct
+      bigrams (r7 advice, medium); at 128 bits P(any collision) <=
+      B^2/2^129 — ~1e-20 at 1e9, negligible at any reachable scale.
+      nll VALUES stay exact whenever no collision exists, and the
+      oracle gate catches any at test scale.
     - nll is precomputed per DISTINCT bigram (lm = bif x uni join at
       vocabulary grain, Heaps-sublinear) so the instance stream joins
       ONCE and feeds the per-doc aggregate directly; its map-side
@@ -295,37 +299,39 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       partition (recorded negative, round 6)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.split(F.lower(F.col("text")), " ")
+    salt = F.lit(0x5A17)  # re-seeds the second xxhash64 chain
     arr = F.zip_with(
         t,
         F.concat(F.slice(t, 2, F.size(t) - 1),
                  F.array(F.lit(None).cast("string"))),
         lambda a, b: F.struct(
             F.xxhash64(a).alias("h1"),
-            F.when(b.isNotNull(), F.xxhash64(a, b)).alias("bg")),
+            F.xxhash64(salt, a).alias("h1b"),
+            F.when(b.isNotNull(), F.xxhash64(a, b)).alias("bg"),
+            F.when(b.isNotNull(), F.xxhash64(salt, a, b)).alias("bgb")),
     )
     fp = (
         docs.select("doc_id", F.explode(arr).alias("p"))
-        .select("doc_id", F.col("p.h1").alias("h1"),
-                F.col("p.bg").alias("bg"))
+        .select("doc_id", "p.h1", "p.h1b", "p.bg", "p.bgb")
         .localCheckpoint(eager=False)
     )
-    # vocab stamps onto uni itself via an empty-frame count window —
-    # a vocab = uni.agg(count) scalar would RERUN the pipeline (AQE
-    # never reuses exchanges across the broadcast boundary; round-6
-    # finding, BASELINE.md).  The window input is the vocabulary —
-    # Heaps-sublinear, the smallest stream here.
-    uni = (
-        fp.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
-        .withColumn(
-            "vocab",
-            F.count(F.lit(1)).over(W.partitionBy()).cast("double"))
+    # vocab stamps onto uni via the broadcast-scalar doctrine
+    # (functions/numeric.py): no empty-frame window (the r7 form
+    # ranked the whole vocabulary through one WindowExec task — the
+    # unsplittable-skew class), no pipeline re-run (the helper's lazy
+    # checkpoint is the AQE exchange-reuse dodge).  The checkpointed
+    # stream is the vocabulary — Heaps-sublinear, the smallest here.
+    uni = with_broadcast_scalars(
+        fp.groupBy("h1", "h1b").agg(F.count(F.lit(1)).alias("c1")),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
     )
     bif = (
         fp.filter(F.col("bg").isNotNull())
-        .groupBy("bg", "h1").agg(F.count(F.lit(1)).alias("c12"))
+        .groupBy("bg", "bgb", "h1", "h1b")
+        .agg(F.count(F.lit(1)).alias("c12"))
     )
-    lm = bif.join(uni, "h1").select(
-        "bg",
+    lm = bif.join(uni, ["h1", "h1b"]).select(
+        "bg", "bgb",
         F.round(
             -F.log((F.col("c12") + F.lit(1))
                    / (F.col("c1") + F.col("vocab"))), 6
@@ -333,7 +339,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         fp.filter(F.col("bg").isNotNull())
-        .join(lm, "bg")
+        .join(lm, ["bg", "bgb"])
         .select("doc_id", "nll")
     )
     # the mean's 6-dp rounding runs in exact integer math — a double
@@ -1246,24 +1252,82 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     a one-number corpus-health probe (plus the intercept = ln of the
     fitted top-frequency).
 
-    Scale shape: the corpus collapses to the VOCABULARY before
-    anything expensive happens — one token agg, then a vocab-sized
-    global ranking window (vocabulary is the only state, exactly the
-    LM-tokenizer bound of text_unigram_logprob), then the
-    agg_corr_exact trick: ln values rounded to 6 dp (the proven
-    cross-engine ln contract) feed exact scaled-long moments, so the
-    regression is bit-stable under any partitioning."""
+    Scale shape (round-8 rewrite — no token-grain window): the r7
+    form ranked the ENTIRE vocabulary through one unpartitioned
+    row_number window, the unsplittable-skew class the r6/r7 verdicts
+    banned (AQE can never split a window partition; a web-scale
+    vocabulary is 10^8-10^9 tokens).  The fix exploits the fit's own
+    structure — the regression never needs WHICH token holds which
+    rank, only the multiset of (ln rank, ln freq) points, and under
+    the (c desc, token) order all tokens sharing a frequency occupy a
+    CONTIGUOUS rank range with constant y = ln(c).  So:
+
+    1. collapse the vocabulary to the count-of-counts table (c, m) —
+       k distinct frequencies satisfy sum(c_i) <= total tokens over
+       distinct positive integers, so k = O(sqrt(corpus tokens)):
+       ~7e6 rows at 100 TB vs 1e9 vocab rows;
+    2. rank offsets via the two-pass zipWithIndex shape, windows
+       PARTITIONED throughout: range-partition by c desc, a
+       per-partition running sum, and per-partition totals folded
+       into offsets by a tiny O(P^2) broadcast self-join (P =
+       shuffle partitions — ~1k pairs, no unpartitioned window even
+       over the partition totals);
+    3. regenerate the rank points DISTRIBUTED: each (c, lo..hi) range
+       explodes into 64k-rank chunks, the chunk rows repartition
+       across the cluster, and each task explodes its own
+       sequence(start, end) — the same generator-grid doctrine as the
+       r7 ts_resample spines;
+    4. the agg_corr_exact trick unchanged: ln values rounded to 6 dp
+       (the proven cross-engine ln contract) feed exact scaled-long
+       moments, so the regression is bit-stable under any
+       partitioning — and the point multiset is identical to the
+       oracle's row_number form, so the hash gate still matches."""
     docs = fan_out(load_table(spark, sf_dir, "documents"),
                   min_bytes=FAN_OUT_2MB)
     freq = _tokens(docs).groupBy("token").agg(
         F.count(F.lit(1)).alias("c"))
-    ranked = freq.select(
-        "c",
-        F.row_number()
-        .over(W.orderBy(F.col("c").desc(), F.col("token")))
-        .alias("r"),
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # count-of-counts grain; checkpointed once for its two consumers
+    # (running sum + partition totals) under the AQE exchange-reuse
+    # failure (BASELINE.md r6)
+    ccp = (
+        freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+        .repartitionByRange(par, F.col("c").desc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    pts = ranked.select(
+    wrun = (W.partitionBy("pid").orderBy(F.col("c").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = ccp.withColumn("cum", F.sum("m").over(wrun))
+    ptot = ccp.groupBy("pid").agg(F.sum("m").alias("ptot"))
+    offs = (
+        ptot.alias("a")
+        .join(F.broadcast(ptot.alias("b")),
+              F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.ptot"), F.lit(0)).alias("off"))
+    )
+    ranked = cum.join(F.broadcast(offs), "pid").select(
+        "c",
+        (F.col("off") + F.col("cum") - F.col("m") + 1).alias("lo"),
+        (F.col("off") + F.col("cum")).alias("hi"),
+    )
+    chunk = 1 << 16
+    chunks = ranked.select(
+        "c", "lo", "hi",
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.col("hi") - F.col("lo")) / F.lit(chunk)),
+        )).alias("k"),
+    ).repartition(par)
+    pts = chunks.select(
+        "c",
+        F.explode(F.sequence(
+            F.col("lo") + F.col("k") * chunk,
+            F.least(F.col("hi"),
+                    F.col("lo") + (F.col("k") + 1) * chunk - 1),
+        )).alias("r"),
+    ).select(
         F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
         F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
     )

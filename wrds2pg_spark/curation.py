@@ -1126,7 +1126,7 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in the bucket; the giant cluster still surfaces because
     its members co-occur across many band buckets with rotating
     survivors of the sorted-prefix cut.  Pair bound
-    property-tested in tests/test_dedup.py."""
+    property-tested in tests/test_operators.py."""
     from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
 
     # no outer fan_out: the portable pipeline spreads internally

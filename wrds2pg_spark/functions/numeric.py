@@ -60,6 +60,35 @@ def DAVG_SQL(expr: str, scale: int = 2) -> str:
     return f"({DSUM_SQL(expr, scale)} / CAST(COUNT({expr}) AS DOUBLE))"
 
 
+def with_broadcast_scalars(df, *aggs):
+    """Stamp whole-table aggregate scalar(s) onto every row of ``df``
+    WITHOUT a single-partition window: returns
+    ``ckpt.crossJoin(broadcast(ckpt.agg(*aggs)))`` where ``ckpt`` is a
+    lazy ``localCheckpoint`` of ``df``.
+
+    This is the repo's one doctrine for "compute a global total /
+    count and join it back" (round-8 unification of three hand-rolled
+    variants).  The two failure modes it closes:
+
+    - ``F.sum(..).over(Window.partitionBy())`` funnels the ENTIRE
+      input through one WindowExec task — AQE can never split a
+      window partition, so at a 10^8-row vocabulary this is the
+      unsplittable-skew class banned in round 6 (tfidf) and round 7
+      (zipf).  The agg here is map-side combined: the single final
+      task reduces #partitions partial rows, not the data.
+    - A naive ``df.crossJoin(broadcast(df.agg(..)))`` RE-RUNS the
+      whole upstream pipeline, because Spark 4.1 AQE never reuses
+      exchanges across a broadcast boundary (round-6 finding,
+      BASELINE.md).  The lazy localCheckpoint pins ONE
+      materialization that both the agg and the main stream read.
+
+    Cost note: the checkpoint persists ``df`` (memory-and-disk) — call
+    this on the SMALLEST stream that carries the total (vocabulary
+    grain, not instance grain)."""
+    ckpt = df.localCheckpoint(eager=False)
+    return ckpt.crossJoin(F.broadcast(ckpt.agg(*aggs)))
+
+
 def weighted_median(
     df,
     group_cols: list[str],

@@ -3267,9 +3267,22 @@ def _bucketed_fact(
 
     tag = fixture_tag(sf_dir, table)
     name = f"bkt_{table}_{key}_{n_buckets}_{tag}"
-    hit = _BUCKETED_ENSURED.get(name)
+    hit = _BUCKETED_ENSURED.get((id(spark), name))
     if hit is not None and hit[0] is spark:
         return hit[1]
+    # Miss: evict entries whose session has been stopped, so the cache
+    # cannot grow unboundedly (or pin dead JVMs) across session churn
+    # (round-8 advice).  Keying on (id(spark), name) also keeps two
+    # LIVE sessions sharing a table name from thrashing a single slot;
+    # the strong session ref in the value keeps the id from being
+    # reused while the entry exists.
+    for k, (sess, _d) in list(_BUCKETED_ENSURED.items()):
+        try:
+            stale = sess.sparkContext._jsc is None
+        except Exception:
+            stale = True
+        if stale:
+            del _BUCKETED_ENSURED[k]
     if not spark.catalog.tableExists(name):
         # the session catalog is in-memory (no persistent metastore in
         # this sandbox), so a prior process's managed-table files may
@@ -3288,7 +3301,7 @@ def _bucketed_fact(
             name, key, n_buckets, sort_cols=sort_cols or [key],
         )
     df = read_bucketed(spark, name)
-    _BUCKETED_ENSURED[name] = (spark, df)
+    _BUCKETED_ENSURED[(id(spark), name)] = (spark, df)
     return df
 
 

@@ -189,5 +189,13 @@ def fan_out(df, min_partitions: int | None = None,
         if total < min_bytes:
             return df
     except Exception:
-        pass  # listing-only estimate was already < target
+        # File-status listing failed: the split estimate says "narrow",
+        # but a caller that set a byte floor did so precisely to avoid
+        # the small-input exchange — without sizes we cannot prove the
+        # input clears the floor, so the conservative move is a no-op,
+        # not a repartition (round-8 advice, the r7 code fell through
+        # to repartition() here and reintroduced the regression the
+        # floor exists to prevent).
+        if min_bytes > 0:
+            return df
     return df.repartition(target)

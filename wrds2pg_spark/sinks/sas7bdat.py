@@ -236,13 +236,23 @@ def write_sas7bdat_files(df, out_dir: str, *, page_length: int = 4096):
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         chunks = [pdf for pdf in it if len(pdf)]
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
         path = os.path.join(out_dir, f"part-{pid:05d}.sas7bdat")
-        write_sas7bdat(pdf, path, page_length=page_length)
+        # Stage-and-rename publish: a retried or speculative attempt of
+        # this partition could otherwise interleave writes on the final
+        # path and publish a torn binary.  Each attempt writes its own
+        # temp name (attemptNumber disambiguates) and os.replace()s it
+        # in — atomic on POSIX, so whichever attempt lands last leaves
+        # one complete file (both attempts carry identical bytes).
+        # Same doctrine as the parquet/PG sinks' atomic overwrite.
+        tmp = f"{path}.tmp.{ctx.attemptNumber()}"
+        write_sas7bdat(pdf, tmp, page_length=page_length)
+        os.replace(tmp, path)
         yield pd.DataFrame({"path": [path], "rows": [len(pdf)]})
 
     return df.mapInPandas(fn, "path string, rows long")
