@@ -143,7 +143,20 @@ def read_sas7bdat(
                 )
         schema = spark.createDataFrame(sample).schema
 
+    # Exactly one file per task, with NO exchange: parallelize with
+    # numSlices=len(files) slices the path list 1-per-partition (the
+    # r7 form hash-repartitioned a LocalRelation — measured 0.67 s vs
+    # 0.33 s for this shape at the bench's 8-file lake, and a hash
+    # collision could stack two files on one task while another sat
+    # idle).  This is partitioning-control plumbing only — the decode
+    # stays a streaming per-file pandas.read_sas(chunksize=...) so a
+    # multi-GB SAS file never materializes in memory (the binaryFile
+    # alternative holds whole files as rows; rejected).
+    from pyspark.sql.types import StringType, StructField, StructType
+
     paths_df = spark.createDataFrame(
-        [(f,) for f in files], "path string"
-    ).repartition(len(files), "path")
+        spark.sparkContext.parallelize([(f,) for f in files],
+                                       len(files)),
+        StructType([StructField("path", StringType())]),
+    )
     return paths_df.mapInArrow(_decode_files(chunksize, read_fn), schema)
