@@ -1396,15 +1396,46 @@ WITH s0 AS (
 
 def _bpe_chain(docs, rounds=_BPE_ROUNDS, extra_cols=()):
     """The shared BPE training cascade: returns (per-round best-pair
-    DataFrames, final token table).  ``extra_cols`` (e.g. source) ride
-    the token table untouched through every fold."""
+    DataFrames, final token table with column ``t``).  ``extra_cols``
+    (e.g. source) ride the document stream untouched through every
+    round.
+
+    Round-8 rewrite: documents travel between rounds as the SAME
+    doubled-separator string encoding the oracle replays — tokens
+    joined on chr(31) twice, the winning pair merged via a literal
+    (regex-free, codegen'd) ``replace`` whose pattern consumes one
+    separator on each flank, so the replacement re-establishes the
+    double-separator invariant and adjacent matches stay
+    non-overlapping left-to-right, the classic single-pass greedy
+    rule.  The r7 form folded each doc's token ARRAY element-by-
+    element with concat(acc, array(x)) — which copies the accumulated
+    array at every step, O(tokens^2) memory traffic per document per
+    round (measured: the fold dominated the 3.6 s/4.0 s sf0.1 key
+    times); the string replace is one linear scan.  Pair counting
+    still explodes the split token array (linear), and per-round
+    structure is unchanged: one map-side-combined pair count,
+    TakeOrdered(1) argmax, 1-row broadcast back — zero driver state,
+    bodies never shuffle, lazy checkpoints cut the cross-round
+    lineage (AQE exchange-reuse failure, BASELINE.md r6)."""
     keep = list(extra_cols)
+    sep = "\x1f"
+    sep2 = sep * 2
     cur = docs.select(
         "doc_id", *keep,
-        F.split(F.lower(F.col("text")), " ").alias("t"))
+        F.concat(
+            F.lit(sep2),
+            F.array_join(F.split(F.lower(F.col("text")), " "), sep2),
+            F.lit(sep2),
+        ).alias("s"))
 
-    def best_pair(tdf):
-        pairs = tdf.select(F.explode(F.zip_with(
+    def toks(sdf):
+        t = F.split(F.col("s"), sep2)
+        return sdf.select(
+            "doc_id", *keep,
+            F.slice(t, 2, F.size(t) - 2).alias("t"))
+
+    def best_pair(sdf):
+        pairs = toks(sdf).select(F.explode(F.zip_with(
             F.slice(F.col("t"), 1, F.size("t") - 1),
             F.slice(F.col("t"), 2, F.size("t") - 1),
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
@@ -1413,28 +1444,15 @@ def _bpe_chain(docs, rounds=_BPE_ROUNDS, extra_cols=()):
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .orderBy(F.desc("cnt"), "w1", "w2").limit(1))
 
-    def merge(tdf, bdf):
-        j = tdf.crossJoin(F.broadcast(bdf))
-        acc0 = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("prev"))
-        merged = F.aggregate(
-            F.col("t"), acc0,
-            lambda acc, x: F.when(
-                acc.prev.eqNullSafe(F.col("w1")) & x.eqNullSafe(F.col("w2")),
-                F.struct(
-                    F.concat(acc.out,
-                             F.array(F.concat(F.col("w1"), F.col("w2"))))
-                    .alias("out"),
-                    F.lit(None).cast("string").alias("prev")),
-            ).otherwise(F.struct(
-                F.when(acc.prev.isNull(), acc.out)
-                .otherwise(F.concat(acc.out, F.array(acc.prev))).alias("out"),
-                x.alias("prev"))),
-            lambda acc: F.when(acc.prev.isNull(), acc.out)
-            .otherwise(F.concat(acc.out, F.array(acc.prev))),
+    def merge(sdf, bdf):
+        j = sdf.crossJoin(F.broadcast(bdf))
+        merged = F.replace(
+            F.col("s"),
+            F.concat(F.lit(sep), F.col("w1"), F.lit(sep2),
+                     F.col("w2"), F.lit(sep)),
+            F.concat(F.lit(sep), F.col("w1"), F.col("w2"), F.lit(sep)),
         )
-        return j.select("doc_id", *keep, merged.alias("t")).localCheckpoint(
+        return j.select("doc_id", *keep, merged.alias("s")).localCheckpoint(
             eager=False)
 
     bests = []
@@ -1442,7 +1460,7 @@ def _bpe_chain(docs, rounds=_BPE_ROUNDS, extra_cols=()):
         b = best_pair(cur).localCheckpoint(eager=False)
         bests.append(b)
         cur = merge(cur, b)
-    return bests, cur
+    return bests, toks(cur)
 
 
 @register("vocab_bpe_merges", oracle=_BPE_ORACLE)

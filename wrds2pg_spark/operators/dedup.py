@@ -305,47 +305,21 @@ def portable_bucket_keys(
     family — the shared signature stage of the portable pair finder,
     the materialized signature index, and the incremental probe.
 
-    96-hex per-shingle digests (md5(g) || md5('a'||g) || md5('b'||g))
-    are computed JVM-side inside a codegen'd HOF; the Arrow UDF does
-    only the min-of-slices fold (vectorized big-endian-uint64 minimum
-    — numeric order == lexicographic order of the 8 ASCII hex chars)
-    plus ``bands`` md5 bucket keys per row."""
+    96-hex per-shingle digests (md5(g) || md5('a'||g) || md5('b'||g)),
+    the min-of-slices signature fold, and the band bucket keys are
+    ALL computed JVM-side inside codegen'd HOFs (round 8; the r7 form
+    shipped the digest arrays to an Arrow UDF for the fold — ~0.4 s
+    of Python round-trip per consumer key at sf0.1).  Hash function s
+    is ``array_min`` over the 8-hex substring at offset 8*s —
+    lexicographic order of fixed-width hex == numeric order, the same
+    invariant the Arrow fold's big-endian-uint64 minimum used; each
+    band key is ``md5(band || '|' || sig-slice)`` via concat_ws, byte-
+    identical to the r7 keys and to the DuckDB oracle's."""
     if num_hashes * 8 > 96:
         raise ValueError("portable family supports at most 12 hashes")
-    from hashlib import md5 as _md5
-
-    from pyspark.sql.pandas.functions import pandas_udf
-
     from wrds2pg_spark.session import fan_out
 
     rpb = num_hashes // bands
-
-    @pandas_udf("array<string>")
-    def portable_band_keys(digest_arrs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        def hx(s: str) -> str:
-            return _md5(s.encode("utf-8")).hexdigest()
-
-        out = []
-        for arr in digest_arrs:
-            if arr is None or len(arr) == 0:
-                out.append([])
-                continue
-            a = np.frombuffer(
-                "".join(arr).encode("ascii"), dtype="S1"
-            ).reshape(len(arr), 96)
-            sig = []
-            for s in range(num_hashes):
-                u = np.frombuffer(
-                    a[:, 8 * s:8 * s + 8].tobytes(), dtype=">u8"
-                )
-                sig.append(int(u.min()).to_bytes(8, "big").decode("ascii"))
-            out.append([
-                hx(str(b) + "|" + "|".join(sig[b * rpb:(b + 1) * rpb]))
-                for b in range(bands)
-            ])
-        return pd.Series(out)
 
     digests = F.transform(
         shingles(F.col(text_col)),
@@ -358,9 +332,24 @@ def portable_bucket_keys(
     # fan out ONLY the signature leg: it carries the md5-per-shingle
     # cost and must use every core even off a single input split.
     base = fan_out(df).select(F.col(id_col), digests.alias("__ds"))
+    def _slice_min(s: int):
+        return F.array_min(F.transform(
+            F.col("__ds"), lambda d: d.substr(8 * s + 1, 8)))
+
+    sig = [_slice_min(s) for s in range(num_hashes)]
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(
+            "|", F.lit(str(b)), *sig[b * rpb:(b + 1) * rpb]))
+        for b in range(bands)
+    ])
+    # empty shingle set -> no buckets (the Arrow fold emitted []);
+    # without the guard concat_ws would skip the null mins and emit
+    # bogus band keys for empty documents
+    buckets = F.when(F.size("__ds") > 0, band_keys).otherwise(
+        F.array().cast("array<string>"))
     return base.select(
         F.col(id_col),
-        F.explode(portable_band_keys(F.col("__ds"))).alias("bucket"),
+        F.explode(buckets).alias("bucket"),
     )
 
 
