@@ -563,11 +563,11 @@ def test_no_forced_broadcast_in_curation_corpus_operators():
         ("decontaminate_ngram", "bench"),
         # per-event_type means: bounded 5-value vocabulary
         ("stats_event_study_car", "mu"),
-        # zipf two-pass rank offsets: groupBy(spark_partition_id())
-        # totals — cardinality = partition count P (~10^2-10^3 on any
-        # cluster), never SF; broadcasting them is the point of the
-        # O(P^2) offset fold (round-8 zipf rewrite)
-        ("text_zipf_slope", "ptot"),
+        # zipf two-pass rank offsets: per-octave-band totals —
+        # cardinality <= 64 bands (floor(log2(count)) of a long),
+        # never SF; broadcasting them is the point of the O(bands^2)
+        # offset fold (round-8 zipf rewrite)
+        ("text_zipf_slope", "btot"),
         ("text_zipf_slope", "offs"),
     }
     for mod in (cur, cor, fin, dd, mm, sim, sk, se):

@@ -1267,11 +1267,16 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
        distinct positive integers, so k = O(sqrt(corpus tokens)):
        ~7e6 rows at 100 TB vs 1e9 vocab rows;
     2. rank offsets via the two-pass zipWithIndex shape, windows
-       PARTITIONED throughout: range-partition by c desc, a
-       per-partition running sum, and per-partition totals folded
-       into offsets by a tiny O(P^2) broadcast self-join (P =
-       shuffle partitions — ~1k pairs, no unpartitioned window even
-       over the partition totals);
+       PARTITIONED throughout: rows partition by the DETERMINISTIC
+       octave band floor(log2(c)) — a pure function of the row, so
+       no repartitionByRange (whose RangePartitioner runs a sampling
+       JOB per execution; the first r8 form paid it, 0.33 -> 1.24 s
+       at sf0.1) — then a per-band running sum and per-band totals
+       folded into offsets by a tiny O(bands^2) broadcast self-join
+       (<= 64 octaves for any long count, no unpartitioned window
+       even over the totals).  Worst-case band skew is bounded by k
+       itself (= O(sqrt(corpus tokens)), ~7e6 rows at 100 TB through
+       one window task vs 1e9 vocab rows in the banned form);
     3. regenerate the rank points DISTRIBUTED: each (c, lo..hi) range
        explodes into 64k-rank chunks, the chunk rows repartition
        across the cluster, and each task explodes its own
@@ -1288,26 +1293,27 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"))
     par = docs.sparkSession.sparkContext.defaultParallelism
     # count-of-counts grain; checkpointed once for its two consumers
-    # (running sum + partition totals) under the AQE exchange-reuse
+    # (running sum + band totals) under the AQE exchange-reuse
     # failure (BASELINE.md r6)
-    ccp = (
+    ccb = (
         freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
-        .repartitionByRange(par, F.col("c").desc())
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("band", F.floor(F.log2("c")).cast("int"))
         .localCheckpoint(eager=False)
     )
-    wrun = (W.partitionBy("pid").orderBy(F.col("c").desc())
+    wrun = (W.partitionBy("band").orderBy(F.col("c").desc())
             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    cum = ccp.withColumn("cum", F.sum("m").over(wrun))
-    ptot = ccp.groupBy("pid").agg(F.sum("m").alias("ptot"))
+    cum = ccb.withColumn("cum", F.sum("m").over(wrun))
+    btot = ccb.groupBy("band").agg(F.sum("m").alias("btot"))
+    # higher octave = higher counts = EARLIER ranks: a band's offset
+    # is the total mass of all strictly-higher bands
     offs = (
-        ptot.alias("a")
-        .join(F.broadcast(ptot.alias("b")),
-              F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.ptot"), F.lit(0)).alias("off"))
+        btot.alias("a")
+        .join(F.broadcast(btot.alias("b")),
+              F.col("b.band") > F.col("a.band"), "left")
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(F.coalesce(F.sum("b.btot"), F.lit(0)).alias("off"))
     )
-    ranked = cum.join(F.broadcast(offs), "pid").select(
+    ranked = cum.join(F.broadcast(offs), "band").select(
         "c",
         (F.col("off") + F.col("cum") - F.col("m") + 1).alias("lo"),
         (F.col("off") + F.col("cum")).alias("hi"),

@@ -5117,7 +5117,19 @@ def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand-filtered subset (~1/125 of lineitem), and computes the
     per-part mean as an exact scaled-long sum over the partition —
     identical IEEE ops to the oracle's aggregate, so the 0.2*avg
-    threshold compares bit-identically."""
+    threshold compares bit-identically.
+
+    Round-8 negatives (VERDICT r7 item 4, the q21 agg-agg trick
+    applied to the decorrelated avg — both REJECTED on same-process
+    min-of-3 A/Bs): (a) lazy-checkpoint target + groupBy avg +
+    join-back: 0.78 s sf1 / 1.38 s sf10 vs the window's 0.55/1.08 —
+    the checkpoint write of the 1/125 subset costs more than the
+    window's sort; (b) one-exchange collect_list of (qty, price)
+    structs + row-local HOF filter/fold (no sort at all): 0.93 s sf1 /
+    0.84 s sf10 vs 0.73/0.81 — ObjectHashAggregate's list merge eats
+    the sort saving.  The residual vs the single-node oracle (~3x
+    sf10) is the scan+exchange floor; the bucketed twin (1.5x sf10)
+    is the scale path."""
     li = load_table(spark, sf_dir, "lineitem")
     tp = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 10)
