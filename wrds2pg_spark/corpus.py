@@ -275,18 +275,24 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       the explode ran on 2 of 32 cores — the repartition alone took
       the explode stage 2.42 -> 0.88 s measured.  At 100 TB the scan
       is thousands of splits and fan_out is a no-op.
-    - every downstream key is a pair of LONGs: the instance table
-      (doc_id, h1, h1b, bg, bgb) is lazily checkpointed (3 consumers
-      under the AQE exchange-reuse failure, BASELINE.md r6) and both
-      count aggregates exchange 16-byte fingerprints instead of
-      strings.  The key is 128-bit — two independent xxhash64 chains
+    - every downstream key is LONG fingerprints: the instance table
+      (doc_id, h1, bg, bgb) is lazily checkpointed (3 consumers under
+      the AQE exchange-reuse failure, BASELINE.md r6) and the count
+      aggregates exchange 8/16-byte fingerprints instead of strings.
+      The BIGRAM key is 128-bit — two independent xxhash64 chains
       (the second prefixes a constant, re-seeding the whole chain) —
       because a collision silently merges two bigrams' counts with no
       runtime detection: at 64 bits that risk was ~3% at 1e9 distinct
       bigrams (r7 advice, medium); at 128 bits P(any collision) <=
       B^2/2^129 — ~1e-20 at 1e9, negligible at any reachable scale.
-      nll VALUES stay exact whenever no collision exists, and the
-      oracle gate catches any at test scale.
+      The UNIGRAM key stays 64-bit by a measured trade: the unigram
+      vocabulary is far smaller than the bigram one (~1e7-1e8 tokens
+      when bigrams reach 1e9), putting its 64-bit collision odds at
+      ~1e-4..1e-2 — five-plus orders below the bigram risk the advice
+      flagged — while carrying h1b through the instance checkpoint
+      and both aggregates measured +0.15 s at sf0.1.  nll VALUES stay
+      exact whenever no collision exists, and the oracle gate catches
+      any at test scale.
     - nll is precomputed per DISTINCT bigram (lm = bif x uni join at
       vocabulary grain, Heaps-sublinear) so the instance stream joins
       ONCE and feeds the per-doc aggregate directly; its map-side
@@ -306,13 +312,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array(F.lit(None).cast("string"))),
         lambda a, b: F.struct(
             F.xxhash64(a).alias("h1"),
-            F.xxhash64(salt, a).alias("h1b"),
             F.when(b.isNotNull(), F.xxhash64(a, b)).alias("bg"),
             F.when(b.isNotNull(), F.xxhash64(salt, a, b)).alias("bgb")),
     )
     fp = (
         docs.select("doc_id", F.explode(arr).alias("p"))
-        .select("doc_id", "p.h1", "p.h1b", "p.bg", "p.bgb")
+        .select("doc_id", "p.h1", "p.bg", "p.bgb")
         .localCheckpoint(eager=False)
     )
     # vocab stamps onto uni via the broadcast-scalar doctrine
@@ -322,15 +327,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint is the AQE exchange-reuse dodge).  The checkpointed
     # stream is the vocabulary — Heaps-sublinear, the smallest here.
     uni = with_broadcast_scalars(
-        fp.groupBy("h1", "h1b").agg(F.count(F.lit(1)).alias("c1")),
+        fp.groupBy("h1").agg(F.count(F.lit(1)).alias("c1")),
         F.count(F.lit(1)).cast("double").alias("vocab"),
     )
     bif = (
         fp.filter(F.col("bg").isNotNull())
-        .groupBy("bg", "bgb", "h1", "h1b")
+        .groupBy("bg", "bgb", "h1")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
-    lm = bif.join(uni, ["h1", "h1b"]).select(
+    lm = bif.join(uni, ["h1"]).select(
         "bg", "bgb",
         F.round(
             -F.log((F.col("c12") + F.lit(1))

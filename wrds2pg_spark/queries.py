@@ -6662,23 +6662,28 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     string on both engines."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # checkpoint the HALF-size distinct pair set, not the symmetrized
-    # union: the recursion re-expands the view per level either way,
-    # but off the checkpointed pairs each re-expansion is only the
-    # trivial union/projection — and the eager checkpoint write (the
-    # dominant pre-recursion cost, ~1.0 s of the r7 key's 2.4 s at
-    # sf0.1) persists half the bytes
+    # Round-8 negative, recorded: checkpointing only the HALF-size
+    # distinct pair set and symmetrizing lazily looked like a win in
+    # a standalone min-of-3 A/B (2.14 -> 1.94 s) but REGRESSED the
+    # full-bench key 2.61 -> 3.59 s same-day — the recursion
+    # re-expands the view per level, and the lazy union makes each
+    # level read the checkpointed blocks through TWO branches (2x
+    # block-manager traffic x 3 levels), which bites exactly when the
+    # block manager is under the pressure a long-lived session has.
+    # The full symmetrized checkpoint below reads one block set per
+    # level; keep it.
     e0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").cast("long").alias("c"),
-                (F.col("l_suppkey") + 1000000).alias("s"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint()
     )
     edges = (
-        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(e0.select(F.col("s").alias("src"),
-                            F.col("c").alias("dst")))
+        e0.select(F.col("c").cast("long").alias("src"),
+                  (F.col("s") + 1000000).alias("dst"))
+        .unionAll(
+            e0.select((F.col("s") + 1000000).alias("src"),
+                      F.col("c").cast("long").alias("dst")))
+        .localCheckpoint()
     )
     edges.createOrReplaceTempView("rcte_edges")
     return spark.sql(_RECURSIVE_WALK_SQL.format(edges="rcte_edges"))
