@@ -254,6 +254,10 @@ HEADLINE = [
     "stats_rfm_segments",
     "stats_ridge_by_group",
     "ts_seasonal_decompose",
+    # round-8 additions
+    "events_sessionize",
+    "agg_cms_topk",
+    "maintenance_compact_small_files",
 ]
 
 

@@ -478,3 +478,62 @@ def test_q21_aggagg_sole_late_supplier_semantics(spark, tmp_path):
     got = {(r["s_name"], r["numwait"])
            for r in tpch_q21_shape(spark, str(d)).collect()}
     assert got == {("S1", 1)}
+
+
+def _mk_sessions(tmp_path, rows):
+    """rows: (event_id, user_id, minute_offset, event_type, value)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    d = tmp_path / "sess"
+    d.mkdir(exist_ok=True)
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    pd.DataFrame({
+        "event_id": [e for e, _u, _m, _t, _v in rows],
+        "ts": [base + dt.timedelta(minutes=m) for _e, _u, m, _t, _v in rows],
+        "user_id": [u for _e, u, _m, _t, _v in rows],
+        "event_type": [t for _e, _u, _m, t, _v in rows],
+        "value": [v for _e, _u, _m, _t, v in rows],
+        "props": ["{}"] * len(rows),
+    }).to_parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """A gap of EXACTLY 30 minutes stays in-session (break is strictly
+    >30), one second over breaks; simultaneous events order by
+    event_id and never split; each user starts at session_idx 1."""
+    from wrds2pg_spark.curation import events_sessionize
+
+    sf = _mk_sessions(tmp_path, [
+        # user 1: 0, +30min (stays), then +30min+1s via 60.0166...
+        (1, 1, 0.0, "view", 1.0),
+        (2, 1, 30.0, "click", 2.0),          # exactly 30 min -> same
+        (3, 1, 60.0 + 31.0, "view", 3.0),    # 61 min gap -> new session
+        # user 2: two simultaneous events then nothing
+        (4, 2, 5.0, "view", 1.0),
+        (5, 2, 5.0, "view", 1.5),
+    ])
+    rows = {(r["user_id"], r["session_idx"]): r
+            for r in events_sessionize(spark, sf).collect()}
+    assert set(rows) == {(1, 1), (1, 2), (2, 1)}
+    assert rows[(1, 1)]["n_events"] == 2          # 0 and 30min together
+    assert rows[(1, 2)]["n_events"] == 1
+    assert rows[(2, 1)]["n_events"] == 2          # simultaneous pair
+    assert rows[(1, 1)]["n_event_types"] == 2
+    assert rows[(1, 1)]["sum_value"] == 3.0
+    # session bounds are the member extremes
+    assert rows[(1, 1)]["session_start"].minute == 0
+    assert rows[(1, 1)]["session_end"].minute == 30
+
+
+def test_cms_overestimate_invariant(spark):
+    """Count-min sketches can only OVERcount: est >= exact for every
+    probe, and the reported overcount is their difference."""
+    df = run("agg_cms_topk", spark).collect()
+    # sf0.001 has only 10 suppliers, so top-20 truncates to the domain
+    assert 1 <= len(df) <= 20
+    for r in df:
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["cms_overcount"] == r["cms_est"] - r["exact_n"]

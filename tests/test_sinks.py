@@ -496,3 +496,53 @@ def test_wrds_update_pq_sas7bdat_content_stamp_gates(spark, tmp_path):
     assert wrds_update_pq(
         spark, str(src), "funds", "crsp", data_dir=data_dir,
         read_fn=fake_read_sas) is True
+
+
+# --- small-file compaction (round 8) ---------------------------------------
+
+def test_compact_small_files_collapses_and_preserves(spark, tmp_path):
+    """compact_small_files must (a) cut file count to ~total/target,
+    (b) keep every row/value intact, (c) leave the caller's session
+    conf untouched (it tunes an isolated child session)."""
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.sinks.parquet import compact_small_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(40).write.parquet(src)
+    n_src = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_src == 40
+
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(src, "*.parquet")))
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    compact_small_files(spark, src, dst, target_bytes=max(total // 3, 1))
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
+
+    n_dst = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert 1 <= n_dst <= 6, f"expected ~3-4 compacted files, got {n_dst}"
+
+    back = spark.read.parquet(dst)
+    assert back.count() == 5000
+    # exact multiset equality of all rows
+    assert (
+        back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    )
+
+
+def test_compact_small_files_single_large_target(spark, tmp_path):
+    """A target larger than the whole lake packs to exactly one file."""
+    from wrds2pg_spark.sinks.parquet import compact_small_files
+
+    src = str(tmp_path / "frag1")
+    dst = str(tmp_path / "one")
+    spark.range(100).repartition(8).write.parquet(src)
+    compact_small_files(spark, src, dst, target_bytes=1 << 30)
+    assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 1
+    assert spark.read.parquet(dst).count() == 100

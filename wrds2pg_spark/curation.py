@@ -2565,3 +2565,247 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (1 / F.col("n0") + 1 / F.col("n1"))), 6
         ).alias("z"),
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization, portable count-min sketch, lake compaction (round 8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq),
+    sess AS (
+      SELECT user_id, ts, event_type, value,
+             CAST(SUM(is_new) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           {DSUM_SQL('value', 2)} AS sum_value
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization — the canonical clickstream
+    operator (events_gaps_islands' day-streak cousin at TIMESTAMP
+    grain): a session breaks wherever a user's gap to the previous
+    event exceeds 30 minutes, and each session rolls up to start/end,
+    event count, distinct-type count and exact value total.
+
+    Shape: lag-flag + running-sum-of-flags + keyed aggregate, all
+    riding ONE user_id exchange — the window's hash partitioning on
+    user_id satisfies the (user_id, session_idx) grouping (a superset
+    key), so Catalyst plans no second shuffle.  Gap comparison is
+    exact timestamp arithmetic (no epoch floats), ordering ties break
+    on the unique event_id, and the value total goes through the
+    scaled-long kernel — hash-identical on both engines.  At 100 TB
+    this is one shuffle of the event log, and a heavy user is still
+    ONE window partition: per-user history is the irreducible
+    sequential unit of sessionization (contrast stream_session_window,
+    which bounds state by watermark for the streaming form)."""
+    e = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "event_id", "ts", "event_type", "value",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (F.col("ts")
+               > F.lag("ts").over(wo) + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id", "ts", "event_type", "value",
+        F.sum("is_new").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_event_types"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+_CMS_DEPTH = 3
+_CMS_HEX = 3  # 16^3 = 4096 buckets per row
+
+
+def _cms_bucket_sql(i: int, key_expr: str) -> str:
+    """DuckDB spelling of the depth-``i`` CMS bucket key."""
+    return f"'{i}:' || substr(md5('s{i}' || {key_expr}), 1, {_CMS_HEX})"
+
+
+def _cms_bucket_col(i: int, key: F.Column) -> F.Column:
+    """Spark spelling of the depth-``i`` CMS bucket key — must mirror
+    :func:`_cms_bucket_sql` byte for byte."""
+    return F.concat(
+        F.lit(f"{i}:"),
+        F.substring(F.md5(F.concat(F.lit(f"s{i}"), key)), 1, _CMS_HEX),
+    )
+
+
+def _cms_oracle() -> str:
+    posting = "\n      UNION ALL ".join(
+        f"SELECT {_cms_bucket_sql(i, 'k')} AS db FROM items"
+        for i in range(_CMS_DEPTH))
+    probes = "\n      UNION ALL ".join(
+        f"SELECT sk, exact_n, {_cms_bucket_sql(i, 'CAST(sk AS VARCHAR)')}"
+        f" AS db FROM q"
+        for i in range(_CMS_DEPTH))
+    return f"""
+    WITH items AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS k, l_suppkey AS sk
+      FROM lineitem),
+    posting AS (
+      {posting}),
+    counters AS (
+      SELECT db, CAST(COUNT(*) AS BIGINT) AS n FROM posting GROUP BY db),
+    exact AS (
+      SELECT sk, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM items GROUP BY sk),
+    q AS (
+      SELECT sk, exact_n FROM exact
+      ORDER BY exact_n DESC, sk LIMIT 20),
+    probes AS (
+      {probes})
+    SELECT p.sk AS suppkey, p.exact_n,
+           MIN(c.n) AS cms_est,
+           MIN(c.n) - p.exact_n AS cms_overcount
+    FROM probes p JOIN counters c ON c.db = p.db
+    GROUP BY p.sk, p.exact_n
+    """
+
+
+@register("agg_cms_topk", oracle=_cms_oracle())
+def agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries, PORTABLE formulation — the
+    frequency-sketch member of the sketch family (HLL = distinct,
+    theta = set ops, KLL = quantiles, bitmap = exact small domains;
+    CMS = per-item counts).  Three md5-derived hash rows x 4096
+    buckets count every l_suppkey occurrence; the true top-20
+    suppliers are then point-queried and reported with their exact
+    count, estimate, and overcount.  Like dedup_minhash_portable vs
+    dedup_minhash_lsh, the md5 bucket keys make the sketch
+    REPLAYABLE in ANSI SQL, so the whole thing — counters, min-over-
+    rows estimate, overcount — is value-hash checked against the
+    oracle (Spark's built-in count_min_sketch() returns an opaque
+    binary whose estimates an external engine can't reproduce; same
+    reason the HLL key carries a portable twin).
+
+    Scale shape: the posting explode triples rows but the counter
+    aggregate is map-side combined, so the exchange carries at most
+    depth x width = 12,288 rows PER TASK regardless of input size —
+    the defining CMS property (mergeable, bounded state; this is the
+    exact plan a 100-TB frequency audit wants).  CMS guarantees
+    est >= exact always; the overcount column exposes collision noise
+    (~N/width per counter) honestly rather than asserting a
+    probabilistic band."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_suppkey").cast("string")
+    posting = li.select(
+        F.explode(F.array(
+            *[_cms_bucket_col(i, key) for i in range(_CMS_DEPTH)]
+        )).alias("db"))
+    counters = posting.groupBy("db").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    exact = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "suppkey").limit(20)
+    probes = top.select(
+        "suppkey", "exact_n",
+        F.explode(F.array(
+            *[_cms_bucket_col(i, F.col("suppkey").cast("string"))
+              for i in range(_CMS_DEPTH)]
+        )).alias("db"))
+    return (
+        probes.join(counters, "db")
+        .groupBy("suppkey", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+        .select(
+            "suppkey", "exact_n", "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("cms_overcount"),
+        )
+    )
+
+
+@register(
+    "maintenance_compact_small_files",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM_SQL('o_totalprice', 2)} AS total_price
+    FROM orders
+    WHERE o_orderkey % 7 = 3
+    GROUP BY o_orderpriority
+    """,
+)
+def maintenance_compact_small_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file compaction as a first-class lake-maintenance op
+    (sinks/parquet.py compact_small_files): a deliberately fragmented
+    64-file lake (the micro-batch-sink pathology) is bin-packed once
+    per sf into ~4 right-sized files using Spark's own scan split
+    packing — no shuffle, no driver file loop — and the registered
+    key reads the COMPACTED lake and aggregates.  The oracle computes
+    the same aggregate from the canonical parquet, so the hash gate
+    proves compaction is value-preserving end to end; the file-count
+    collapse itself is asserted in tests/test_sinks.py.
+
+    Both lakes are ensure_dir_fixture'd (built once, atomic publish),
+    so the timed region grades the POST-maintenance read — the state
+    a production table lives in — not the one-off rewrite, mirroring
+    scan_sas7bdat's fixture doctrine."""
+    import os
+
+    from wrds2pg_spark.sinks.parquet import compact_small_files
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "orders")
+    frag = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/orders_frag64_{tag}",
+        lambda tmp: load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 3)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartition(64)
+        .write.mode("overwrite").parquet(tmp),
+    )
+
+    def build_compacted(tmp: str) -> None:
+        frag_bytes = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag) if f.endswith(".parquet"))
+        compact_small_files(
+            spark, frag, tmp, target_bytes=max(frag_bytes // 4, 1))
+
+    compacted = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/orders_compacted_{tag}",
+        build_compacted,
+    )
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
