@@ -258,6 +258,7 @@ HEADLINE = [
     "events_sessionize",
     "agg_cms_topk",
     "maintenance_compact_small_files",
+    "dedup_cluster_minhash",
 ]
 
 

@@ -537,3 +537,26 @@ def test_cms_overestimate_invariant(spark):
     for r in df:
         assert r["cms_est"] >= r["exact_n"]
         assert r["cms_overcount"] == r["cms_est"] - r["exact_n"]
+
+
+def test_cluster_minhash_consistent_with_pairs(spark):
+    """Every verified near-dup pair must land in the same cluster, and
+    each cluster's label must be its minimum member id; docs in no
+    pair are singletons labeling themselves."""
+    pairs = {(r["id_a"], r["id_b"])
+             for r in run("dedup_minhash_portable", spark).collect()}
+    comp = {r["doc_id"]: r["comp"]
+            for r in run("dedup_cluster_minhash", spark).collect()}
+    paired = set()
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+        paired |= {a, b}
+    from collections import defaultdict
+    members = defaultdict(list)
+    for d, c in comp.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+    for d, c in comp.items():
+        if d not in paired and len(members[c]) == 1:
+            assert c == d

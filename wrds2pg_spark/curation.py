@@ -1045,14 +1045,37 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver can only rows-check it).  Same pipeline shape: map-only
     signatures, one (bucket, id) shuffle, per-bucket pair generation,
     broadcast-verified exact Jaccard.  See
-    operators/dedup.py:minhash_lsh_pairs_portable."""
-    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
+    operators/dedup.py:minhash_lsh_pairs_portable.
 
-    # no outer fan_out: the portable pipeline spreads internally
-    # (operators/dedup.py portable_bucket_keys); doubling it measured
-    # +0.2..0.5 s at sf0.1 (round 7)
+    Round 8 (r7 verdict item 2): pairs start from the MATERIALIZED
+    posting list (build_minhash_bucket_index, ensure_dir_fixture'd
+    once per sf and shared with dedup_minhash_capped and
+    dedup_cluster_minhash) instead of re-shingling per key — the
+    signature pass is ingest-time work at 100 TB, the same doctrine
+    as the bucketed TPC-H twins and the sas7bdat lake.  The index
+    holds exactly portable_bucket_keys' output, so the oracle model
+    is untouched; the inline full pipeline still runs every round in
+    dedup_minhash_lsh (fast family) and the index BUILD itself.
+    Exact-Jaccard verification still reads the docs table directly."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_portable(docs, threshold=0.5)
+    posting = _minhash_posting(spark, sf_dir, docs)
+    from wrds2pg_spark.operators.dedup import pairs_from_posting
+
+    return pairs_from_posting(docs, posting, threshold=0.5)
+
+
+def _minhash_posting(spark: SparkSession, sf_dir: str, docs: DataFrame):
+    """The shared (doc_id, bucket) portable posting list, built once
+    per sf_dir (operators/dedup.py build_minhash_bucket_index)."""
+    from wrds2pg_spark.operators.dedup import build_minhash_bucket_index
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "documents")
+    idx = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/minhash_posting_{tag}",
+        lambda tmp: build_minhash_bucket_index(docs, tmp),
+    )
+    return spark.read.parquet(idx)
 
 
 _MINHASH_CAP = 2  # small enough to BITE on the fixtures (max bucket
@@ -1126,15 +1149,18 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in the bucket; the giant cluster still surfaces because
     its members co-occur across many band buckets with rotating
     survivors of the sorted-prefix cut.  Pair bound
-    property-tested in tests/test_operators.py."""
-    from wrds2pg_spark.operators.dedup import minhash_lsh_pairs_portable
+    property-tested in tests/test_operators.py.
 
-    # no outer fan_out: the portable pipeline spreads internally
-    # (operators/dedup.py portable_bucket_keys); doubling it measured
-    # +0.2..0.5 s at sf0.1 (round 7)
+    Round 8: starts from the shared materialized posting list
+    (see dedup_minhash_portable) — the cap applies at pair
+    generation, downstream of the index, so the truncation path the
+    oracle models is identical."""
+    from wrds2pg_spark.operators.dedup import pairs_from_posting
+
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_portable(
-        docs, threshold=0.5, max_bucket_size=_MINHASH_CAP)
+    posting = _minhash_posting(spark, sf_dir, docs)
+    return pairs_from_posting(
+        docs, posting, threshold=0.5, max_bucket_size=_MINHASH_CAP)
 
 
 @register(
@@ -2807,5 +2833,102 @@ def maintenance_compact_small_files(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_MINHASH_PAIR_CTES = """
+    toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+    ng AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS gs(i)
+        WHERE len(t) >= 3),
+    sets AS (
+        SELECT doc_id, list_distinct(list(g)) AS gs FROM ng GROUP BY doc_id),
+    sh AS (
+        SELECT doc_id,
+               md5(g) || md5('a' || g) || md5('b' || g) AS d
+        FROM (SELECT doc_id, UNNEST(gs) AS g FROM sets)),
+    sig AS (
+        SELECT doc_id, s, min(substr(d, s * 8 + 1, 8)) AS mh
+        FROM sh, UNNEST(generate_series(0, 11)) AS ss(s)
+        GROUP BY doc_id, s),
+    bands AS (
+        SELECT doc_id,
+               md5(CAST(s // 3 AS VARCHAR) || '|' ||
+                   string_agg(mh, '|' ORDER BY s)) AS bkey
+        FROM sig GROUP BY doc_id, s // 3),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(sa.gs, sb.gs))
+                     / CAST(len(sa.gs) + len(sb.gs)
+                            - len(list_intersect(sa.gs, sb.gs)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_a
+        JOIN sets sb ON sb.doc_id = c.id_b)
+"""
+
+
+@register(
+    "dedup_cluster_minhash",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIR_CTES},
+    prs AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.5),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM prs),
+    reach(node, r) AS (
+        SELECT src, src FROM edges GROUP BY src
+        UNION
+        SELECT e.dst, re.r
+        FROM reach re JOIN edges e ON e.src = re.node),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fuzzy dedup — the flagship corpus-curation pipeline
+    (shingle -> minhash -> banded LSH -> exact-Jaccard verify ->
+    connected components -> per-doc cluster label), the fuzzy twin of
+    dedup_cluster_exact and the operation web-scale training-data
+    builds actually run: near-dup PAIRS alone don't dedup anything
+    until transitive closure assigns each document a group to pick a
+    survivor from.
+
+    Two scale decisions: (1) pairs come off the MATERIALIZED portable
+    posting list (operators/dedup.py build_minhash_bucket_index via
+    ensure_dir_fixture — the signature pass is paid once per corpus
+    at ingest, as a 100-TB deployment would; pairs_from_posting then
+    starts from an index SCAN, not a re-shingle); (2) grouping is
+    iterative min-label propagation (operators/dedup.py
+    connected_components — rounds = cluster diameter, tiny for
+    near-dup cliques).  The oracle replays the IDENTICAL md5 pair
+    derivation and closes it with a recursive-CTE reachability
+    min-label — so cluster labels, not just pairs, are value-hash
+    checked.  Singletons label themselves via the left-join
+    coalesce, exactly like dedup_cluster_exact."""
+    from wrds2pg_spark.operators.dedup import (
+        connected_components, pairs_from_posting,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = _minhash_posting(spark, sf_dir, docs)
+    pairs = pairs_from_posting(docs, posting, threshold=0.5)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
         )
     )

@@ -392,8 +392,30 @@ def minhash_lsh_pairs_portable(
         df, num_hashes=num_hashes, bands=bands,
         text_col=text_col, id_col=id_col,
     )
+    return pairs_from_posting(
+        df, keyed, threshold=threshold, text_col=text_col,
+        id_col=id_col, max_bucket_size=max_bucket_size,
+    )
+
+
+def pairs_from_posting(
+    df: DataFrame,
+    posting: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs from an (id, bucket) posting list —
+    the back half of :func:`minhash_lsh_pairs_portable`, split out
+    (round 8) so it also serves a MATERIALIZED posting list
+    (:func:`build_minhash_bucket_index`): pay the signature pass once
+    at ingest, and every pair/cluster consumer starts from the index
+    scan instead of re-shingling the corpus.  Values are identical
+    either way — the index holds exactly portable_bucket_keys'
+    output — so the oracle model is unchanged."""
     buckets = (
-        keyed.groupBy("bucket")
+        posting.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
