@@ -259,6 +259,7 @@ HEADLINE = [
     "agg_cms_topk",
     "maintenance_compact_small_files",
     "dedup_cluster_minhash",
+    "dq_table_checksum",
 ]
 
 

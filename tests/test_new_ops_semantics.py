@@ -560,3 +560,40 @@ def test_cluster_minhash_consistent_with_pairs(spark):
     for d, c in comp.items():
         if d not in paired and len(members[c]) == 1:
             assert c == d
+
+
+def test_table_checksum_detects_change_and_ignores_order(spark, tmp_path):
+    """The checksum must be identical under any partitioning/row order
+    and must CHANGE when a single value changes — the two properties
+    that make it a migration validator."""
+    from wrds2pg_spark.curation import dq_table_checksum
+
+    base = {r["o_orderpriority"]: (r["n_rows"], r["chk1"], r["chk2"])
+            for r in dq_table_checksum(spark, SF).collect()}
+
+    # order/partitioning independence: rewrite the table shuffled
+    import shutil
+    d = tmp_path / "shuf"
+    d.mkdir()
+    src = spark.read.parquet(SF + "/orders.parquet")
+    (src.repartition(7).write.mode("overwrite")
+        .parquet(str(d / "orders.parquet")))
+    shuf = {r["o_orderpriority"]: (r["n_rows"], r["chk1"], r["chk2"])
+            for r in dq_table_checksum(spark, str(d)).collect()}
+    assert shuf == base
+
+    # sensitivity: bump one row's totalprice by a cent
+    from pyspark.sql import functions as F
+    d2 = tmp_path / "mut"
+    d2.mkdir()
+    mutated = src.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == src.limit(1).collect()[0]["o_orderkey"],
+               F.col("o_totalprice") + 0.01).otherwise(F.col("o_totalprice")))
+    mutated.write.mode("overwrite").parquet(str(d2 / "orders.parquet"))
+    mut = {r["o_orderpriority"]: (r["n_rows"], r["chk1"], r["chk2"])
+           for r in dq_table_checksum(spark, str(d2)).collect()}
+    assert mut != base
+    # row counts unchanged — only the content digest moved
+    assert {k: v[0] for k, v in mut.items()} == {
+        k: v[0] for k, v in base.items()}

@@ -2932,3 +2932,75 @@ def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
         )
     )
+
+
+@register(
+    "dq_table_checksum",
+    oracle="""
+    WITH enc AS (
+      SELECT o_orderpriority,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      AS VARCHAR) || '|' ||
+                 CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR)
+                 || '|' || o_orderpriority) AS h
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS chk1,
+           CAST(SUM(CAST(('0x' || substr(h, 9, 8)) AS BIGINT)
+                    % 1000000007) AS BIGINT) AS chk2
+    FROM enc GROUP BY o_orderpriority
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum — the migration-validation
+    primitive: did the copied/compacted/re-encoded table keep exactly
+    the same rows?  Each row canonicalizes to a '|'-joined string
+    (floats as exact integer cents, timestamps as epoch seconds — the
+    two encodings whose native-to-string formatting is NOT portable
+    across engines), md5s once, and two independent 32-bit digest
+    slices are summed mod 1e9+7 per priority group.  Addition
+    commutes, so the checksum is independent of row order, file
+    layout and partitioning — two tables match iff (n_rows, chk1,
+    chk2) match per group, with collision odds ~2^-64 per group from
+    the paired slices.
+
+    Scale shape: narrow map + map-side-combined groupBy — the
+    exchange carries one row per group per task, so checksumming a
+    100-TB lake costs one scan and a metadata-sized shuffle; the mod
+    keeps the running sum < 2^63 to ~9e9 rows per group per partial
+    (Spark long and DuckDB HUGEINT->BIGINT agree exactly).  The hex
+    slices convert identically via conv()/'0x' casts on both
+    engines.  Complements dq_expectations (semantic gates) and the
+    stamp stores (catalog.py freshness): stamps say WHEN it changed,
+    expectations say it LOOKS right, the checksum says it IS the
+    same data."""
+    o = load_table(spark, sf_dir, "orders")
+    enc = F.md5(F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
+        .cast("string"),
+        # TIMESTAMP_NTZ has no direct long cast; session tz is pinned
+        # UTC (session.py) so the ltz hop is exact and equals DuckDB's
+        # epoch() of the naive value
+        F.col("o_orderdate").cast("timestamp").cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    ))
+    slice_mod = lambda lo: (  # noqa: E731
+        F.conv(F.substring(enc, lo, 8), 16, 10).cast("long")
+        % F.lit(1000000007))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(slice_mod(1)).cast("long").alias("chk1"),
+            F.sum(slice_mod(9)).cast("long").alias("chk2"),
+        )
+    )
