@@ -2880,7 +2880,12 @@ _MINHASH_PAIR_CTES = """
     "dedup_cluster_minhash",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_PAIR_CTES},
-    prs AS (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.5),
+    -- MATERIALIZED: the recursive evaluator re-expands referenced
+    -- CTEs per iteration, replaying the whole md5 pair pipeline each
+    -- level (measured 6.2 s -> 0.7 s at sf0.1, identical rows) — the
+    -- DuckDB spelling of the same once-not-per-level doctrine the
+    -- Spark side applies via localCheckpoint in sql_recursive_cte
+    prs AS MATERIALIZED (SELECT id_a, id_b FROM ver WHERE jaccard >= 0.5),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM prs
         UNION ALL
