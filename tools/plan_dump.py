@@ -42,6 +42,24 @@ SHOWCASE = {
         "Ranking window: a single hash-partition exchange, sort within "
         "partitions, rank, filter."
     ),
+    "events_sessionize": (
+        "Inactivity-gap sessionization: ONE user_id exchange feeds the "
+        "lag window, the running session-index window and the "
+        "(user, session) aggregate — the window's hash partitioning "
+        "satisfies the superset grouping key, so no second shuffle."
+    ),
+    "agg_cms_topk": (
+        "Portable count-min sketch: the posting explode triples rows "
+        "but the counter aggregate is map-side combined, so the "
+        "exchange carries at most depth x width (12,288) rows per task "
+        "regardless of input size — the mergeable-sketch property in "
+        "plan form."
+    ),
+    "dq_table_checksum": (
+        "Order-independent content checksum: narrow md5 map fused into "
+        "the scan stage, map-side-combined group aggregate — one scan "
+        "plus a metadata-sized exchange at any table size."
+    ),
     "dedup_minhash_lsh": (
         "MinHash LSH: the signature pipeline runs once (groupBy bucket "
         "pair generation, no banded self-join); candidate verification "
