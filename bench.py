@@ -260,6 +260,7 @@ HEADLINE = [
     "maintenance_compact_small_files",
     "dedup_cluster_minhash",
     "dq_table_checksum",
+    "scan_sas7bdat_format",
 ]
 
 

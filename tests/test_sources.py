@@ -459,3 +459,48 @@ def test_sas7bdat_stamp_is_dst_gap_stable(tmp_path):
              - datetime(1960, 1, 1)).total_seconds()
     p2 = _synthetic_sas7bdat(tmp_path / "ok.sas7bdat", secs2)
     assert source_modified(str(p2)) == "Last modified: 01/02/2020 03:04:05"
+
+
+# --- sas7bdat as a registered Spark DataSource (round 8) --------------------
+
+def test_sas7bdat_datasource_format_roundtrip(spark, tmp_path):
+    """format("sas7bdat") must serve bit-identical values to the
+    mapInArrow helper: declared-schema read, inferred-schema read,
+    one InputPartition per file, no exchange below the scan."""
+    import pandas as pd
+
+    from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat
+    from wrds2pg_spark.sources.sas7bdat import read_sas7bdat
+    from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
+
+    write_sas7bdat(
+        pd.DataFrame({"PERMNO": [1.0, 2.0], "NAME": ["a", "b longer"]}),
+        str(tmp_path / "x.sas7bdat"))
+    write_sas7bdat(
+        pd.DataFrame({"PERMNO": [3.0], "NAME": ["c"]}),
+        str(tmp_path / "y.sas7bdat"))
+
+    register_sas7bdat(spark)
+    ddl = "permno double, name string"
+    via_format = spark.read.format("sas7bdat").schema(ddl).load(
+        str(tmp_path))
+    via_helper = read_sas7bdat(spark, str(tmp_path), schema=ddl)
+    assert via_format.exceptAll(via_helper).count() == 0
+    assert via_helper.exceptAll(via_format).count() == 0
+    # one partition per unsplittable file
+    assert via_format.rdd.getNumPartitions() == 2
+
+    inferred = spark.read.format("sas7bdat").load(str(tmp_path))
+    assert dict(inferred.dtypes) == {"permno": "double", "name": "string"}
+    assert inferred.count() == 3
+
+
+def test_sas7bdat_datasource_missing_path_errors(spark):
+    from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
+
+    register_sas7bdat(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no sas7bdat files|required"):
+        spark.read.format("sas7bdat").schema("x double").load(
+            "/tmp/definitely_missing_glob_*.sas7bdat").count()

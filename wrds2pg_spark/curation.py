@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
-from wrds2pg_spark.queries import register
+from wrds2pg_spark.queries import REGISTRY, register
 from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
 from wrds2pg_spark.sources.testdata import load_table
 
@@ -697,17 +697,36 @@ def scan_sas7bdat(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the reference's one-CSV-stream-per-dataset,
     wrds2pg/sas/stream.py:29-88); the aggregate is map-side combined
     above the decode."""
-    from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat_files
     from wrds2pg_spark.sources.sas7bdat import read_sas7bdat
+
+    return (
+        read_sas7bdat(
+            spark, _sas_orders_lake(spark, sf_dir),
+            schema="o_orderkey double, o_totalprice double, "
+                   "o_orderpriority string",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("sum_key"),
+            dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def _sas_orders_lake(spark: SparkSession, sf_dir: str) -> str:
+    """The shared per-sf sas7bdat fixture lake: a projected 10%
+    orderkey slice written ONCE as real multi-file binary
+    (sinks/sas7bdat.py, one file per partition, executor-side).  The
+    slice keeps round-trip coverage (multi-file fan-out, multi-page
+    decode, float64 exactness, char trim) while pricing the decode at
+    bench scale — the registered keys grade the BINARY PATH, not bulk
+    pandas decode throughput."""
+    from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat_files
     from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
 
     tag = fixture_tag(sf_dir, "orders")
-    # 10% orderkey slice: the round-trip coverage (multi-file fan-out,
-    # multi-page decode, float64 exactness, char trim) is independent
-    # of row count, and pandas' per-row sas7bdat decode priced the
-    # full table at 3.3 s in the bench (vs a 0.02 s parquet oracle) —
-    # the key grades the BINARY PATH, not bulk decode throughput
-    lake = ensure_dir_fixture(
+    return ensure_dir_fixture(
         f"/tmp/wrds2pg_spark_fixtures/orders_sas_s10_{tag}",
         lambda tmp: write_sas7bdat_files(
             load_table(spark, sf_dir, "orders")
@@ -720,12 +739,25 @@ def scan_sas7bdat(spark: SparkSession, sf_dir: str) -> DataFrame:
             tmp,
         ).write.mode("overwrite").format("noop").save(),
     )
+
+
+@register("scan_sas7bdat_format", oracle=None)  # set below: shares the twin's
+def scan_sas7bdat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME binary lake read through the registered Spark
+    DataSource (sources/sas7bdat_datasource.py) instead of the library
+    helper: ``spark.read.format("sas7bdat").schema(ddl).load(lake)`` —
+    the Spark-4 Python DataSource API front door, planned as a
+    BatchScan with one InputPartition per unsplittable file.  Shares
+    scan_sas7bdat's oracle: the format API must serve bit-identical
+    values to the mapInArrow helper path."""
+    from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
+
+    register_sas7bdat(spark)
     return (
-        read_sas7bdat(
-            spark, lake,
-            schema="o_orderkey double, o_totalprice double, "
-                   "o_orderpriority string",
-        )
+        spark.read.format("sas7bdat")
+        .schema("o_orderkey double, o_totalprice double, "
+                "o_orderpriority string")
+        .load(_sas_orders_lake(spark, sf_dir))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -733,6 +765,9 @@ def scan_sas7bdat(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+REGISTRY["scan_sas7bdat_format"].oracle = REGISTRY["scan_sas7bdat"].oracle
 
 
 @register(
