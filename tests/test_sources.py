@@ -504,3 +504,35 @@ def test_sas7bdat_datasource_missing_path_errors(spark):
     with _pytest.raises(Exception, match="no sas7bdat files|required"):
         spark.read.format("sas7bdat").schema("x double").load(
             "/tmp/definitely_missing_glob_*.sas7bdat").count()
+
+
+def test_sas7bdat_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format("sas7bdat") — two-phase commit (staged files
+    publish only from commit), overwrite replaces prior files, and
+    read-back through the same format is value-exact."""
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
+
+    register_sas7bdat(spark)
+    d = str(tmp_path / "lake")
+    src = spark.range(200).select(
+        F.col("id").cast("double").alias("k"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("nm"),
+    ).repartition(3)
+    src.write.format("sas7bdat").mode("overwrite").save(d)
+    import glob as _glob
+    import os
+    assert len(_glob.glob(os.path.join(d, "*.sas7bdat"))) == 3
+    assert not os.path.exists(os.path.join(d, "_staging"))
+
+    back = spark.read.format("sas7bdat").schema("k double, nm string").load(d)
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+    # overwrite replaces, never appends
+    src.limit(5).repartition(1).write.format("sas7bdat").mode(
+        "overwrite").save(d)
+    assert len(_glob.glob(os.path.join(d, "*.sas7bdat"))) == 1
+    assert spark.read.format("sas7bdat").schema(
+        "k double, nm string").load(d).count() == 5

@@ -32,7 +32,13 @@ import glob
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 __all__ = ["Sas7bdatDataSource", "register_sas7bdat"]
 
@@ -126,7 +132,73 @@ class Sas7bdatDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _Sas7bdatReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return _Sas7bdatWriter(schema, self.options, overwrite)
+
 
 def register_sas7bdat(spark) -> None:
     """Idempotently register the format on this session."""
     spark.dataSource.register(Sas7bdatDataSource)
+
+
+class _CommitMsg(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class _Sas7bdatWriter(DataSourceWriter):
+    """``df.write.format("sas7bdat")`` — one binary file per input
+    partition, the same contract as sinks/sas7bdat.py
+    write_sas7bdat_files (unsplittable on read, so write parallelism =
+    read parallelism).  Tasks stage to a process/attempt-unique temp
+    name and publish into the final directory only from ``commit()``'s
+    manifest — Spark's standard two-phase output commit, so a failed
+    or speculative attempt can never leave a half-written binary
+    visible (``abort()`` removes staged files)."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        self._schema = schema
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("sas7bdat: .save(path) is required")
+        self._page_length = int(options.get("page_length", 4096))
+        self._overwrite = overwrite
+        self._staging = os.path.join(self._dir, "_staging")
+        os.makedirs(self._dir, exist_ok=True)
+
+    def write(self, iterator):
+        import uuid
+
+        import pandas as pd
+
+        from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat
+
+        rows = list(iterator)
+        if not rows:
+            return _CommitMsg("", 0)
+        pdf = pd.DataFrame.from_records(
+            [tuple(r) for r in rows],
+            columns=[f.name for f in self._schema.fields])
+        os.makedirs(self._staging, exist_ok=True)
+        staged = os.path.join(
+            self._staging, f"task-{uuid.uuid4().hex}.sas7bdat")
+        write_sas7bdat(pdf, staged, page_length=self._page_length)
+        return _CommitMsg(staged, len(pdf))
+
+    def commit(self, messages):
+        import shutil
+
+        staged = [m for m in messages if m and m.rows]
+        if self._overwrite:
+            for f in glob.glob(os.path.join(self._dir, "*.sas7bdat")):
+                os.remove(f)
+        for i, m in enumerate(staged):
+            os.replace(
+                m.path, os.path.join(self._dir, f"part-{i:05d}.sas7bdat"))
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
