@@ -261,6 +261,7 @@ HEADLINE = [
     "dedup_cluster_minhash",
     "dq_table_checksum",
     "scan_sas7bdat_format",
+    "scan_csv_gzip",
 ]
 
 

@@ -3051,3 +3051,60 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(slice_mod(9)).cast("long").alias("chk2"),
         )
     )
+
+
+@register(
+    "scan_csv_gzip",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           {DSUM_SQL('c_acctbal', 2)} AS total_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of the reference's OWN export format (A23): the
+    customer table is written ONCE per sf through the gzip-CSV sink
+    (sinks/csv.py update_csv — multi-part gzip directory + encoded
+    stamp) and the registered key reads the compressed lake back with
+    an explicit schema and aggregates; the oracle computes from the
+    canonical parquet, so the hash gate proves the full
+    write->compress->parse round-trip including double exactness
+    (Java's shortest-round-trip Double.toString survives the CSV hop
+    bit-identically).
+
+    Scale shape: a single gzip stream is unsplittable (SURVEY §4 —
+    the same constraint as the reference's one-CSV-stream transport,
+    wrds2pg/sas/stream.py), so the SINK's multi-part directory IS the
+    read-parallelism decision: one decode task per part file, chosen
+    at write time, no exchange on read."""
+    from wrds2pg_spark.sinks.csv import update_csv
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    tag = fixture_tag(sf_dir, "customer")
+    lake = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/customer_csvgz_{tag}",
+        lambda tmp: update_csv(
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+            .repartition(4),
+            tmp,
+            "Last modified: 01/01/2024 00:00:00",
+            force=True,
+        ),
+        marker="_SUCCESS",
+    )
+    return (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, c_acctbal double, "
+            "c_nationkey bigint"
+        )
+        .option("header", "true")
+        .csv(lake)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
