@@ -507,10 +507,9 @@ def test_sessionize_gap_boundary(spark, tmp_path):
     from wrds2pg_spark.curation import events_sessionize
 
     sf = _mk_sessions(tmp_path, [
-        # user 1: 0, +30min (stays), then +30min+1s via 60.0166...
         (1, 1, 0.0, "view", 1.0),
-        (2, 1, 30.0, "click", 2.0),          # exactly 30 min -> same
-        (3, 1, 60.0 + 31.0, "view", 3.0),    # 61 min gap -> new session
+        (2, 1, 30.0, "click", 2.0),          # exactly 30:00 -> same
+        (3, 1, 60.0 + 1.0 / 60.0, "view", 3.0),  # 30:01 gap -> NEW
         # user 2: two simultaneous events then nothing
         (4, 2, 5.0, "view", 1.0),
         (5, 2, 5.0, "view", 1.5),
@@ -518,8 +517,8 @@ def test_sessionize_gap_boundary(spark, tmp_path):
     rows = {(r["user_id"], r["session_idx"]): r
             for r in events_sessionize(spark, sf).collect()}
     assert set(rows) == {(1, 1), (1, 2), (2, 1)}
-    assert rows[(1, 1)]["n_events"] == 2          # 0 and 30min together
-    assert rows[(1, 2)]["n_events"] == 1
+    assert rows[(1, 1)]["n_events"] == 2          # 0 and 30:00 together
+    assert rows[(1, 2)]["n_events"] == 1          # split by one second
     assert rows[(2, 1)]["n_events"] == 2          # simultaneous pair
     assert rows[(1, 1)]["n_event_types"] == 2
     assert rows[(1, 1)]["sum_value"] == 3.0
@@ -597,3 +596,36 @@ def test_table_checksum_detects_change_and_ignores_order(spark, tmp_path):
     # row counts unchanged — only the content digest moved
     assert {k: v[0] for k, v in mut.items()} == {
         k: v[0] for k, v in base.items()}
+
+
+def test_table_checksum_null_positions_distinct(spark, tmp_path):
+    """NULL handling: ('a', NULL) and (NULL, 'a')-style rows must hash
+    DIFFERENTLY (concat_ws alone would drop the null and alias them),
+    and a null row must still contribute to the digest."""
+    import pandas as pd
+
+    base = dict(o_orderkey=[1.0], o_custkey=[2.0],
+                o_totalprice=[10.0],
+                o_orderdate=[pd.Timestamp("2024-01-01")],
+                o_orderpriority=["1-URGENT"])
+
+    def mk(name, status, prio):
+        d = tmp_path / name
+        d.mkdir()
+        pdf = pd.DataFrame(base)
+        # explicit string dtype: an all-None object column would land
+        # in parquet as a NULL-typed column, which no typed engine op
+        # (checksum included) is specified over
+        pdf["o_orderstatus"] = pd.Series([status], dtype="string")
+        pdf["o_orderpriority"] = pd.Series([prio], dtype="string")
+        pdf.to_parquet(str(d / "orders.parquet"), coerce_timestamps="us")
+        return d
+
+    from wrds2pg_spark.curation import dq_table_checksum
+
+    a = dq_table_checksum(spark, str(mk("a", None, "P"))).collect()
+    b = dq_table_checksum(spark, str(mk("b", "P", None))).collect()
+    # same non-null value set, different null position -> different hash
+    assert (a[0]["chk1"], a[0]["chk2"]) != (b[0]["chk1"], b[0]["chk2"])
+    # the all-null-status row still contributes (n_rows counted, chk != 0)
+    assert a[0]["n_rows"] == 1 and a[0]["chk1"] > 0

@@ -699,18 +699,23 @@ def scan_sas7bdat(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the decode."""
     from wrds2pg_spark.sources.sas7bdat import read_sas7bdat
 
-    return (
+    return _sas_orders_agg(
         read_sas7bdat(
             spark, _sas_orders_lake(spark, sf_dir),
             schema="o_orderkey double, o_totalprice double, "
                    "o_orderpriority string",
         )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(F.col("o_orderkey").cast("long")).alias("sum_key"),
-            dsum(F.col("o_totalprice"), 2).alias("total"),
-        )
+    )
+
+
+def _sas_orders_agg(df: DataFrame) -> DataFrame:
+    """The shared aggregate both sas7bdat twins run — one definition,
+    so the helper-path and format-path keys can never drift apart
+    under their shared oracle."""
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_orderkey").cast("long")).alias("sum_key"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -753,17 +758,11 @@ def scan_sas7bdat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
 
     register_sas7bdat(spark)
-    return (
+    return _sas_orders_agg(
         spark.read.format("sas7bdat")
         .schema("o_orderkey double, o_totalprice double, "
                 "o_orderpriority string")
         .load(_sas_orders_lake(spark, sf_dir))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(F.col("o_orderkey").cast("long")).alias("sum_key"),
-            dsum(F.col("o_totalprice"), 2).alias("total"),
-        )
     )
 
 
@@ -1032,10 +1031,8 @@ def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_portable",
-    oracle="""
-    WITH toks AS (
+_MINHASH_PAIR_CTES = """
+    toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents),
     ng AS (
@@ -1070,6 +1067,15 @@ def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand c
         JOIN sets sa ON sa.doc_id = c.id_a
         JOIN sets sb ON sb.doc_id = c.id_b)
+"""
+
+
+@register(
+    "dedup_minhash_portable",
+    # the pair CTE chain is shared with dedup_cluster_minhash's
+    # oracle (one definition, the two models cannot drift)
+    oracle=f"""
+    WITH {_MINHASH_PAIR_CTES}
     SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
     """,
 )
@@ -2879,44 +2885,6 @@ def maintenance_compact_small_files(
     )
 
 
-_MINHASH_PAIR_CTES = """
-    toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-        FROM documents),
-    ng AS (
-        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS gs(i)
-        WHERE len(t) >= 3),
-    sets AS (
-        SELECT doc_id, list_distinct(list(g)) AS gs FROM ng GROUP BY doc_id),
-    sh AS (
-        SELECT doc_id,
-               md5(g) || md5('a' || g) || md5('b' || g) AS d
-        FROM (SELECT doc_id, UNNEST(gs) AS g FROM sets)),
-    sig AS (
-        SELECT doc_id, s, min(substr(d, s * 8 + 1, 8)) AS mh
-        FROM sh, UNNEST(generate_series(0, 11)) AS ss(s)
-        GROUP BY doc_id, s),
-    bands AS (
-        SELECT doc_id,
-               md5(CAST(s // 3 AS VARCHAR) || '|' ||
-                   string_agg(mh, '|' ORDER BY s)) AS bkey
-        FROM sig GROUP BY doc_id, s // 3),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a
-        JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-    ver AS (
-        SELECT c.id_a, c.id_b,
-               round(len(list_intersect(sa.gs, sb.gs))
-                     / CAST(len(sa.gs) + len(sb.gs)
-                            - len(list_intersect(sa.gs, sb.gs)) AS DOUBLE),
-                     6) AS jaccard
-        FROM cand c
-        JOIN sets sa ON sa.doc_id = c.id_a
-        JOIN sets sb ON sb.doc_id = c.id_b)
-"""
-
 
 @register(
     "dedup_cluster_minhash",
@@ -2986,13 +2954,14 @@ def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH enc AS (
       SELECT o_orderpriority,
-             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
-                 CAST(o_custkey AS VARCHAR) || '|' ||
-                 o_orderstatus || '|' ||
-                 CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                      AS VARCHAR) || '|' ||
-                 CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR)
-                 || '|' || o_orderpriority) AS h
+             md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
+                 COALESCE(o_orderstatus, chr(1)) || '|' ||
+                 COALESCE(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      AS VARCHAR), chr(1)) || '|' ||
+                 COALESCE(CAST(CAST(epoch(o_orderdate) AS BIGINT)
+                      AS VARCHAR), chr(1))
+                 || '|' || COALESCE(o_orderpriority, chr(1))) AS h
       FROM orders)
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3027,18 +2996,32 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectations say it LOOKS right, the checksum says it IS the
     same data."""
     o = load_table(spark, sf_dir, "orders")
+    # NULL-explicit encoding: every field coalesces to a \x01 marker
+    # BEFORE joining, because (a) concat_ws silently DROPS nulls
+    # (('a',NULL,'b') would encode like ('a','b',NULL) — exactly the
+    # corruption class a migration validator must catch) and (b)
+    # DuckDB's || nulls the whole row out of the sum — the two
+    # engines would diverge on any table with a NULL.  Remaining
+    # caveat, documented: a string VALUE containing '|' could alias a
+    # shifted row; escape the separator per-field if the schema
+    # carries free-form text.
+    NULLM = "\x01"
+
+    def f(c):
+        return F.when(c.isNull(), F.lit(NULLM)).otherwise(c)
     enc = F.md5(F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
-        .cast("string"),
+        f(F.col("o_orderkey").cast("string")),
+        f(F.col("o_custkey").cast("string")),
+        f(F.col("o_orderstatus")),
+        f(F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
+          .cast("string")),
         # TIMESTAMP_NTZ has no direct long cast; session tz is pinned
         # UTC (session.py) so the ltz hop is exact and equals DuckDB's
         # epoch() of the naive value
-        F.col("o_orderdate").cast("timestamp").cast("long").cast("string"),
-        F.col("o_orderpriority"),
+        f(F.col("o_orderdate").cast("timestamp").cast("long")
+          .cast("string")),
+        f(F.col("o_orderpriority")),
     ))
     slice_mod = lambda lo: (  # noqa: E731
         F.conv(F.substring(enc, lo, 8), 16, 10).cast("long")

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_sas7bdat", "header_modified"]
+__all__ = ["read_sas7bdat", "header_modified", "normalize_sas_chunk"]
 
 # the 32-byte sas7bdat magic (public binary spec: Shotwell/Hobbs
 # "SAS7BDAT Database Binary Format"; same constant pandas ships in
@@ -72,6 +72,22 @@ def header_modified(path: str):
     return datetime(1960, 1, 1) + timedelta(seconds=secs)
 
 
+def normalize_sas_chunk(chunk):
+    """The ONE SAS char-normalization contract, shared by the helper
+    reader and the registered DataSource (sources/
+    sas7bdat_datasource.py): lower-cased column names, char columns
+    decoded from the space-padded bytes SAS stores.  Mutates and
+    returns ``chunk``."""
+    chunk.columns = [c.lower() for c in chunk.columns]
+    for c in chunk.columns:
+        if chunk[c].dtype == object:
+            chunk[c] = chunk[c].map(
+                lambda v: v.decode("utf-8", "replace")
+                if isinstance(v, bytes) else v
+            )
+    return chunk
+
+
 def _decode_files(chunksize: int, read_fn=None):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pandas as pd
@@ -84,16 +100,8 @@ def _decode_files(chunksize: int, read_fn=None):
                     iterator=True,
                 )
                 for chunk in reader:
-                    chunk.columns = [c.lower() for c in chunk.columns]
-                    # SAS char columns decode as bytes; normalize
-                    for c in chunk.columns:
-                        if chunk[c].dtype == object:
-                            chunk[c] = chunk[c].map(
-                                lambda v: v.decode("utf-8", "replace")
-                                if isinstance(v, bytes) else v
-                            )
                     yield pa.RecordBatch.from_pandas(
-                        chunk, preserve_index=False
+                        normalize_sas_chunk(chunk), preserve_index=False
                     )
 
     return fn
@@ -134,14 +142,7 @@ def read_sas7bdat(
             iter(read(files[0], format="sas7bdat",
                       chunksize=1024, iterator=True))
         )
-        sample.columns = [c.lower() for c in sample.columns]
-        for c in sample.columns:
-            if sample[c].dtype == object:
-                sample[c] = sample[c].map(
-                    lambda v: v.decode("utf-8", "replace")
-                    if isinstance(v, bytes) else v
-                )
-        schema = spark.createDataFrame(sample).schema
+        schema = spark.createDataFrame(normalize_sas_chunk(sample)).schema
 
     # Exactly one file per task, with NO exchange: parallelize with
     # numSlices=len(files) slices the path list 1-per-partition (the

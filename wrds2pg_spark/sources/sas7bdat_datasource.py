@@ -54,22 +54,17 @@ def _expand(path: str) -> list[str]:
 
 
 def _decode_pandas(path: str, chunksize: int):
-    """Streaming per-file decode shared with sources/sas7bdat.py:
-    lower-cased column names, char columns normalized from the
-    space-padded bytes SAS stores."""
+    """Streaming per-file decode — the normalization contract is
+    sources/sas7bdat.py normalize_sas_chunk, imported, not copied, so
+    format("sas7bdat") and read_sas7bdat can never drift apart."""
     import pandas as pd
+
+    from wrds2pg_spark.sources.sas7bdat import normalize_sas_chunk
 
     for chunk in pd.read_sas(
         path, format="sas7bdat", chunksize=chunksize, iterator=True
     ):
-        chunk.columns = [c.lower() for c in chunk.columns]
-        for c in chunk.columns:
-            if chunk[c].dtype == object:
-                chunk[c] = chunk[c].map(
-                    lambda v: v.decode("utf-8", "replace")
-                    if isinstance(v, bytes) else v
-                )
-        yield chunk
+        yield normalize_sas_chunk(chunk)
 
 
 class _FilePartition(InputPartition):
@@ -97,12 +92,22 @@ class _Sas7bdatReader(DataSourceReader):
         for chunk in _decode_pandas(partition.path, self._chunksize):
             batch = pa.RecordBatch.from_pandas(chunk, preserve_index=False)
             # conform to the declared schema: column order by name,
-            # exact arrow types (pandas floats -> declared ints etc.)
-            cols = [
-                batch.column(batch.schema.get_field_index(f.name)).cast(
-                    f.type)
-                for f in target
-            ]
+            # exact arrow types (pandas floats -> declared ints etc.).
+            # get_field_index returns -1 for a missing name, and
+            # batch.column(-1) would SILENTLY serve the last column —
+            # fail loudly instead (the declared-vs-file mismatch a
+            # user hits first: SAS names are stored uppercase, this
+            # reader lower-cases them).
+            cols = []
+            for f in target:
+                idx = batch.schema.get_field_index(f.name)
+                if idx < 0:
+                    raise KeyError(
+                        f"sas7bdat: declared column {f.name!r} not in "
+                        f"{partition.path!r} (file has "
+                        f"{batch.schema.names}; note names are "
+                        f"lower-cased on read)")
+                cols.append(batch.column(idx).cast(f.type))
             yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
@@ -163,8 +168,14 @@ class _Sas7bdatWriter(DataSourceWriter):
         if not self._dir:
             raise ValueError("sas7bdat: .save(path) is required")
         self._page_length = int(options.get("page_length", 4096))
+        import uuid
+
         self._overwrite = overwrite
-        self._staging = os.path.join(self._dir, "_staging")
+        # per-JOB staging: two overlapping writes to the same target
+        # (or a retry racing a slow first attempt) must never share a
+        # staging dir — commit()/abort() rmtree only their own job's
+        self._staging = os.path.join(
+            self._dir, f"_staging-{uuid.uuid4().hex}")
         os.makedirs(self._dir, exist_ok=True)
 
     def write(self, iterator):
@@ -193,9 +204,14 @@ class _Sas7bdatWriter(DataSourceWriter):
         if self._overwrite:
             for f in glob.glob(os.path.join(self._dir, "*.sas7bdat")):
                 os.remove(f)
+        # job-unique filenames (Spark's own writers do the same): a
+        # later append can never os.replace() an earlier job's
+        # part-00000 out of existence
+        job = os.path.basename(self._staging).split("-", 1)[1][:8]
         for i, m in enumerate(staged):
             os.replace(
-                m.path, os.path.join(self._dir, f"part-{i:05d}.sas7bdat"))
+                m.path,
+                os.path.join(self._dir, f"part-{i:05d}-{job}.sas7bdat"))
         shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages):
