@@ -524,7 +524,8 @@ def test_sas7bdat_datasource_write_roundtrip(spark, tmp_path):
     import glob as _glob
     import os
     assert len(_glob.glob(os.path.join(d, "*.sas7bdat"))) == 3
-    assert not os.path.exists(os.path.join(d, "_staging"))
+    # staging dirs are job-unique ("_staging-<uuid>"); none may leak
+    assert _glob.glob(os.path.join(d, "_staging-*")) == []
 
     back = spark.read.format("sas7bdat").schema("k double, nm string").load(d)
     assert back.exceptAll(src).count() == 0
@@ -536,3 +537,74 @@ def test_sas7bdat_datasource_write_roundtrip(spark, tmp_path):
     assert len(_glob.glob(os.path.join(d, "*.sas7bdat"))) == 1
     assert spark.read.format("sas7bdat").schema(
         "k double, nm string").load(d).count() == 5
+
+
+def test_sas7bdat_datasource_chunked_write_bounded_memory(spark, tmp_path):
+    """rows_per_file bounds per-task memory: one input partition stages
+    multiple files (ceil(rows/rows_per_file)) and the round-trip is
+    value-exact — the write side streams like the read side."""
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
+
+    register_sas7bdat(spark)
+    d = str(tmp_path / "chunked")
+    src = spark.range(250).select(
+        F.col("id").cast("double").alias("k")).repartition(1)
+    src.write.format("sas7bdat").option("rows_per_file", "100").mode(
+        "overwrite").save(d)
+    import glob as _glob
+    import os
+    assert len(_glob.glob(os.path.join(d, "*.sas7bdat"))) == 3  # 100+100+50
+    back = spark.read.format("sas7bdat").schema("k double").load(d)
+    assert back.count() == 250
+    assert back.exceptAll(src).count() == 0
+
+
+def test_sas7bdat_datasource_overwrite_publish_before_delete(spark, tmp_path):
+    """Overwrite commit publishes the new job's files first and only
+    then retires prior jobs' files — filenames carry the job suffix, so
+    after two overwrites exactly the second job's files remain."""
+    from pyspark.sql import functions as F
+
+    from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
+
+    register_sas7bdat(spark)
+    import glob as _glob
+    import os
+    d = str(tmp_path / "atomic")
+    df = spark.range(10).select(F.col("id").cast("double").alias("k"))
+    df.repartition(2).write.format("sas7bdat").mode("overwrite").save(d)
+    first = set(_glob.glob(os.path.join(d, "*.sas7bdat")))
+    assert len(first) == 2
+    df.repartition(1).write.format("sas7bdat").mode("overwrite").save(d)
+    second = set(_glob.glob(os.path.join(d, "*.sas7bdat")))
+    assert len(second) == 1
+    assert second.isdisjoint(first)  # job-unique names, old ones retired
+    assert spark.read.format("sas7bdat").schema("k double").load(
+        d).count() == 10
+
+
+def test_sas7bdat_datasource_infer_allnull_string(spark, tmp_path):
+    """An object column that is all-null in the sampled first chunk
+    infers as string (not arrow null), so reading files whose later
+    rows carry real strings works without a declared schema."""
+    import pandas as pd
+
+    from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat
+    from wrds2pg_spark.sources.sas7bdat_datasource import register_sas7bdat
+
+    register_sas7bdat(spark)
+    d = tmp_path / "nulls"
+    d.mkdir()
+    write_sas7bdat(
+        pd.DataFrame({"k": [1.0, 2.0], "nm": pd.Series([None, None],
+                                                       dtype=object)}),
+        str(d / "a.sas7bdat"))
+    write_sas7bdat(
+        pd.DataFrame({"k": [3.0], "nm": pd.Series(["real"], dtype=object)}),
+        str(d / "b.sas7bdat"))
+    df = spark.read.format("sas7bdat").load(str(d))
+    assert dict(df.dtypes)["nm"] == "string"
+    rows = {r["k"]: r["nm"] for r in df.collect()}
+    assert rows == {1.0: None, 2.0: None, 3.0: "real"}

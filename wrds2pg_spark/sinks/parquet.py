@@ -152,6 +152,21 @@ def compact_small_files(
     incremental semantics.
     """
     child = spark.newSession()
+    # newSession() starts from context DEFAULTS, not the caller's
+    # runtime conf — timestamp semantics (session timezone, parquet
+    # datetime rebase modes) must carry over or a compaction of
+    # legacy-rebase data could rewrite values under different rules
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.parquet.datetimeRebaseModeInRead",
+        "spark.sql.parquet.datetimeRebaseModeInWrite",
+        "spark.sql.parquet.int96RebaseModeInRead",
+        "spark.sql.parquet.int96RebaseModeInWrite",
+    ):
+        try:
+            child.conf.set(k, spark.conf.get(k))
+        except Exception:
+            pass  # conf absent in this Spark build — keep default
     child.conf.set("spark.sql.files.maxPartitionBytes", str(target_bytes))
     # default openCostInBytes (4 MB) pads every file to 4 MB for
     # packing purposes — correct for scheduling fairness, wrong for a

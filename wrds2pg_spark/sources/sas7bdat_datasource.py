@@ -129,10 +129,29 @@ class Sas7bdatDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("sas7bdat: .load(path) is required")
+        import pandas as pd
+
+        from wrds2pg_spark.sources.sas7bdat import normalize_sas_chunk
+
         first = _expand(path)[0]
-        sample = next(iter(_decode_pandas(first, 1024)))
-        return from_arrow_schema(
-            pa.Schema.from_pandas(sample, preserve_index=False))
+        raw = next(iter(pd.read_sas(
+            first, format="sas7bdat", chunksize=1024, iterator=True)))
+        # Char-vs-numeric must come from the RAW pandas dtypes: a char
+        # column that is all-null in the sampled chunk collapses to
+        # float64 during normalization (pandas re-infers under .map),
+        # so post-normalization inference would type it double and
+        # later files with real strings would fail the read()-side
+        # cast.  In a raw read_sas chunk object dtype == SAS char.
+        char_cols = {c.lower() for c in raw.columns
+                     if raw[c].dtype == object}
+        sample = normalize_sas_chunk(raw)
+        inferred = pa.Schema.from_pandas(sample, preserve_index=False)
+        fields = [
+            f.with_type(pa.string())
+            if (f.name in char_cols or pa.types.is_null(f.type)) else f
+            for f in inferred
+        ]
+        return from_arrow_schema(pa.schema(fields))
 
     def reader(self, schema) -> DataSourceReader:
         return _Sas7bdatReader(schema, self.options)
@@ -147,8 +166,8 @@ def register_sas7bdat(spark) -> None:
 
 
 class _CommitMsg(WriterCommitMessage):
-    def __init__(self, path: str, rows: int):
-        self.path = path
+    def __init__(self, paths: list, rows: int):
+        self.paths = paths
         self.rows = rows
 
 
@@ -160,7 +179,18 @@ class _Sas7bdatWriter(DataSourceWriter):
     name and publish into the final directory only from ``commit()``'s
     manifest — Spark's standard two-phase output commit, so a failed
     or speculative attempt can never leave a half-written binary
-    visible (``abort()`` removes staged files)."""
+    visible (``abort()`` removes staged files).
+
+    Overwrite-commit ordering: staged files publish under their
+    job-unique final names FIRST, then stale files from *prior* jobs
+    are deleted (filtered by this job's suffix) — a crash mid-commit
+    leaves a superset of one complete table, never data loss.
+
+    Shared-filesystem assumption (document, local-mode contract):
+    commit() runs driver-side ``os.replace`` on executor-staged paths,
+    which requires driver and executors to share a filesystem — true
+    in local mode and on NFS-backed clusters; on a real multi-node
+    object-store deployment use the parquet sink or write per-node."""
 
     def __init__(self, schema, options, overwrite: bool):
         self._schema = schema
@@ -171,6 +201,11 @@ class _Sas7bdatWriter(DataSourceWriter):
         import uuid
 
         self._overwrite = overwrite
+        # bounded per-task memory: stage a new file every N rows
+        # instead of materializing the whole partition (a partition
+        # can be multi-GB; the read side streams, the write side must
+        # too)
+        self._rows_per_file = int(options.get("rows_per_file", 262_144))
         # per-JOB staging: two overlapping writes to the same target
         # (or a retry racing a slow first attempt) must never share a
         # staging dir — commit()/abort() rmtree only their own job's
@@ -179,39 +214,53 @@ class _Sas7bdatWriter(DataSourceWriter):
         os.makedirs(self._dir, exist_ok=True)
 
     def write(self, iterator):
+        import itertools
         import uuid
 
         import pandas as pd
 
         from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat
 
-        rows = list(iterator)
-        if not rows:
-            return _CommitMsg("", 0)
-        pdf = pd.DataFrame.from_records(
-            [tuple(r) for r in rows],
-            columns=[f.name for f in self._schema.fields])
-        os.makedirs(self._staging, exist_ok=True)
-        staged = os.path.join(
-            self._staging, f"task-{uuid.uuid4().hex}.sas7bdat")
-        write_sas7bdat(pdf, staged, page_length=self._page_length)
-        return _CommitMsg(staged, len(pdf))
+        names = [f.name for f in self._schema.fields]
+        staged_paths = []
+        total = 0
+        # consume the iterator in bounded chunks — one staged file per
+        # chunk — so a multi-GB partition never materializes in task
+        # memory (mirrors the read side's streaming contract)
+        while True:
+            rows = list(itertools.islice(iterator, self._rows_per_file))
+            if not rows:
+                break
+            pdf = pd.DataFrame.from_records(
+                [tuple(r) for r in rows], columns=names)
+            del rows
+            os.makedirs(self._staging, exist_ok=True)
+            staged = os.path.join(
+                self._staging, f"task-{uuid.uuid4().hex}.sas7bdat")
+            write_sas7bdat(pdf, staged, page_length=self._page_length)
+            staged_paths.append(staged)
+            total += len(pdf)
+        return _CommitMsg(staged_paths, total)
 
     def commit(self, messages):
         import shutil
 
-        staged = [m for m in messages if m and m.rows]
-        if self._overwrite:
-            for f in glob.glob(os.path.join(self._dir, "*.sas7bdat")):
-                os.remove(f)
+        staged = [p for m in messages if m and m.rows for p in m.paths]
         # job-unique filenames (Spark's own writers do the same): a
         # later append can never os.replace() an earlier job's
         # part-00000 out of existence
         job = os.path.basename(self._staging).split("-", 1)[1][:8]
-        for i, m in enumerate(staged):
+        # publish FIRST so a crash mid-commit can only leave a
+        # superset (old + new files), never an empty directory...
+        for i, p in enumerate(staged):
             os.replace(
-                m.path,
-                os.path.join(self._dir, f"part-{i:05d}-{job}.sas7bdat"))
+                p, os.path.join(self._dir, f"part-{i:05d}-{job}.sas7bdat"))
+        # ...then, for overwrite, retire prior jobs' files (identified
+        # by NOT carrying this job's suffix)
+        if self._overwrite:
+            for f in glob.glob(os.path.join(self._dir, "*.sas7bdat")):
+                if not f.endswith(f"-{job}.sas7bdat"):
+                    os.remove(f)
         shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages):
