@@ -629,3 +629,36 @@ def test_table_checksum_null_positions_distinct(spark, tmp_path):
     assert (a[0]["chk1"], a[0]["chk2"]) != (b[0]["chk1"], b[0]["chk2"])
     # the all-null-status row still contributes (n_rows counted, chk != 0)
     assert a[0]["n_rows"] == 1 and a[0]["chk1"] > 0
+
+
+def test_table_checksum_separator_aliasing_distinct(spark, tmp_path):
+    """Separator escaping: a '|' (or '\\x01', or '\\') INSIDE a string
+    value must not alias a shifted row — ('P|Q' , 'R') and ('P', 'Q|R')
+    hash differently, as do a literal '\\x01' value vs a true NULL."""
+    import pandas as pd
+
+    base = dict(o_orderkey=[1.0], o_custkey=[2.0],
+                o_totalprice=[10.0],
+                o_orderdate=[pd.Timestamp("2024-01-01")])
+
+    def mk(name, status, prio):
+        d = tmp_path / name
+        d.mkdir()
+        pdf = pd.DataFrame(base)
+        pdf["o_orderstatus"] = pd.Series([status], dtype="string")
+        pdf["o_orderpriority"] = pd.Series([prio], dtype="string")
+        pdf.to_parquet(str(d / "orders.parquet"), coerce_timestamps="us")
+        return d
+
+    from wrds2pg_spark.curation import dq_table_checksum
+
+    def chk(name, status, prio):
+        rows = dq_table_checksum(spark, str(mk(name, status, prio))).collect()
+        return (rows[0]["chk1"], rows[0]["chk2"])
+
+    # '|' inside a value vs the same bytes split across the separator
+    assert chk("s1", "P|Q", "R") != chk("s2", "P", "Q|R")
+    # a literal \x01 VALUE vs a true NULL
+    assert chk("s3", "\x01", "R") != chk("s4", None, "R")
+    # backslash adjacent to the separator vs escaped-separator bytes
+    assert chk("s5", "P\\", "R") != chk("s6", "P", "\\R")

@@ -2956,12 +2956,17 @@ def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority,
              md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
                  COALESCE(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
-                 COALESCE(o_orderstatus, chr(1)) || '|' ||
+                 COALESCE(replace(replace(replace(o_orderstatus,
+                     '\', '\\'), '|', '\|'), chr(1), '\' || chr(1)),
+                     chr(1)) || '|' ||
                  COALESCE(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
                       AS VARCHAR), chr(1)) || '|' ||
                  COALESCE(CAST(CAST(epoch(o_orderdate) AS BIGINT)
                       AS VARCHAR), chr(1))
-                 || '|' || COALESCE(o_orderpriority, chr(1))) AS h
+                 || '|' ||
+                 COALESCE(replace(replace(replace(o_orderpriority,
+                     '\', '\\'), '|', '\|'), chr(1), '\' || chr(1)),
+                     chr(1))) AS h
       FROM orders)
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3001,19 +3006,29 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (('a',NULL,'b') would encode like ('a','b',NULL) — exactly the
     # corruption class a migration validator must catch) and (b)
     # DuckDB's || nulls the whole row out of the sum — the two
-    # engines would diverge on any table with a NULL.  Remaining
-    # caveat, documented: a string VALUE containing '|' could alias a
-    # shifted row; escape the separator per-field if the schema
-    # carries free-form text.
+    # engines would diverge on any table with a NULL.  Free-text
+    # fields additionally escape '\', '|' and '\x01' per-field
+    # ('\'-prefixed), so a VALUE containing the separator or the null
+    # marker can never alias a shifted/null row; numeric and epoch
+    # casts cannot produce those bytes, so they skip the three
+    # replaces (the md5 is the dominant cost, but why pay more).
     NULLM = "\x01"
+    BS = "\\"
 
-    def f(c):
+    def esc(c):
+        c = F.replace(c, F.lit(BS), F.lit(BS + BS))
+        c = F.replace(c, F.lit("|"), F.lit(BS + "|"))
+        return F.replace(c, F.lit(NULLM), F.lit(BS + NULLM))
+
+    def f(c, free_text=False):
+        if free_text:
+            c = esc(c)
         return F.when(c.isNull(), F.lit(NULLM)).otherwise(c)
     enc = F.md5(F.concat_ws(
         "|",
         f(F.col("o_orderkey").cast("string")),
         f(F.col("o_custkey").cast("string")),
-        f(F.col("o_orderstatus")),
+        f(F.col("o_orderstatus"), free_text=True),
         f(F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
           .cast("string")),
         # TIMESTAMP_NTZ has no direct long cast; session tz is pinned
@@ -3021,7 +3036,7 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # epoch() of the naive value
         f(F.col("o_orderdate").cast("timestamp").cast("long")
           .cast("string")),
-        f(F.col("o_orderpriority")),
+        f(F.col("o_orderpriority"), free_text=True),
     ))
     slice_mod = lambda lo: (  # noqa: E731
         F.conv(F.substring(enc, lo, 8), 16, 10).cast("long")
