@@ -2785,30 +2785,41 @@ def agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary whose estimates an external engine can't reproduce; same
     reason the HLL key carries a portable twin).
 
-    Scale shape: the posting explode triples rows but the counter
-    aggregate is map-side combined, so the exchange carries at most
-    depth x width = 12,288 rows PER TASK regardless of input size —
-    the defining CMS property (mergeable, bounded state; this is the
-    exact plan a 100-TB frequency audit wants).  CMS guarantees
-    est >= exact always; the overcount column exposes collision noise
-    (~N/width per counter) honestly rather than asserting a
-    probabilistic band."""
+    Scale shape, count-then-sketch (r9, 1.20 -> 0.31 s sf0.1): the
+    audit needs exact per-key counts anyway (the top-20 probe), and
+    the bucket key depends only on the item key — so the sketch is
+    built FROM the keyed aggregate, weighted by its count: md5 runs
+    over |distinct keys| rows instead of |items| and one full scan
+    disappears, with counters value-IDENTICAL to the per-item fold
+    (sum over items in bucket == sum over keys of exact_n).  The
+    oracle keeps the canonical per-item posting formulation, proving
+    the algebraic rewrite exact.  For UNBOUNDED key cardinality —
+    the case CMS exists for, where the exact groupBy itself is the
+    problem — flip back to the per-item posting explode: its counter
+    exchange is bounded at depth x width = 12,288 rows per task
+    regardless of input (the defining mergeable-sketch property).
+    CMS guarantees est >= exact always; the overcount column exposes
+    collision noise (~N/width per counter) honestly rather than
+    asserting a probabilistic band."""
     li = load_table(spark, sf_dir, "lineitem")
-    key = F.col("l_suppkey").cast("string")
-    posting = li.select(
-        F.explode(F.array(
-            *[_cms_bucket_col(i, key) for i in range(_CMS_DEPTH)]
-        )).alias("db"))
-    counters = posting.groupBy("db").agg(
-        F.count(F.lit(1)).cast("long").alias("n"))
     exact = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("long").alias("exact_n"))
+    # reused by counters AND the top-20 probe — checkpoint lazily so
+    # the keyed aggregate computes once, not per consumer
+    exact = exact.localCheckpoint(eager=False)
+    skey = F.col("suppkey").cast("string")
+    posting = exact.select(
+        F.col("exact_n"),
+        F.explode(F.array(
+            *[_cms_bucket_col(i, skey) for i in range(_CMS_DEPTH)]
+        )).alias("db"))
+    counters = posting.groupBy("db").agg(
+        F.sum("exact_n").cast("long").alias("n"))
     top = exact.orderBy(F.desc("exact_n"), "suppkey").limit(20)
     probes = top.select(
         "suppkey", "exact_n",
         F.explode(F.array(
-            *[_cms_bucket_col(i, F.col("suppkey").cast("string"))
-              for i in range(_CMS_DEPTH)]
+            *[_cms_bucket_col(i, skey) for i in range(_CMS_DEPTH)]
         )).alias("db"))
     return (
         probes.join(counters, "db")
@@ -2970,9 +2981,10 @@ def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders)
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(('0x' || substr(h, 1, 8)) AS BIGINT)
+           CAST(SUM((CAST(('0x' || substr(h, 1, 15)) AS BIGINT) >> 30)
                     % 1000000007) AS BIGINT) AS chk1,
-           CAST(SUM(CAST(('0x' || substr(h, 9, 8)) AS BIGINT)
+           CAST(SUM((CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+                     & 1073741823)
                     % 1000000007) AS BIGINT) AS chk2
     FROM enc GROUP BY o_orderpriority
     """,
@@ -2983,12 +2995,17 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rows?  Each row canonicalizes to a '|'-joined string
     (floats as exact integer cents, timestamps as epoch seconds — the
     two encodings whose native-to-string formatting is NOT portable
-    across engines), md5s once, and two independent 32-bit digest
+    across engines), md5s once, and two independent 30-bit digest
     slices are summed mod 1e9+7 per priority group.  Addition
     commutes, so the checksum is independent of row order, file
     layout and partitioning — two tables match iff (n_rows, chk1,
-    chk2) match per group, with collision odds ~2^-64 per group from
-    the paired slices.
+    chk2) match per group, with collision odds ~2^-60 per group from
+    the paired slices (r9 A/B, tools/portable_hash_variants.py: ONE
+    conv of 15 hex chars split by shift/mask beat two 8-char convs
+    0.48 vs 0.55 s sf0.1; the md5 itself is the irreducible portable
+    cost — an intbucket CMS variant replacing string buckets with
+    conv+bit ops measured SLOWER, 1.49 vs 1.20, so conv is paid once
+    only where it subsumes two).
 
     Scale shape: narrow map + map-side-combined groupBy — the
     exchange carries one row per group per task, so checksumming a
@@ -3038,15 +3055,17 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
           .cast("string")),
         f(F.col("o_orderpriority"), free_text=True),
     ))
-    slice_mod = lambda lo: (  # noqa: E731
-        F.conv(F.substring(enc, lo, 8), 16, 10).cast("long")
-        % F.lit(1000000007))
+    # one conv of 60 md5 bits, two 30-bit slices via shift/mask —
+    # identical arithmetic in DuckDB ('0x' cast, >> and &)
+    v = F.conv(F.substring(enc, 1, 15), 16, 10).cast("long")
     return (
         o.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(slice_mod(1)).cast("long").alias("chk1"),
-            F.sum(slice_mod(9)).cast("long").alias("chk2"),
+            F.sum(F.shiftrightunsigned(v, 30) % F.lit(1000000007))
+            .cast("long").alias("chk1"),
+            F.sum(v.bitwiseAND(F.lit((1 << 30) - 1)) % F.lit(1000000007))
+            .cast("long").alias("chk2"),
         )
     )
 
