@@ -662,3 +662,76 @@ def test_table_checksum_separator_aliasing_distinct(spark, tmp_path):
     assert chk("s3", "\x01", "R") != chk("s4", None, "R")
     # backslash adjacent to the separator vs escaped-separator bytes
     assert chk("s5", "P\\", "R") != chk("s6", "P", "\\R")
+
+
+def test_jaccard_minhash_bounds(spark):
+    """Round 9: the MinHash twin's estimates are m/12 for m in 1..12,
+    pairs are ordered (s_a < s_b), and the top-100 sort is by
+    agreement count with deterministic tie-break."""
+    rows = run("graph_jaccard_minhash", spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["s_a"] < r["s_b"]
+        assert 1 <= r["n_match"] <= 12
+        assert abs(r["est_jaccard"] - round(r["n_match"] / 12.0, 6)) < 1e-9
+    ms = [r["n_match"] for r in rows]
+    assert ms == sorted(ms, reverse=True)
+
+
+def test_jaccard_minhash_partition_independent(spark):
+    """Signatures are exact per-supplier minima — the candidate set
+    and agreement counts must be identical under any partitioning."""
+    base = {(r["s_a"], r["s_b"]): r["n_match"]
+            for r in run("graph_jaccard_minhash", spark).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        alt = {(r["s_a"], r["s_b"]): r["n_match"]
+               for r in run("graph_jaccard_minhash", spark).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt
+
+
+def test_jaccard_minhash_recall_invariants(spark):
+    """The audit's overlap cannot exceed either side, recall and the
+    weighted error live in [0, 1], and integer error sums are
+    consistent (err_num <= err_den would fail only if an estimate
+    missed [0,1] — est and exact are both Jaccards)."""
+    r = run("graph_jaccard_minhash_recall", spark).collect()[0]
+    assert r["n_exact"] > 0
+    assert 0 <= r["n_overlap"] <= r["n_exact"]
+    assert 0.0 <= r["recall_at_100"] <= 1.0
+    assert 0.0 <= r["wtd_abs_err"] <= 1.0
+
+
+def test_jaccard_minhash_matches_signature_agreement(spark):
+    """n_match must equal the true slot-agreement of independently
+    recomputed signatures (guards the slice offsets, the cap, and the
+    once-per-agreeing-slot bucket-join counting)."""
+    import hashlib
+    from collections import defaultdict
+
+    li = load_table(spark, SF, "lineitem")
+    edges = {(r["l_partkey"], r["l_suppkey"])
+             for r in li.select("l_partkey", "l_suppkey").collect()}
+    neigh = defaultdict(set)
+    for p, s in edges:
+        neigh[s].add(p)
+
+    def digest(p):
+        ps = str(p)
+        return (hashlib.md5(ps.encode()).hexdigest()
+                + hashlib.md5(("a" + ps).encode()).hexdigest()
+                + hashlib.md5(("b" + ps).encode()).hexdigest())
+
+    def sig(parts):
+        return [min(digest(p)[8 * k: 8 * k + 8] for p in parts)
+                for k in range(12)]
+
+    sigs = {s: sig(parts) for s, parts in neigh.items()}
+    for r in run("graph_jaccard_minhash", spark).collect():
+        agree = sum(
+            1 for k in range(12)
+            if sigs[r["s_a"]][k] == sigs[r["s_b"]][k])
+        assert agree == r["n_match"], (r["s_a"], r["s_b"])
