@@ -118,6 +118,7 @@ HEADLINE = [
     "embedding_centroid",
     "dedup_minhash_portable",
     "dedup_minhash_capped",
+    "dedup_containment_lsh",
     "merge_upsert",
     "scd2_intervals",
     "scan_orc_typed",
@@ -171,6 +172,8 @@ HEADLINE = [
     "events_ab_test_lift",
     "graph_pagerank",
     "graph_jaccard_neighbors",
+    "graph_jaccard_minhash",
+    "graph_jaccard_minhash_recall",
     "graph_triangle_count",
     "profile_table",
     "dedup_survivorship",
@@ -315,7 +318,7 @@ def main() -> None:
     for _ in range(2):
         for name in (
             "dedup_minhash_lsh", "dedup_minhash_portable",
-            "dedup_minhash_capped",
+            "dedup_minhash_capped", "dedup_containment_lsh",
             "dedup_ngram_jaccard", "dedup_simhash",
             "dedup_simhash_portable",
             "dedup_embedding_cosine", "dedup_levenshtein",

@@ -735,3 +735,59 @@ def test_jaccard_minhash_matches_signature_agreement(spark):
             1 for k in range(12)
             if sigs[r["s_a"]][k] == sigs[r["s_b"]][k])
         assert agree == r["n_match"], (r["s_a"], r["s_b"])
+
+
+def test_containment_lsh_bounds_and_dominates_jaccard(spark):
+    """Round 9: containment >= jaccard per pair, both in (0,1], ids
+    ordered; and every dedup_minhash_portable pair must reappear —
+    J >= 0.5 implies I >= (a+b)/3 so C = I/min(a,b) >= 2/3 >= 0.6,
+    and both keys draw candidates from the same posting list."""
+    rows = run("dedup_containment_lsh", spark).collect()
+    assert len(rows) > 0
+    got = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.6 <= r["containment"] <= 1.0
+        assert 0.0 < r["jaccard"] <= r["containment"] + 1e-9
+        got.add((r["id_a"], r["id_b"]))
+    for p in run("dedup_minhash_portable", spark).collect():
+        assert (p["id_a"], p["id_b"]) in got, p
+
+
+def test_table_checksum_oracle_agrees_on_escape_bytes(spark, tmp_path):
+    """Cross-ENGINE check of the escape encoding (round 9): the r9
+    self-review found the ORACLE's backslash escapes had been eaten
+    by Python string processing — the SQL no-op'd as
+    replace(x, '', '\\') — which fixture data can never expose
+    because it contains none of the escaped bytes.  So: run BOTH
+    engines over rows whose values contain '\\', '|' and '\\x01'
+    (alone, doubled, adjacent to separators) and require identical
+    checksums."""
+    import duckdb
+    import pandas as pd
+
+    from wrds2pg_spark.curation import dq_table_checksum
+    from wrds2pg_spark.queries import REGISTRY
+
+    d = tmp_path / "esc"
+    d.mkdir()
+    pdf = pd.DataFrame(dict(
+        o_orderkey=[1.0, 2.0, 3.0, 4.0],
+        o_custkey=[2.0] * 4,
+        o_totalprice=[10.0] * 4,
+        o_orderdate=[pd.Timestamp("2024-01-01")] * 4,
+        o_orderstatus=pd.Series(
+            ["P|Q", "\\", "\x01", None], dtype="string"),
+        o_orderpriority=pd.Series(
+            ["R", "P\\", "Q|R", "\x01\x01"], dtype="string"),
+    ))
+    pdf.to_parquet(str(d / "orders.parquet"), coerce_timestamps="us")
+    srows = {tuple(r) for r in dq_table_checksum(spark, str(d)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet')")
+    orows = {tuple(r)
+             for r in con.execute(
+                 REGISTRY["dq_table_checksum"].oracle).fetchall()}
+    assert srows == orows

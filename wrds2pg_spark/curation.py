@@ -1205,6 +1205,58 @@ def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_lsh",
+    # reuses the SHARED pair CTE chain (toks..cand) — the unused `ver`
+    # CTE is never referenced so DuckDB does not evaluate it; the
+    # candidate model stays one definition across the Jaccard,
+    # capped, cluster and containment keys
+    oracle=f"""
+    WITH {_MINHASH_PAIR_CTES},
+    cont AS (
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(sa.gs, sb.gs))
+                     / CAST(least(len(sa.gs), len(sb.gs)) AS DOUBLE),
+                     6) AS containment,
+               round(len(list_intersect(sa.gs, sb.gs))
+                     / CAST(len(sa.gs) + len(sb.gs)
+                            - len(list_intersect(sa.gs, sb.gs)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.id_a
+        JOIN sets sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, containment, jaccard
+    FROM cont WHERE containment >= 0.6
+    """,
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment dedup pairs — |A n B| /
+    min(|A|,|B|) over the SAME materialized LSH posting list as the
+    Jaccard keys (operators/dedup.py containment_pairs_from_posting).
+    Containment is the subset/quote-duplication metric symmetric
+    Jaccard under-scores: a short document pasted into a long one
+    verifies at containment ~1.0 while its Jaccard stays under the
+    dedup threshold, and corpus pipelines gate on both before
+    declaring a document unique.  jaccard rides along so those
+    high-containment/low-jaccard subset rows are visible.
+
+    Division of labor vs dedup_ngram_containment (queries.py): that
+    key is the EXACT twin — token-set containment, per-(lang, source)
+    block, per-block quadratic — and needs blocking METADATA to stay
+    sub-quadratic.  This key needs none: candidates come from the
+    content-derived LSH index, the path that exists at 100 TB when
+    documents carry no usable lang/source labels (fresh crawls).  One
+    index serves every metric; candidate generation, the mega-bucket
+    cap contract and the one-scan candidate-bounded verification are
+    the shared code paths (round 9 candidates_from_posting split), so
+    the oracle models cannot drift between keys."""
+    from wrds2pg_spark.operators.dedup import containment_pairs_from_posting
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = _minhash_posting(spark, sf_dir, docs)
+    return containment_pairs_from_posting(docs, posting, threshold=0.6)
+
+
+@register(
     "dedup_incremental_minhash",
     oracle="""
     WITH toks AS (
@@ -2968,7 +3020,7 @@ def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
                  COALESCE(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
                  COALESCE(replace(replace(replace(o_orderstatus,
-                     '\', '\\'), '|', '\|'), chr(1), '\' || chr(1)),
+                     '\\', '\\\\'), '|', '\\|'), chr(1), '\\' || chr(1)),
                      chr(1)) || '|' ||
                  COALESCE(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
                       AS VARCHAR), chr(1)) || '|' ||
@@ -2976,7 +3028,7 @@ def dedup_cluster_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS VARCHAR), chr(1))
                  || '|' ||
                  COALESCE(replace(replace(replace(o_orderpriority,
-                     '\', '\\'), '|', '\|'), chr(1), '\' || chr(1)),
+                     '\\', '\\\\'), '|', '\\|'), chr(1), '\\' || chr(1)),
                      chr(1))) AS h
       FROM orders)
     SELECT o_orderpriority,

@@ -414,6 +414,27 @@ def pairs_from_posting(
     scan instead of re-shingling the corpus.  Values are identical
     either way — the index holds exactly portable_bucket_keys'
     output — so the oracle model is unchanged."""
+    cand = candidates_from_posting(
+        posting, id_col=id_col, max_bucket_size=max_bucket_size)
+    # the md5 family is required only where the ORACLE must reproduce
+    # values (signatures/buckets above); verification uses the shared
+    # engine-local exact-Jaccard pass (xxhash64 long intersects —
+    # measured at a near-dup-dense sf1: 54.7s -> fast-variant
+    # territory)
+    return _verify_pairs_exact(df, cand, threshold, text_col, id_col)
+
+
+def candidates_from_posting(
+    posting: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct ordered candidate pairs (id_a < id_b) from an
+    (id, bucket) posting list — the shared front half of
+    :func:`pairs_from_posting` and
+    :func:`containment_pairs_from_posting` (round 9 split; the pair
+    generator and cap semantics CANNOT drift between the Jaccard and
+    containment verifiers)."""
     buckets = (
         posting.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -438,7 +459,7 @@ def pairs_from_posting(
             )
         ),
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -446,12 +467,71 @@ def pairs_from_posting(
         # exchange reuse under AQE, tiny-by-design candidate set
         .localCheckpoint(eager=False)
     )
-    # the md5 family is required only where the ORACLE must reproduce
-    # values (signatures/buckets above); verification uses the shared
-    # engine-local exact-Jaccard pass (xxhash64 long intersects —
-    # measured at a near-dup-dense sf1: 54.7s -> fast-variant
-    # territory)
-    return _verify_pairs_exact(df, cand, threshold, text_col, id_col)
+
+
+def containment_pairs_from_posting(
+    df: DataFrame,
+    posting: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT pairs from the LSH posting list:
+    |A n B| / min(|A|, |B|) — the subset/quote-duplication metric
+    (Broder 1997's containment).  Symmetric Jaccard under-scores a
+    short document embedded verbatim in a long one (the intersection
+    is the whole short side but a sliver of the union); containment
+    scores that pair ~1.0, which is why corpus pipelines gate on BOTH
+    before keeping a "unique" document.  Emits jaccard alongside so
+    the subset cases are visible as high-containment/low-jaccard
+    rows.
+
+    Candidates come from the SAME banded-LSH posting as the Jaccard
+    keys — one index, every metric — with the documented asymmetric
+    blind spot: banding collides on symmetric similarity, so a tiny
+    snippet inside a huge document may not surface as a candidate at
+    all (its Jaccard is low).  At 100 TB the fix is the
+    dedup_exact_substr pass (window-hash), not a wider LSH; this
+    operator covers the moderate-asymmetry band LSH does reach.
+    Verification is the same candidate-bounded one-scan shape as
+    :func:`_verify_pairs_exact` (engine-local xxhash64 shingle sets;
+    shingles() is distinct, so sizes are true set cardinalities)."""
+    cand = candidates_from_posting(
+        posting, id_col=id_col, max_bucket_size=max_bucket_size)
+    hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
+    ids = (
+        cand.select(F.col("id_a").alias("__cid"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    hashed = (
+        df.join(F.broadcast(ids), F.col(id_col) == F.col("__cid"))
+        .select(F.col(id_col).alias("__hid"),
+                hash_of(F.col(text_col)).alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
+    j = (
+        cand.join(hashed, F.col("id_a") == F.col("__hid"))
+        .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
+        .join(
+            hashed.select(F.col("__hid").alias("__hid2"),
+                          F.col("__sh").alias("sh_b")),
+            F.col("id_b") == F.col("__hid2"),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    smaller = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    union = (F.size("sh_a").cast("double")
+             + F.size("sh_b").cast("double") - inter)
+    cont = F.round(inter / F.greatest(smaller, F.lit(1.0)), 6)
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return (
+        j.select("id_a", "id_b", cont.alias("containment"),
+                 jac.alias("jaccard"))
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 def build_minhash_bucket_index(
