@@ -263,6 +263,31 @@ def _verify_pairs_exact(
     exactness, not portability: intersecting long arrays (xxhash64 of
     each shingle) costs a fraction of string-array intersects and
     yields identical set sizes."""
+    j = _candidate_shingle_sets(df, cand, text_col, id_col)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+    return (
+        j.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _candidate_shingle_sets(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id_a, id_b, sh_a, sh_b) for a (tiny, checkpointed) candidate
+    pair set — the shared verification front half of
+    :func:`_verify_pairs_exact` and
+    :func:`containment_pairs_from_posting` (round-9 review: the block
+    had been copied verbatim; any future change to the verification
+    shape must hit every metric at once).  ONE corpus scan computes
+    shingle hashes for candidate ids only (broadcast id semi-join);
+    the hashed mini-table is itself checkpointed (candidate-sized)
+    and joined twice — the round-6 exchange-reuse rationale."""
     hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
     ids = (
         cand.select(F.col("id_a").alias("__cid"))
@@ -275,7 +300,7 @@ def _verify_pairs_exact(
                 hash_of(F.col(text_col)).alias("__sh"))
         .localCheckpoint(eager=False)
     )
-    j = (
+    return (
         cand.join(hashed, F.col("id_a") == F.col("__hid"))
         .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
         .join(
@@ -284,13 +309,6 @@ def _verify_pairs_exact(
             F.col("id_b") == F.col("__hid2"),
         )
         .select("id_a", "id_b", "sh_a", "sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
-    jac = F.round(inter / F.greatest(union, F.lit(1.0)), 6)
-    return (
-        j.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -494,33 +512,13 @@ def containment_pairs_from_posting(
     all (its Jaccard is low).  At 100 TB the fix is the
     dedup_exact_substr pass (window-hash), not a wider LSH; this
     operator covers the moderate-asymmetry band LSH does reach.
-    Verification is the same candidate-bounded one-scan shape as
-    :func:`_verify_pairs_exact` (engine-local xxhash64 shingle sets;
-    shingles() is distinct, so sizes are true set cardinalities)."""
+    Verification rides the shared candidate-bounded one-scan builder
+    :func:`_candidate_shingle_sets` (engine-local xxhash64 shingle
+    sets; shingles() is distinct, so sizes are true set
+    cardinalities)."""
     cand = candidates_from_posting(
         posting, id_col=id_col, max_bucket_size=max_bucket_size)
-    hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
-    ids = (
-        cand.select(F.col("id_a").alias("__cid"))
-        .union(cand.select(F.col("id_b")))
-        .distinct()
-    )
-    hashed = (
-        df.join(F.broadcast(ids), F.col(id_col) == F.col("__cid"))
-        .select(F.col(id_col).alias("__hid"),
-                hash_of(F.col(text_col)).alias("__sh"))
-        .localCheckpoint(eager=False)
-    )
-    j = (
-        cand.join(hashed, F.col("id_a") == F.col("__hid"))
-        .select("id_a", "id_b", F.col("__sh").alias("sh_a"))
-        .join(
-            hashed.select(F.col("__hid").alias("__hid2"),
-                          F.col("__sh").alias("sh_b")),
-            F.col("id_b") == F.col("__hid2"),
-        )
-        .select("id_a", "id_b", "sh_a", "sh_b")
-    )
+    j = _candidate_shingle_sets(df, cand, text_col, id_col)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     smaller = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
     union = (F.size("sh_a").cast("double")

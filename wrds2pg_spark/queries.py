@@ -6276,11 +6276,11 @@ _JACCARD_BLOCK_CAP = 1024
 
 @register(
     "graph_jaccard_neighbors",
-    oracle="""
+    oracle=f"""
     WITH ps AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     deg AS (SELECT s, COUNT(*) AS d FROM ps GROUP BY s),
-    -- mirror of cap_block_rows(_JACCARD_BLOCK_CAP): first 1024
+    -- mirror of cap_block_rows(_JACCARD_BLOCK_CAP): first {_JACCARD_BLOCK_CAP}
     -- suppliers (sorted) per part feed PAIR GENERATION; degrees stay
     -- uncapped, matching the Spark window-before-cap order
     psc AS (
@@ -6288,7 +6288,7 @@ _JACCARD_BLOCK_CAP = 1024
             SELECT p, s,
                    row_number() OVER (PARTITION BY p ORDER BY s) AS rn
             FROM ps)
-        WHERE rn <= 1024),
+        WHERE rn <= {_JACCARD_BLOCK_CAP}),
     com AS (
         SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n_common
         FROM psc a JOIN psc b ON a.p = b.p AND a.s < b.s
@@ -6689,14 +6689,14 @@ def graph_jaccard_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_triangle_count",
-    oracle="""
+    oracle=f"""
     WITH ps AS (
         SELECT p, s FROM (
             SELECT l_partkey AS p, l_suppkey AS s,
                    row_number() OVER (PARTITION BY l_partkey
                                       ORDER BY l_suppkey) AS rn
             FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
-        WHERE rn <= 1024),
+        WHERE rn <= {_JACCARD_BLOCK_CAP}),
     pairs AS (
         SELECT a.s AS u, b.s AS v, COUNT(*) AS n_common
         FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
@@ -6985,8 +6985,15 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (_parquet_footer_rows(sf_dir, "customer")
              + _parquet_footer_rows(sf_dir, "supplier"))
     parts = max(8, min(nodes // 4096, 2048))
-    child = spark.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", str(parts))
+    child = _rcte_child_session(spark)
+    # the edge DERIVATION is corpus-scaled (orders x lineitem): run it
+    # at the parent's partitioning — the frontier clamp drops only
+    # AFTER the eager checkpoint has materialized the edges, so only
+    # the recursion levels see it (round-9 review: the first form
+    # throttled the multi-million-row derivation join to the
+    # frontier's 8 partitions)
+    child.conf.set("spark.sql.shuffle.partitions",
+                   spark.conf.get("spark.sql.shuffle.partitions"))
     o = load_table(child, sf_dir, "orders")
     li = load_table(child, sf_dir, "lineitem")
     # Round-8 negative, recorded: checkpointing only the HALF-size
@@ -7012,9 +7019,47 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("c").cast("long").alias("dst")))
         .localCheckpoint()
     )
-    # temp views are per-session: this registers in the CHILD only
+    child.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # temp views are per-session: this registers in the CHILD only,
+    # and REPLACING the previous call's view releases its checkpointed
+    # edge blocks (the reused-child rationale, _rcte_child_session)
     edges.createOrReplaceTempView("rcte_edges")
     return child.sql(_RECURSIVE_WALK_SQL.format(edges="rcte_edges"))
+
+
+_RCTE_CHILD: dict = {}
+
+
+def _rcte_child_session(spark: SparkSession) -> SparkSession:
+    """ONE reused recursion child per parent session.  A child per
+    CALL (the first round-9 form) leaked: load_table's session-keyed
+    memo and the per-child ``rcte_edges`` temp view pinned every
+    call's localCheckpoint'd edge list in the block manager for the
+    life of the process — bench's warm+timed loop alone held six
+    full edge-list copies.  With one child, each call's
+    createOrReplaceTempView drops the previous call's strong
+    reference so the ContextCleaner can reclaim the blocks, and the
+    memo gains exactly one extra session.  Dead-parent entries evict
+    on miss (the _BUCKETED_ENSURED doctrine; the strong parent ref
+    in the value keeps id() unique among live entries).
+
+    The child's shuffle.partitions is rewritten by the caller on
+    every invocation (parent default for the edge build, the
+    frontier clamp for the recursion), so no stale conf survives
+    between calls with different sf_dirs."""
+    hit = _RCTE_CHILD.get(id(spark))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    for k, (sess, _c) in list(_RCTE_CHILD.items()):
+        try:
+            stale = sess.sparkContext._jsc is None
+        except Exception:
+            stale = True
+        if stale:
+            del _RCTE_CHILD[k]
+    child = spark.newSession()
+    _RCTE_CHILD[id(spark)] = (spark, child)
+    return child
 
 
 # Curation / analytics / corpus batches register additional keys on
