@@ -791,3 +791,19 @@ def test_table_checksum_oracle_agrees_on_escape_bytes(spark, tmp_path):
              for r in con.execute(
                  REGISTRY["dq_table_checksum"].oracle).fetchall()}
     assert srows == orows
+
+
+def test_recursive_cte_child_session_reused(spark):
+    """Round-9 review fix: the recursion child session must be REUSED
+    across calls (a child per call pinned every call's checkpointed
+    edge list via its temp view and the session-keyed table memo),
+    and the parent's shuffle partitioning must stay untouched."""
+    from wrds2pg_spark.queries import _RCTE_CHILD, REGISTRY
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    for _ in range(2):
+        REGISTRY["sql_recursive_cte"].fn(spark, SF).write.mode(
+            "overwrite").format("noop").save()
+    live = [k for k, (sess, _c) in _RCTE_CHILD.items() if sess is spark]
+    assert len(live) == 1
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
