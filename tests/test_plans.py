@@ -404,6 +404,18 @@ def test_jaccard_neighbors_shuffle_hash_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_jaccard_minhash_plan_shape(spark):
+    """Round 9: the MinHash twin's two joins must both be hash joins
+    — the part-signature attach is a shuffle-hash co-partition on p
+    (never a forced broadcast: the part dim scales with the corpus;
+    never SMJ: both joins feed hash aggregates), and nothing in the
+    key may plan a cartesian."""
+    plan = plan_of(spark, "graph_jaccard_minhash")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_maxsim_no_shuffle(spark):
     """MaxSim is a narrow map + TakeOrdered over the scan: no
     Exchange of the corpus, no UDF — everything codegen."""
