@@ -716,8 +716,19 @@ def test_jaccard_minhash_matches_signature_agreement(spark):
     edges = {(r["l_partkey"], r["l_suppkey"])
              for r in li.select("l_partkey", "l_suppkey").collect()}
     neigh = defaultdict(set)
+    part_deg = defaultdict(int)
     for p, s in edges:
         neigh[s].add(p)
+        part_deg[p] += 1
+    # This reference computation recomputes slot agreement from
+    # UNCAPPED signatures; the operator caps each (slot,value)
+    # posting at _JACCARD_BLOCK_CAP suppliers.  Make the assumption
+    # explicit (round-10 advice): the comparison below is only valid
+    # while no part's supplier degree approaches the cap — if this
+    # ever fires, apply the same first-N truncation here.
+    from wrds2pg_spark.queries import _JACCARD_BLOCK_CAP
+
+    assert max(part_deg.values()) < _JACCARD_BLOCK_CAP
 
     def digest(p):
         ps = str(p)
@@ -804,6 +815,72 @@ def test_recursive_cte_child_session_reused(spark):
     for _ in range(2):
         REGISTRY["sql_recursive_cte"].fn(spark, SF).write.mode(
             "overwrite").format("noop").save()
-    live = [k for k, (sess, _c) in _RCTE_CHILD.items() if sess is spark]
-    assert len(live) == 1
+    assert spark in _RCTE_CHILD
+    child, serial = _RCTE_CHILD[spark]
+    assert serial >= 2  # one unique edge view per call, same child
+    # only the LAST call's edge view survives (previous dropped so its
+    # checkpointed blocks release) — the round-10 unique-name form of
+    # the round-9 one-edge-list-alive invariant
+    views = [v.name for v in child.catalog.listTables()
+             if v.name.startswith("rcte_edges_")]
+    assert views == [f"rcte_edges_{serial}"]
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_quality_model_keep_is_logit_sign(spark):
+    rows = run("quality_model_score", spark).collect()
+    assert len(rows) > 0
+    n_keep = 0
+    for r in rows:
+        assert r["keep"] == (r["logit"] >= 0.0)
+        assert 0.0 <= r["score"] <= 1.0
+        # sigmoid midpoint: logit 0 <-> score 0.5 monotone agreement
+        assert (r["score"] >= 0.5) == r["keep"]
+        n_keep += r["keep"]
+    assert 0 < n_keep < len(rows)  # both classes present
+
+
+def test_quality_model_report_fractions(spark):
+    rows = run("quality_model_report", spark).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    scored = run("quality_model_score", spark).collect()
+    n_by_src = {}
+    for r in scored:
+        n_by_src[r["source"]] = n_by_src.get(r["source"], 0) + 1
+    for src, rs in by_src.items():
+        assert abs(sum(r["frac_of_source"] for r in rs) - 1.0) < 2e-6
+        assert sum(r["n_docs"] for r in rs) == n_by_src[src]
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup greedy-by-id semantics: dropped rows carry a
+    same-cell earlier neighbor at cos >= tau (max_cos present and
+    above threshold); kept rows carry none; every corpus vector
+    appears exactly once."""
+    rows = run("dedup_semantic_cells", spark).collect()
+    emb_n = load_table(spark, SF, "embeddings").count()
+    assert len(rows) == emb_n
+    assert len({r["vec_id"] for r in rows}) == emb_n
+    n_drop = 0
+    for r in rows:
+        if r["keep"]:
+            assert r["n_earlier_dups"] == 0 and r["max_cos"] is None
+        else:
+            n_drop += 1
+            assert r["n_earlier_dups"] >= 1
+            assert r["max_cos"] >= 0.40 - 5e-7
+    assert n_drop > 0
+
+
+def test_rag_index_topk_ordered_and_stable(spark):
+    """The probe returns exactly k rows in (cos desc, doc, chunk)
+    order, and a second call (served from the cached fixture index)
+    returns the identical ranking."""
+    rows1 = run("pipeline_rag_index", spark).collect()
+    assert len(rows1) == 20
+    scores = [r["cos_sim"] for r in rows1]
+    assert scores == sorted(scores, reverse=True)
+    rows2 = run("pipeline_rag_index", spark).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]

@@ -869,3 +869,53 @@ def test_no_single_partition_window_in_corpus_keys(spark):
                 ctx = "\n".join(lines[i + 1:i + 4])
                 assert "Exchange SinglePartition" not in ctx, (
                     f"{name}: single-partition window\n{ln}\n{ctx}")
+
+
+def test_quality_model_score_fused_no_python_no_exchange(spark):
+    """quality_model_score is the whole model — features, dot
+    product, sigmoid, threshold — as ONE codegen projection fused
+    with the corpus scan: no Python boundary, no exchange of any
+    kind (round-10 directive gate)."""
+    plan = plan_of(spark, "quality_model_score")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Scan" in plan
+
+
+def test_quality_model_report_aggregates_groups_not_docs(spark):
+    """quality_model_report's window runs over the ALREADY-aggregated
+    (source, keep) rows — the plan must aggregate BELOW the window
+    (HashAggregate before Window bottom-up), and no Python boundary
+    exists anywhere."""
+    plan = plan_of(spark, "quality_model_report")
+    assert "Python" not in plan
+    assert plan.index("Window") < plan.index("HashAggregate")  # top-down
+
+
+def test_semantic_dedup_one_cell_exchange_no_cartesian(spark):
+    """dedup_semantic_cells: cell assignment is a row-local codegen
+    map (the anchored literal-dot tree), the pairwise kernel pays
+    exactly ONE cell-keyed exchange (FlatMapGroupsInPandas), and the
+    verdict join is keyed — never a cartesian, never a forced
+    broadcast of the corpus."""
+    plan = plan_of(spark, "dedup_semantic_cells")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning(cell") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rag_probe_prunes_index_partitions(spark):
+    """pipeline_rag_index's probe must prune at file-listing time:
+    the index scan carries the nprobe cells as PartitionFilters (the
+    materialized-ANN doctrine), reads no other directories, and the
+    serving plan has no Python boundary and no corpus exchange (the
+    top-k is TakeOrderedAndProject over the pruned scan)."""
+    plan = formatted_plan(spark, "pipeline_rag_index")
+    m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+ IN? ?\(?[^\]]*\]",
+                  plan)
+    assert m, plan
+    assert "TakeOrderedAndProject" in plan
+    simple = plan_of(spark, "pipeline_rag_index")
+    assert "Exchange" not in simple
+    assert "Python" not in simple

@@ -1582,3 +1582,152 @@ def vocab_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n0").cast("double"), 6
         ).alias("saved_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG ingest composite: chunk -> embed -> IVF index -> pruned probe
+# ---------------------------------------------------------------------------
+
+_RAG_NLIST = 16
+_RAG_NPROBE = 2
+_RAG_DIM = 64
+_RAG_K = 20
+
+
+def _rag_emb_terms(hx: str) -> list[str]:
+    """The 64 embedding dimensions from 128 hex chars of ``hx``:
+    dim j = byte j / 127.5 - 1.0 in [-1, 1].  conv('0x'-cast) yields
+    the exact integer 0..255 on both engines and the division is one
+    IEEE op, so the vectors are bit-identical cross-engine."""
+    return [f"(CAST(conv(substr({hx}, {2 * j + 1}, 2), 16, 10) AS DOUBLE)"
+            f" / 127.5D - 1.0D)" for j in range(_RAG_DIM)]
+
+
+def _rag_emb_terms_sql(hx: str) -> list[str]:
+    return [f"(CAST(('0x' || substr({hx}, {2 * j + 1}, 2)) AS INTEGER)"
+            f" / 127.5 - 1.0)" for j in range(_RAG_DIM)]
+
+
+def _rag_oracle() -> str:
+    from wrds2pg_spark.operators.similarity import (
+        anchored_probe_cells, ivf_anchors,
+    )
+    from wrds2pg_spark.queries import _EMB_DOT, _QVEC, _QVEC_SQL, _emb_cos_sql
+
+    anchors = ivf_anchors(_RAG_NLIST, _RAG_DIM)
+    dots = ", ".join(
+        _EMB_DOT.format(a="emb",
+                        b="[" + ", ".join(repr(x) for x in anc) + "]")
+        for anc in anchors)
+    probes = ", ".join(
+        str(c) for c in anchored_probe_cells(_QVEC, _RAG_NLIST, _RAG_NPROBE))
+    emb_list = "[" + ", ".join(_rag_emb_terms_sql("hx")) + "]"
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, {_CHUNK_S}))
+                   AS tok_start
+        FROM t),
+    ch AS (
+        SELECT doc_id, tok_start // {_CHUNK_S} AS chunk_idx,
+               array_to_string(
+                   toks[tok_start + 1 : tok_start + {_CHUNK_W}], ' ')
+                   AS chunk_text
+        FROM s),
+    h AS MATERIALIZED (
+        SELECT doc_id, chunk_idx,
+               md5(chunk_text) || md5('a' || chunk_text)
+                   || md5('b' || chunk_text) || md5('c' || chunk_text) AS hx
+        FROM ch),
+    -- MATERIALIZED: DuckDB re-inlines CTE expressions per reference;
+    -- emb is referenced ~20x downstream (16 anchor dots + the cosine)
+    -- and without the hint each reference re-derived the whole
+    -- md5/substr tree — 120 s vs 0.14 s at sf0.001 (round-10 A/B)
+    e AS MATERIALIZED (SELECT doc_id, chunk_idx, {emb_list} AS emb FROM h),
+    c AS MATERIALIZED (
+        SELECT doc_id, chunk_idx, emb,
+               CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER) AS cell
+        FROM (SELECT *, [{dots}] AS ds FROM e))
+    SELECT doc_id, chunk_idx,
+           {_emb_cos_sql('emb', _QVEC_SQL)} AS cos_sim
+    FROM c
+    WHERE cell IN ({probes})
+    ORDER BY cos_sim DESC, doc_id, chunk_idx
+    LIMIT {_RAG_K}
+    """
+
+
+@register("pipeline_rag_index", oracle=_rag_oracle())
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingest composite: overlapping chunking
+    (text_chunk_overlap's generator), per-chunk embedding, IVF index
+    build hive-partitioned by anchored cell, and a partition-PRUNED
+    probe serving cosine top-{_RAG_K} — the four stages every
+    retrieval corpus runs, composed with NO driver-side seam between
+    them (the pipeline_training_data doctrine, retrieval edition).
+
+    The embedder is a deterministic 64-dim hash projection (4 md5
+    slices -> bytes -> [-1,1]): a stand-in with the exact SHAPE of a
+    real encoder so chunking, index layout, pruning, and ranking stay
+    value-hash-checkable cross-engine — swap in a Pandas-UDF model
+    server and nothing downstream changes.  The coarse quantizer is
+    the frozen anchored family (operators/similarity.py ivf_anchors),
+    so cell assignment and the probe's cell list are reproducible in
+    the oracle; the PQ compression stage composes the same way
+    (embedding_pq_codes / similarity_ivfpq prove it) but the
+    hash-checked composite keeps exact verify vectors.
+
+    Scale shape: chunk+embed+assign is one fused codegen map over the
+    corpus scan (zero shuffles — the md5/conv tree renders as ONE SQL
+    string parsed JVM-side); the index write pays one
+    partitionBy(cell) exchange AT INGEST; the probe computes its
+    nprobe cells driver-side from the frozen anchors and reads ONLY
+    those directories — partition pruning at file-listing time
+    (plan-gated PartitionFilters, tests/test_plans.py), so query cost
+    is O(corpus * nprobe / nlist) with zero shuffles regardless of
+    corpus size."""
+    from wrds2pg_spark.operators.similarity import (
+        anchored_cell_expr, anchored_probe_cells, cosine_similarity,
+        ivf_anchors,
+    )
+    from wrds2pg_spark.queries import _QVEC
+    from wrds2pg_spark.sources.testdata import ensure_dir_fixture, fixture_tag
+
+    anchors = ivf_anchors(_RAG_NLIST, _RAG_DIM)
+
+    def build(tmp: str) -> None:
+        chunks = text_chunk_overlap(spark, sf_dir).select(
+            "doc_id", "chunk_idx", "chunk_text")
+        emb_sql = "array(" + ", ".join(_rag_emb_terms("hx")) + ")"
+        (
+            chunks
+            .withColumn("hx", F.concat(
+                F.md5(F.col("chunk_text")),
+                F.md5(F.concat(F.lit("a"), F.col("chunk_text"))),
+                F.md5(F.concat(F.lit("b"), F.col("chunk_text"))),
+                F.md5(F.concat(F.lit("c"), F.col("chunk_text")))))
+            .withColumn("embedding", F.expr(emb_sql))
+            .withColumn("cell", anchored_cell_expr("embedding", anchors))
+            .select("doc_id", "chunk_idx", "embedding", "cell")
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        )
+
+    tag = fixture_tag(sf_dir, "documents")
+    index = ensure_dir_fixture(
+        f"/tmp/wrds2pg_spark_fixtures/rag_ivf_{tag}", build)
+    probe = anchored_probe_cells(_QVEC, _RAG_NLIST, _RAG_NPROBE)
+    q = F.array(*[F.lit(float(x)) for x in _QVEC])
+    return (
+        spark.read.parquet(index)
+        .filter(F.col("cell").isin(probe))
+        .select(
+            "doc_id", "chunk_idx",
+            F.round(cosine_similarity(F.col("embedding"), q), 6)
+            .alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id", "chunk_idx")
+        .limit(_RAG_K)
+    )

@@ -237,6 +237,161 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model-based quality scoring (fastText/DCLM-style linear classifier)
+# ---------------------------------------------------------------------------
+
+# Fixed "trained" weights of the linear quality model:
+# (bias, w_len, w_stop, w_uniq, w_mwl) over
+#   f_len  = ln(1 + n_tokens)            (log length)
+#   f_stop = distinct stopword hits / n  (English-ness)
+#   f_uniq = distinct tokens / n         (repetition penalty inverse)
+#   f_mwl  = chars / n                   (mean word length)
+# In production these come from a fastText / logistic fit against a
+# labeled slice; freezing them keeps the whole gate oracle-checkable
+# (the fitted model file would be engine-specific state).  Each
+# feature is ROUNDED to 6 dp BEFORE the dot product, so both engines
+# feed bit-identical doubles into exact IEEE multiply/add — the logit
+# (and therefore the keep decision at z >= 0) can never diverge
+# cross-engine.  The non-bias weights are INTEGERS by construction:
+# a fractional weight times a 6-dp feature puts the product's true
+# decimal value exactly ON the .5e-7 midpoint, where Spark's
+# BigDecimal round and DuckDB's float round systematically disagree
+# (caught in the round-10 sf0.001 sweep with w_len=0.5: logit
+# 1.151545 vs 1.151546).  Integer weights keep every term — and the
+# sum — decimal-exact on the 6-dp grid, so ROUND(z, 6) never sees a
+# midpoint (the numeric.py scaled-long argument).  The reported
+# sigmoid inherits the usual <=1-ulp libm exp() caveat, pinned by
+# round(6) like every ln() key.
+_QMODEL_W = (-1.9, 1.0, 8.0, 5.0, -1.0)
+
+
+def _qmodel_features_sql() -> str:
+    from wrds2pg_spark.functions.text import STOPWORD_HITS_SQL, TOKENS_SQL
+
+    ntok = f"CAST(len({TOKENS_SQL('text')}) AS BIGINT)"
+    return f"""
+        SELECT doc_id, source,
+               ROUND(ln(1.0 + {ntok}), 6) AS f_len,
+               ROUND(CAST({STOPWORD_HITS_SQL('text')} AS DOUBLE)
+                     / CAST(greatest({ntok}, 1) AS DOUBLE), 6) AS f_stop,
+               ROUND(CAST(len(list_distinct({TOKENS_SQL('text')}))
+                          AS DOUBLE)
+                     / CAST(greatest({ntok}, 1) AS DOUBLE), 6) AS f_uniq,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / CAST(greatest({ntok}, 1) AS DOUBLE), 6) AS f_mwl
+        FROM documents"""
+
+
+def _qmodel_logit_sql() -> str:
+    b, wl, ws, wu, wm = _QMODEL_W
+    return (f"ROUND(({b!r} + ({wl!r} * f_len) + ({ws!r} * f_stop)"
+            f" + ({wu!r} * f_uniq) + ({wm!r} * f_mwl)), 6)")
+
+
+def _qmodel_score_sql() -> str:
+    return f"""
+    WITH f AS ({_qmodel_features_sql()}),
+    z AS (SELECT doc_id, source, {_qmodel_logit_sql()} AS logit FROM f)
+    SELECT doc_id, source, logit,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS score,
+           logit >= 0.0 AS keep
+    FROM z"""
+
+
+def _qmodel_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wrds2pg_spark.functions.text import STOPWORDS
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                   min_bytes=FAN_OUT_2MB)
+    # the features render as ONE SQL string parsed JVM-side (the
+    # anchored_cell_expr doctrine) and Spark's expressions are chosen
+    # to match DuckDB's exactly: string_split_regex == split,
+    # list_distinct == array_distinct (both preserve first
+    # occurrence; only the COUNT is used anyway)
+    ntok = ("CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT)")
+    sw = ("CAST(size(array_intersect(array_distinct("
+          "split(lower(trim(text)), '\\\\s+')), array("
+          + ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+          + "))) AS BIGINT)")
+    f_len = f"ROUND(ln(1.0D + {ntok}), 6)"
+    f_stop = (f"ROUND(CAST({sw} AS DOUBLE)"
+              f" / CAST(greatest({ntok}, 1) AS DOUBLE), 6)")
+    f_uniq = (f"ROUND(CAST(size(array_distinct("
+              f"split(lower(trim(text)), '\\\\s+'))) AS DOUBLE)"
+              f" / CAST(greatest({ntok}, 1) AS DOUBLE), 6)")
+    f_mwl = (f"ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+             f" / CAST(greatest({ntok}, 1) AS DOUBLE), 6)")
+    b, wl, ws, wu, wm = _QMODEL_W
+    logit = (f"ROUND(({b!r}D + ({wl!r}D * {f_len}) + ({ws!r}D * {f_stop})"
+             f" + ({wu!r}D * {f_uniq}) + ({wm!r}D * {f_mwl})), 6)")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(logit).alias("logit"),
+    ).select(
+        "doc_id",
+        "source",
+        "logit",
+        F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 6).alias("score"),
+        (F.col("logit") >= 0.0).alias("keep"),
+    )
+
+
+@register("quality_model_score", oracle=_qmodel_score_sql())
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality gate (the fastText/DCLM-style
+    classifier pass every production LLM pipeline runs after the
+    heuristic Gopher rules): a frozen linear model over four
+    row-local text features, sigmoid score, keep = logit >= 0.
+
+    Scale shape: the entire model — features, dot product, sigmoid,
+    threshold — is ONE codegen projection fused with the corpus scan:
+    no Python (a real fastText binary would ride mapInPandas; the
+    linear head shows the gate plumbing with zero UDF cost), no
+    broadcast (the weights are literals in the plan), and NO shuffle
+    of any kind, so the gate pipelines ahead of dedup/tokenize at
+    any corpus size.  Plan-gated in tests/test_plans.py: no
+    BatchEvalPython, no Exchange."""
+    return _qmodel_scored(spark, sf_dir)
+
+
+@register(
+    "quality_model_report",
+    oracle=f"""
+    WITH s AS ({_qmodel_score_sql()})
+    SELECT source, keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {DAVG_SQL('score', 6)} AS avg_score,
+           ROUND(CAST(count(*) AS DOUBLE) / CAST(sum(count(*))
+               OVER (PARTITION BY source) AS DOUBLE), 6) AS frac_of_source
+    FROM s GROUP BY source, keep
+    """,
+)
+def quality_model_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop report over the model gate — the curation
+    dashboard number ('source X loses 40% at this threshold') that
+    decides mixture weights before a training run.  One map-side
+    combined aggregate on (source, keep) plus a source-partitioned
+    window over the ALREADY-aggregated rows (2 rows per source), so
+    the shuffle carries group counts, never documents; avg_score goes
+    through the exact scaled-long helper so the report value-hashes
+    cross-engine."""
+    s = _qmodel_scored(spark, sf_dir)
+    agg = s.groupBy("source", "keep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        davg(F.col("score"), 6).alias("avg_score"),
+    )
+    tot = W.partitionBy("source")
+    return agg.select(
+        "source", "keep", "n_docs", "avg_score",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(tot).cast("double"), 6
+        ).alias("frac_of_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-group top-k, histogram
 # ---------------------------------------------------------------------------
 
@@ -1330,6 +1485,101 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_incremental_portable(
         spark, index, corpus, new, threshold=0.5
+    )
+
+
+def _semantic_cells_oracle(nlist: int = 16, dim: int = 64,
+                           tau: float = 0.40) -> str:
+    from wrds2pg_spark.operators.similarity import ivf_anchors
+    from wrds2pg_spark.queries import _EMB_DOT, _emb_cos_sql
+
+    anchors = ivf_anchors(nlist, dim)
+    dots = ", ".join(
+        _EMB_DOT.format(
+            a="embedding",
+            b="[" + ", ".join(repr(x) for x in anc) + "]",
+        )
+        for anc in anchors
+    )
+    cos = _emb_cos_sql("a.embedding", "b.embedding", rounded=False)
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(ds, list_max(ds)) - 1 AS INTEGER) AS cell
+      FROM (SELECT vec_id, embedding, [{dots}] AS ds FROM embeddings)),
+    hits AS (
+      SELECT b.vec_id AS vec_id,
+             CAST(count(*) AS BIGINT) AS n_earlier_dups,
+             max(ROUND({cos}, 6)) AS max_cos
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {tau!r}
+      GROUP BY b.vec_id)
+    SELECT c.vec_id, c.cell,
+           h.vec_id IS NULL AS keep,
+           CAST(coalesce(h.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups,
+           h.max_cos
+    FROM cells c LEFT JOIN hits h ON c.vec_id = h.vec_id
+    """
+
+
+@register("dedup_semantic_cells", oracle=_semantic_cells_oracle())
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings into cells and dropping
+    within-cell near-duplicates above a cosine threshold — the
+    curation pass that removes paraphrase/boilerplate duplicates
+    exact and MinHash dedup cannot see.  Composition of three
+    existing primitives, no new machinery: the deterministic anchored
+    coarse quantizer assigns cells row-locally
+    (operators/similarity.py anchored_cell_expr — the paper's k-means
+    step, frozen so the WHOLE pass is value-hash-checkable
+    cross-engine), blocked_pairs runs each cell's pairwise cosines in
+    one vectorized Arrow kernel behind the cap_block_rows hub valve,
+    and the survivorship rule keeps the LOWEST vec_id of every
+    near-dup pair (the paper keeps a per-group representative;
+    lowest-id is the deterministic election, same doctrine as
+    dedup_survivorship).  A vector is dropped iff an EARLIER same-cell
+    vector sits within tau — the greedy scan order every production
+    SemDeDup uses, so chains a~b~c drop both b and c without a
+    transitive-closure pass.
+
+    Scale shape: cell assignment is a narrow codegen map fused with
+    the scan (nlist x dim literal dots, no shuffle); the corpus
+    shuffles ONCE on the cell key; per-cell work is bounded by the
+    max_block_size valve (4096 — far above the fixture's ~175-row
+    cells, so results here are exact; at 100 TB raise nlist so
+    corpus/nlist rows fit a task, the paper's own knob); the verdict
+    join keys on vec_id.  O(cell^2) bounded, never all-pairs."""
+    from wrds2pg_spark.operators.similarity import (
+        anchored_cell_expr, blocked_pairs, ivf_anchors,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    anchors = ivf_anchors(16, 64)
+    cells = emb.select(
+        "vec_id", "embedding",
+        anchored_cell_expr("embedding", anchors).alias("cell"),
+    )
+    pairs = blocked_pairs(
+        cells, "cell", threshold=0.40, max_block_size=4096)
+    dropped = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_earlier_dups"),
+        # max commutes with the monotone round: max(round(x)) ==
+        # round(max(x)), so this equals the oracle's max(ROUND(..))
+        F.max("cos_sim").alias("max_cos"),
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("n_earlier_dups").isNull().alias("keep"),
+            F.coalesce(F.col("n_earlier_dups"), F.lit(0).cast("long"))
+            .alias("n_earlier_dups"),
+            "max_cos",
+        )
     )
 
 

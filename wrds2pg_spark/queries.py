@@ -16,6 +16,8 @@ Determinism contract with the oracle (see functions/numeric.py):
 
 from __future__ import annotations
 
+import threading
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -6985,81 +6987,111 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (_parquet_footer_rows(sf_dir, "customer")
              + _parquet_footer_rows(sf_dir, "supplier"))
     parts = max(8, min(nodes // 4096, 2048))
-    child = _rcte_child_session(spark)
-    # the edge DERIVATION is corpus-scaled (orders x lineitem): run it
-    # at the parent's partitioning — the frontier clamp drops only
-    # AFTER the eager checkpoint has materialized the edges, so only
-    # the recursion levels see it (round-9 review: the first form
-    # throttled the multi-million-row derivation join to the
-    # frontier's 8 partitions)
-    child.conf.set("spark.sql.shuffle.partitions",
-                   spark.conf.get("spark.sql.shuffle.partitions"))
-    o = load_table(child, sf_dir, "orders")
-    li = load_table(child, sf_dir, "lineitem")
-    # Round-8 negative, recorded: checkpointing only the HALF-size
-    # distinct pair set and symmetrizing lazily looked like a win in
-    # a standalone min-of-3 A/B (2.14 -> 1.94 s) but REGRESSED the
-    # full-bench key 2.61 -> 3.59 s same-day — the recursion
-    # re-expands the view per level, and the lazy union makes each
-    # level read the checkpointed blocks through TWO branches (2x
-    # block-manager traffic x 3 levels), which bites exactly when the
-    # block manager is under the pressure a long-lived session has.
-    # The full symmetrized checkpoint below reads one block set per
-    # level; keep it.
-    e0 = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    edges = (
-        e0.select(F.col("c").cast("long").alias("src"),
-                  (F.col("s") + 1000000).alias("dst"))
-        .unionAll(
-            e0.select((F.col("s") + 1000000).alias("src"),
-                      F.col("c").cast("long").alias("dst")))
-        .localCheckpoint()
-    )
-    child.conf.set("spark.sql.shuffle.partitions", str(parts))
-    # temp views are per-session: this registers in the CHILD only,
-    # and REPLACING the previous call's view releases its checkpointed
-    # edge blocks (the reused-child rationale, _rcte_child_session)
-    edges.createOrReplaceTempView("rcte_edges")
-    return child.sql(_RECURSIVE_WALK_SQL.format(edges="rcte_edges"))
+    # The child session's conf and view catalog are SHARED mutable
+    # state across calls on the same parent: serialize the whole
+    # build-checkpoint-register-analyze window so an interleaved call
+    # can't analyze its recursion against this call's edge list or
+    # checkpoint its derivation at the other call's frontier
+    # partitioning (round-10 advice).  The returned DataFrame is
+    # analyzed INSIDE the lock (child.sql resolves the view then), so
+    # post-return view replacement can't redirect it.
+    with _RCTE_LOCK:
+        child, viewname = _rcte_child_session(spark)
+        # the edge DERIVATION is corpus-scaled (orders x lineitem):
+        # run it at the parent's partitioning — the frontier clamp
+        # drops only AFTER the eager checkpoint has materialized the
+        # edges, so only the recursion levels see it (round-9 review:
+        # the first form throttled the multi-million-row derivation
+        # join to the frontier's 8 partitions)
+        child.conf.set("spark.sql.shuffle.partitions",
+                       spark.conf.get("spark.sql.shuffle.partitions"))
+        o = load_table(child, sf_dir, "orders")
+        li = load_table(child, sf_dir, "lineitem")
+        # Round-8 negative, recorded: checkpointing only the HALF-size
+        # distinct pair set and symmetrizing lazily looked like a win
+        # in a standalone min-of-3 A/B (2.14 -> 1.94 s) but REGRESSED
+        # the full-bench key 2.61 -> 3.59 s same-day — the recursion
+        # re-expands the view per level, and the lazy union makes each
+        # level read the checkpointed blocks through TWO branches (2x
+        # block-manager traffic x 3 levels), which bites exactly when
+        # the block manager is under the pressure a long-lived session
+        # has.  The full symmetrized checkpoint below reads one block
+        # set per level; keep it.
+        e0 = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("c"),
+                    F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+        edges = (
+            e0.select(F.col("c").cast("long").alias("src"),
+                      (F.col("s") + 1000000).alias("dst"))
+            .unionAll(
+                e0.select((F.col("s") + 1000000).alias("src"),
+                          F.col("c").cast("long").alias("dst")))
+            .localCheckpoint()
+        )
+        child.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # temp views are per-session: this registers in the CHILD
+        # only, and the per-call unique name means a concurrent
+        # caller can never resolve against this call's edges; the
+        # PREVIOUS call's view was already dropped inside
+        # _rcte_child_session, releasing its checkpointed edge blocks
+        # (the reused-child rationale)
+        edges.createOrReplaceTempView(viewname)
+        return child.sql(_RECURSIVE_WALK_SQL.format(edges=viewname))
 
 
-_RCTE_CHILD: dict = {}
+_RCTE_LOCK = threading.Lock()
+# parent session -> (child session, serial of the last-registered edge
+# view).  WeakKeyDictionary: a GC'd parent evicts its entry (and the
+# child + its last edge blocks) automatically — no strong parent refs
+# pinned for the life of the process (round-10 advice).
+_RCTE_CHILD: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _rcte_child_session(spark: SparkSession) -> SparkSession:
-    """ONE reused recursion child per parent session.  A child per
-    CALL (the first round-9 form) leaked: load_table's session-keyed
-    memo and the per-child ``rcte_edges`` temp view pinned every
-    call's localCheckpoint'd edge list in the block manager for the
-    life of the process — bench's warm+timed loop alone held six
-    full edge-list copies.  With one child, each call's
-    createOrReplaceTempView drops the previous call's strong
-    reference so the ContextCleaner can reclaim the blocks, and the
-    memo gains exactly one extra session.  Dead-parent entries evict
-    on miss (the _BUCKETED_ENSURED doctrine; the strong parent ref
-    in the value keeps id() unique among live entries).
+def _rcte_child_session(spark: SparkSession) -> "tuple[SparkSession, str]":
+    """ONE reused recursion child per parent session, plus a fresh
+    per-call edge-view name.  A child per CALL (the first round-9
+    form) leaked: load_table's session-keyed memo and the per-child
+    ``rcte_edges`` temp view pinned every call's localCheckpoint'd
+    edge list in the block manager for the life of the process —
+    bench's warm+timed loop alone held six full edge-list copies.
+    With one child, dropping the previous call's view here releases
+    its checkpointed blocks to the ContextCleaner, and the memo gains
+    exactly one extra session.  The view name is UNIQUE per call
+    (``rcte_edges_<serial>``) so no caller can ever analyze its
+    recursion against another call's edge list; the drop-then-create
+    sequencing keeps the one-edge-list-alive invariant (round-10
+    advice — replaces the shared-name createOrReplaceTempView).
+
+    Cache hygiene (round-10 advice): the memo is a
+    WeakKeyDictionary keyed by the parent session, so a GC'd parent
+    evicts automatically; stopped-but-still-referenced parents are
+    swept on EVERY call, not just misses.  Caller must hold
+    _RCTE_LOCK.
 
     The child's shuffle.partitions is rewritten by the caller on
     every invocation (parent default for the edge build, the
     frontier clamp for the recursion), so no stale conf survives
     between calls with different sf_dirs."""
-    hit = _RCTE_CHILD.get(id(spark))
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    for k, (sess, _c) in list(_RCTE_CHILD.items()):
+    for sess in list(_RCTE_CHILD):
         try:
-            stale = sess.sparkContext._jsc is None
+            stale = sess is not spark and sess.sparkContext._jsc is None
         except Exception:
             stale = True
         if stale:
-            del _RCTE_CHILD[k]
-    child = spark.newSession()
-    _RCTE_CHILD[id(spark)] = (spark, child)
-    return child
+            del _RCTE_CHILD[sess]
+    hit = _RCTE_CHILD.get(spark)
+    if hit is not None:
+        child, serial = hit
+    else:
+        child, serial = spark.newSession(), 0
+    if serial:
+        child.catalog.dropTempView(f"rcte_edges_{serial}")
+    serial += 1
+    _RCTE_CHILD[spark] = (child, serial)
+    return child, f"rcte_edges_{serial}"
 
 
 # Curation / analytics / corpus batches register additional keys on
