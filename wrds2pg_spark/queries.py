@@ -2766,10 +2766,20 @@ def udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("udtf_word_runs_fn", WordRuns)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "udtf_docs")
+    # The doc filter lives INSIDE the FROM subquery, not in the outer
+    # WHERE: Catalyst does not push predicates through
+    # ArrowEvalPythonUDTF, so the outer-WHERE form ran the UDTF over
+    # the ENTIRE corpus and then discarded 99% of the Python work —
+    # 0.92 vs 0.22 s at sf0.1 (round-10 A/B, results byte-identical;
+    # plan-gated in tests/test_plans.py).  The remaining 0.22 s IS
+    # the Python boundary: a no-op UDTF over the same filtered rows
+    # reads 0.24 s, and the declarative JVM gaps-islands twin reads
+    # 0.29 s — irreducibility record in BASELINE.md r10.
     return spark.sql("""
         SELECT d.doc_id, r.run_idx, r.token, r.run_len
-        FROM udtf_docs d, LATERAL udtf_word_runs_fn(d.text) r
-        WHERE d.doc_id % 100 = 0
+        FROM (SELECT doc_id, text FROM udtf_docs
+              WHERE doc_id % 100 = 0) d,
+             LATERAL udtf_word_runs_fn(d.text) r
     """)
 
 
