@@ -31,6 +31,7 @@ from wrds2pg_spark.catalog import needs_update
 
 __all__ = [
     "create_table_sql", "comment_sql", "ddl_script", "update_postgres",
+    "update_postgres_copy", "psql_runners", "PsqlError",
     "spark_to_pg_type",
 ]
 
@@ -238,4 +239,171 @@ def update_postgres(
             execute_sql("COMMIT")
         if modified:
             execute_sql(comment_sql(schema, table_name, modified))
+    return True
+
+
+# ---------------------------------------------------------------------------
+# psql-CLI client + COPY transport (round 10)
+#
+# The reference's actual row transport is COPY over a libpq connection
+# (wrds2pg/postgres/copy.py:36-55: SAS -> CSV pipe -> COPY CSV in one
+# transaction).  The JDBC path above is the cluster-native write; this
+# section recovers the reference-parity COPY path with ZERO Python
+# dependencies — the `psql` CLI is the client — so the sink is
+# exercisable against a real server wherever PostgreSQL is installed
+# (tests/test_postgres_live.py runs the whole matrix against a scratch
+# instance).  The runners implement the execute_sql / execute_query
+# seams, keeping the module's no-owned-connections doctrine: swap in a
+# psycopg runner and nothing else changes.
+# ---------------------------------------------------------------------------
+
+
+class PsqlError(RuntimeError):
+    pass
+
+
+def psql_runners(psql_argv: Sequence[str], cwd: str = "/tmp"):
+    """Build (execute_sql, execute_query, copy_csv) seam callables on
+    top of the ``psql`` CLI.
+
+    ``psql_argv`` is the full argv prefix, e.g.
+    ``["psql", "-h", "/sock/dir", "-d", "mydb"]`` (or wrapped in
+    ``runuser -u postgres --`` when the caller runs as root).
+
+    Transaction note: each callable invocation is its own psql
+    process/connection, BUT a single ``execute_sql`` string may carry
+    multiple ';'-separated statements — psql -c sends them as one
+    simple-query message, which PostgreSQL runs in one implicit
+    transaction.  update_postgres_copy relies on exactly that for the
+    atomic staging swap.
+
+    ``copy_csv(schema, table, path, header=False)`` issues client-side
+    ``\\copy`` (no superuser needed); a ``.gz`` path streams through
+    ``\\copy ... FROM PROGRAM 'gzip -cd ...'`` so the gzip CSV sink's
+    own output loads directly — the reference's gzip->COPY path."""
+    import subprocess
+
+    base = list(psql_argv) + ["-X", "-q", "-v", "ON_ERROR_STOP=1"]
+
+    def _run(extra: list[str]) -> str:
+        r = subprocess.run(
+            base + extra, capture_output=True, text=True, cwd=cwd)
+        if r.returncode != 0:
+            raise PsqlError(r.stderr.strip()[:500])
+        return r.stdout
+
+    def execute_sql(stmt: str) -> None:
+        _run(["-c", stmt])
+
+    SEP = "\x1f"
+
+    def execute_query(stmt: str):
+        # line-based text protocol (unit-separator field delim): a
+        # VALUE containing a newline would split into two rows —
+        # callers reading free-text columns should escape server-side
+        # (replace(col, E'\n', '\\n')).  The seam's in-repo consumer
+        # (get_table_comment) reads single-line stamps.
+        out = _run(["-t", "-A", "-F", SEP, "-c", stmt])
+        return [tuple(line.split(SEP))
+                for line in out.splitlines() if line != ""]
+
+    def copy_csv(schema: str, table: str, path: str,
+                 header: bool = False) -> None:
+        opts = "FORMAT csv" + (", HEADER true" if header else "")
+        if path.endswith(".gz"):
+            src = "PROGRAM " + _psql_quote(f"gzip -cd {path}")
+        else:
+            src = _psql_quote(path)
+        _run(["-c",
+              f'\\copy "{schema}"."{table}" FROM {src} WITH ({opts})'])
+
+    return execute_sql, execute_query, copy_csv
+
+
+def _psql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def update_postgres_copy(
+    df: DataFrame,
+    table_name: str,
+    schema: str,
+    *,
+    execute_sql: Callable[[str], None],
+    copy_csv: Callable[..., None],
+    modified: str = "",
+    sink_modified: str = "",
+    force: bool = False,
+    col_types: dict[str, str] | None = None,
+    create_roles: bool = False,
+    stage_and_rename: bool = False,
+    csv_dir: str | None = None,
+    keep_csv: bool = False,
+) -> bool:
+    """Gate + admin DDL + COPY bulk load + stamp comment — the
+    COPY-transport twin of :func:`update_postgres`, matching the
+    reference's load path statement-for-statement
+    (wrds2pg/postgres/copy.py:57-247: ensure schema/roles, DROP,
+    CREATE with exact types, COPY CSV, grant, comment stamp).
+
+    Scale shape: the export is ``df.write.csv`` — every executor
+    writes its partition in parallel (the cluster-side cost), and the
+    COPY loads stream file-per-file through one client.  At 100 TB
+    with a real PG fleet you'd fan the part files across parallel
+    COPY sessions (they are independent); the staging swap keeps the
+    visible table atomic either way.  CSV dialect is pinned to COPY's
+    (quotes doubled via escape='"', unquoted empty = NULL, quoted
+    empty = empty string, ISO timestamps) so text containing
+    delimiters, quotes and newlines round-trips byte-exactly —
+    asserted against a live server in tests/test_postgres_live.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    if not needs_update(modified, sink_modified, force):
+        print(f"{schema}.{table_name} already up to date")
+        return False
+
+    types = pg_types_for(df, col_types)
+    names = [f.name.lower() for f in df.schema.fields]
+    target = f"{table_name}__staging" if stage_and_rename else table_name
+
+    for stmt in ddl_script(
+        schema, target, names, types,
+        create_roles=create_roles and not stage_and_rename,
+    ):
+        execute_sql(stmt)
+
+    out_dir = csv_dir or tempfile.mkdtemp(prefix="wrds2pg_spark_pg_copy_")
+    (
+        df.write.mode("overwrite")
+        .option("escape", '"')  # CSV quote doubling, COPY's dialect
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSSXXX")
+        .csv(out_dir)
+    )
+    try:
+        # chmod AFTER the write (overwrite mode recreates the dir):
+        # the COPY client may run as another OS user (the scratch
+        # tests run psql as `postgres` while Spark writes as root)
+        os.chmod(out_dir, 0o755)
+        parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+        for p in parts:
+            os.chmod(p, 0o644)
+            copy_csv(schema, target, p)
+    finally:
+        if not keep_csv:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    if stage_and_rename:
+        # ONE multi-statement string == one implicit transaction on
+        # the psql runner (and one explicit block elsewhere)
+        execute_sql(
+            f'BEGIN; DROP TABLE IF EXISTS "{schema}"."{table_name}" '
+            f'CASCADE; ALTER TABLE "{schema}"."{target}" RENAME TO '
+            f'"{table_name}"; COMMIT'
+        )
+    if modified:
+        execute_sql(comment_sql(schema, table_name, modified))
     return True
