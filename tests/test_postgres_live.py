@@ -212,3 +212,41 @@ def test_psql_error_surfaces(runners):
     execute_sql, _, _ = runners
     with pytest.raises(PsqlError):
         execute_sql("SELECT * FROM definitely_not_a_table_xyz")
+
+
+def test_wrds_update_copy_transport_end_to_end(spark, runners, tmp_path):
+    """The FULL reference pipeline against a live server: sas7bdat
+    source -> ingest options (drop + rename + where) -> DDL -> COPY ->
+    stamp comment -> idempotent re-run.  This is wrds_update exactly
+    as a reference user would call it, with the COPY transport the
+    reference itself uses (wrds2pg/api.py:37-236 +
+    postgres/copy.py:36-55)."""
+    import pandas as pd
+
+    from wrds2pg_spark.sinks.postgres import get_table_comment
+    from wrds2pg_spark.sinks.sas7bdat import write_sas7bdat
+    from wrds2pg_spark.update import wrds_update
+
+    execute_sql, execute_query, copy_csv = runners
+    src = str(tmp_path / "funda.sas7bdat")
+    write_sas7bdat(
+        pd.DataFrame({
+            "gvkey": ["001", "002", "003", "004"],
+            "fyear": [2020.0, 2021.0, 2022.0, 2023.0],
+            "at": [1.5, 2.25, None, 4.0],
+            "junk": ["x", "y", "z", "w"],
+        }), src)
+    kwargs = dict(
+        execute_sql=execute_sql, execute_query=execute_query,
+        transport="copy", copy_csv=copy_csv,
+        drop="junk", rename="at=assets", where="fyear >= 2021",
+    )
+    assert wrds_update(spark, src, "funda", "live", "", **kwargs)
+    rows = execute_query(
+        'SELECT gvkey, fyear, assets FROM "live"."funda" ORDER BY gvkey')
+    assert rows == [("002", "2021", "2.25"), ("003", "2022", ""),
+                    ("004", "2023", "4")]
+    stamp = get_table_comment("live", "funda", execute_query)
+    assert stamp.startswith("Last modified")
+    # re-run: the stamp gate must refuse (resolved via execute_query)
+    assert wrds_update(spark, src, "funda", "live", "", **kwargs) is False

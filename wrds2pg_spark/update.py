@@ -254,6 +254,8 @@ def wrds_update(
     sas_encoding: str | None = None,
     tz: str = "UTC",
     read_fn=None,
+    transport: str = "jdbc",
+    copy_csv=None,
     **ingest_kwargs,
 ) -> bool:
     """Source file -> ingest options -> PostgreSQL table
@@ -265,9 +267,15 @@ def wrds_update(
     on load (api.py:168-169); ``tz`` is the per-connection TimeZone
     for the load (api.py:49); ``sas_schema`` names the source library
     when it differs from the target schema (api.py:47,134-136 — data
-    obtained from sas_schema is stored in schema)."""
+    obtained from sas_schema is stored in schema).
+
+    ``transport`` selects the row path: ``"jdbc"`` (cluster-native
+    batched inserts) or ``"copy"`` (the reference's COPY load,
+    round 10 — requires the ``copy_csv`` seam from
+    sinks.postgres.psql_runners or equivalent; ``jdbc_url`` is
+    ignored).  Both share the gate, DDL, stamp and swap logic."""
     from wrds2pg_spark.sinks.postgres import (
-        get_table_comment, update_postgres,
+        get_table_comment, update_postgres, update_postgres_copy,
     )
 
     encoding = resolve_encoding(encoding, sas_encoding)
@@ -283,6 +291,18 @@ def wrds_update(
         read_source(spark, source_path, encoding, read_fn=read_fn),
         IngestOptions(**ingest_kwargs),
     )
+    if transport == "copy":
+        if copy_csv is None or execute_sql is None:
+            raise ValueError(
+                "transport='copy' needs execute_sql and copy_csv seams "
+                "(see sinks.postgres.psql_runners)")
+        return update_postgres_copy(
+            df, alt_table_name or table_name, schema,
+            execute_sql=execute_sql, copy_csv=copy_csv,
+            modified=modified, sink_modified=sink_modified, force=force,
+            col_types=col_types, create_roles=create_roles,
+            stage_and_rename=stage_and_rename,
+        )
     return update_postgres(
         df, alt_table_name or table_name, schema, jdbc_url,
         modified=modified, sink_modified=sink_modified, force=force,
