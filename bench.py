@@ -265,6 +265,13 @@ HEADLINE = [
     "dq_table_checksum",
     "scan_sas7bdat_format",
     "scan_csv_gzip",
+    # round-10 additions
+    "quality_model_score",
+    "quality_model_report",
+    "dedup_semantic_cells",
+    "pipeline_rag_index",
+    "pipeline_curation_funnel",
+    "mixture_token_budget",
 ]
 
 

@@ -884,3 +884,63 @@ def test_rag_index_topk_ordered_and_stable(spark):
     assert scores == sorted(scores, reverse=True)
     rows2 = run("pipeline_rag_index", spark).collect()
     assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+
+
+def test_curation_funnel_monotone_and_conserves(spark):
+    """Stages are cumulative, so per-source counts must be
+    monotonically non-increasing; dedup survivors sum to the distinct
+    text count; raw counts sum to the corpus size."""
+    rows = run("pipeline_curation_funnel", spark).collect()
+    docs = load_table(spark, SF, "documents")
+    assert sum(r["n_raw"] for r in rows) == docs.count()
+    assert (sum(r["n_dedup"] for r in rows)
+            == docs.select("text").distinct().count())
+    for r in rows:
+        assert (r["n_raw"] >= r["n_dedup"] >= r["n_quality"]
+                >= r["n_lang_match"] >= r["n_final"] >= 0)
+        if r["n_final"] == 0:
+            assert r["tokens_final"] == 0
+        else:
+            assert r["tokens_final"] >= r["n_final"] * 5  # length band
+
+
+def test_token_budget_greedy_boundary(spark):
+    """Every source's kept tokens fit the budget, and the selection
+    is maximal: if any document was left out, the next-best one must
+    not have fit (greedy prefix property under (q desc, doc_id)
+    order)."""
+    from wrds2pg_spark.curation import _TOKEN_BUDGET
+    from wrds2pg_spark.functions.text import quality_score, token_count
+
+    rows = {r["source"]: r
+            for r in run("mixture_token_budget", spark).collect()}
+    feat = (
+        load_table(spark, SF, "documents")
+        .select(
+            "source", "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        .collect()
+    )
+    by_src = {}
+    for r in feat:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: (-r["q"], r["doc_id"]))
+        cum, kept, kept_toks, cutoff = 0, 0, 0, None
+        for i, d in enumerate(docs):
+            if i >= _TOKEN_BUDGET or cum + d["n_tok"] > _TOKEN_BUDGET:
+                break
+            cum += d["n_tok"]
+            kept += 1
+            kept_toks = cum
+            cutoff = d["q"] if cutoff is None else min(cutoff, d["q"])
+        got = rows.get(src)
+        if kept == 0:
+            assert got is None
+            continue
+        assert got is not None
+        assert got["n_docs_kept"] == kept
+        assert got["tokens_kept"] == kept_toks <= _TOKEN_BUDGET
+        assert abs(got["cutoff_quality"] - cutoff) < 1e-9

@@ -926,3 +926,30 @@ def test_rag_probe_prunes_index_partitions(spark):
     simple = plan_of(spark, "pipeline_rag_index")
     assert "Exchange" not in simple
     assert "Python" not in simple
+
+
+def test_token_budget_window_group_limit_pushed_map_side(spark):
+    """mixture_token_budget's rank predicate must trigger the
+    WindowGroupLimit rewrite on BOTH sides of the exchange — the
+    map-side pre-prune is what bounds a 100-TB source's sort state to
+    budget rows per task (the docstring's scale claim)."""
+    plan = plan_of(spark, "mixture_token_budget")
+    segs = plan.split("Exchange")
+    # at least one WindowGroupLimit below the shuffle (map-side, in
+    # the last Exchange segment that still scans parquet) and one
+    # above (final per-source prune)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    below = [s for s in segs[1:] if "Scan parquet" in s]
+    assert below and any("WindowGroupLimit" in s for s in below), plan
+
+
+def test_curation_funnel_no_body_shuffle_and_broadcast_join(spark):
+    """The dedup groupBy must shuffle md5+features, never document
+    bodies (no `text` column in any Exchange), and the per-source
+    funnel joins the tiny raw-count side via broadcast."""
+    df = REGISTRY["pipeline_curation_funnel"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("+-", 1)[0]
+        assert "text#" not in head, head

@@ -1825,6 +1825,198 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_oracle() -> str:
+    from wrds2pg_spark.functions.text import (
+        PREDICTED_LANG_SQL, QUALITY_SCORE_SQL, TOKENS_SQL,
+    )
+
+    return f"""
+    WITH feat AS (
+      SELECT md5(text) AS h, doc_id, source, lang,
+             {QUALITY_SCORE_SQL('text')} AS q,
+             {PREDICTED_LANG_SQL('text')} AS pl,
+             CAST(len({TOKENS_SQL('text')}) AS BIGINT) AS n_tok
+      FROM documents),
+    win AS (
+      SELECT h,
+             arg_min(source, doc_id) AS source,
+             arg_min(lang, doc_id) AS lang,
+             MIN(q) AS q, MIN(pl) AS pl, MIN(n_tok) AS n_tok
+      FROM feat GROUP BY h),
+    surv AS (
+      SELECT source,
+             COUNT(*) AS n_dedup,
+             COUNT(*) FILTER (WHERE q >= 0.4) AS n_quality,
+             COUNT(*) FILTER (WHERE q >= 0.4 AND pl = lang)
+               AS n_lang_match,
+             COUNT(*) FILTER (WHERE q >= 0.4 AND pl = lang
+                              AND n_tok BETWEEN 5 AND 5000) AS n_final,
+             CAST(COALESCE(SUM(n_tok) FILTER (WHERE q >= 0.4 AND pl = lang
+                      AND n_tok BETWEEN 5 AND 5000), 0) AS BIGINT)
+               AS tokens_final
+      FROM win GROUP BY source),
+    raw AS (
+      SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source)
+    SELECT r.source, r.n_raw,
+           COALESCE(s.n_dedup, 0) AS n_dedup,
+           COALESCE(s.n_quality, 0) AS n_quality,
+           COALESCE(s.n_lang_match, 0) AS n_lang_match,
+           COALESCE(s.n_final, 0) AS n_final,
+           COALESCE(s.tokens_final, 0) AS tokens_final
+    FROM raw r LEFT JOIN surv s ON r.source = s.source
+    """
+
+
+@register("pipeline_curation_funnel", oracle=_funnel_oracle())
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel — the survivor-count report every
+    published corpus build ships (RefinedWeb/Dolma-style): raw ->
+    exact dedup -> quality gate -> langid agreement -> length band,
+    with the final token yield.  Stages are CUMULATIVE (each applies
+    on the previous stage's survivors), so the report reads as the
+    attrition curve a curation run is judged by.
+
+    Scale shape: all text features (quality, predicted language,
+    token count) are computed in the narrow pre-shuffle stage, so the
+    dedup groupBy shuffles (md5, doc_id, source, lang, 3 small
+    features) — never document bodies; survivors elect the min-doc_id
+    row's attribution via min_by (duplicates can span sources, so the
+    winner's source is NOT an arbitrary pick).  The funnel itself is
+    one map-side-combined aggregate over the survivor set, plus a
+    tiny per-source raw count joined at source grain (~handful of
+    rows).  At 100 TB: one body scan, one feature-row shuffle, two
+    skew-free aggs."""
+    from wrds2pg_spark.functions.text import (
+        predicted_lang, quality_score, token_count,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
+    t = F.col("text")
+    feat = docs.select(
+        F.md5(t).alias("h"),
+        F.col("doc_id"), F.col("source"), F.col("lang"),
+        quality_score(t).alias("q"),
+        predicted_lang(t).alias("pl"),
+        token_count(t).cast("long").alias("n_tok"),
+    )
+    win = feat.groupBy("h").agg(
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min("q").alias("q"),
+        F.min("pl").alias("pl"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    qual = F.col("q") >= 0.4
+    lang_ok = qual & (F.col("pl") == F.col("lang"))
+    final = lang_ok & F.col("n_tok").between(5, 5000)
+    surv = win.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dedup"),
+        F.count(F.when(qual, 1)).alias("n_quality"),
+        F.count(F.when(lang_ok, 1)).alias("n_lang_match"),
+        F.count(F.when(final, 1)).alias("n_final"),
+        F.coalesce(F.sum(F.when(final, F.col("n_tok"))), F.lit(0))
+        .alias("tokens_final"),
+    )
+    raw = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"))
+    return (
+        raw.join(F.broadcast(surv), "source", "left")
+        .select(
+            "source", "n_raw",
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_lang_match", F.lit(0)).alias("n_lang_match"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+        )
+    )
+
+
+# Per-source token budget.  Sized to BIND at every fixture scale
+# (sources carry ~1.4k tokens at sf0.001 and grow with SF), so the
+# greedy cutoff boundary — the semantics under test — is actually
+# exercised by the oracle gate rather than degenerating to
+# keep-everything.
+_TOKEN_BUDGET = 800
+
+
+def _token_budget_oracle() -> str:
+    from wrds2pg_spark.functions.text import QUALITY_SCORE_SQL, TOKENS_SQL
+
+    return f"""
+    WITH feat AS (
+      SELECT source, doc_id,
+             {QUALITY_SCORE_SQL('text')} AS q,
+             CAST(len({TOKENS_SQL('text')}) AS BIGINT) AS n_tok
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id, q, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY q DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM feat)
+    SELECT source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+           MIN(q) AS cutoff_quality
+    FROM ranked
+    WHERE rn <= {_TOKEN_BUDGET} AND cum <= {_TOKEN_BUDGET}
+    GROUP BY source
+    """
+
+
+@register("mixture_token_budget", oracle=_token_budget_oracle())
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked selection under a per-source token
+    budget — the dataset-assembly step that turns a quality score
+    into an actual training mixture: within each source take the
+    best-scoring documents until the source's token budget is
+    exhausted.  Reports per-source kept-doc count, token yield, and
+    the realized quality cutoff (the marginal document's score).
+
+    Determinism: quality is the 6-dp-rounded closed form identical in
+    both engines, ties break on doc_id, and the running token total
+    is an exact BIGINT sum — so the <= budget boundary cannot flip on
+    float association.  Scale shape: one shuffle on source; the
+    row_number <= budget predicate bounds the per-source sorted state
+    (tokens are >=1 per kept doc, so no source can keep more than
+    budget rows) and is the rank-filter shape Spark's WindowGroupLimit
+    rewrite pushes map-side — each task pre-prunes to its local top-N
+    before the exchange, which is what keeps a 100-TB source's sort
+    from materializing the whole source."""
+    from wrds2pg_spark.functions.text import quality_score, token_count
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"),
+                  min_bytes=FAN_OUT_2MB)
+    t = F.col("text")
+    feat = docs.select(
+        F.col("source"), F.col("doc_id"),
+        quality_score(t).alias("q"),
+        token_count(t).cast("long").alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("q").desc(), "doc_id")
+    ranked = feat.select(
+        "source", "doc_id", "q", "n_tok",
+        F.sum("n_tok").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.filter((F.col("rn") <= _TOKEN_BUDGET)
+                      & (F.col("cum") <= _TOKEN_BUDGET))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+            F.min("q").alias("cutoff_quality"),
+        )
+    )
+
+
 @register(
     "vocab_induction",
     oracle=f"""
