@@ -271,6 +271,9 @@ HEADLINE = [
     "dedup_semantic_cells",
     "pipeline_rag_index",
     "pipeline_curation_funnel",
+    "quality_ccnet_buckets",
+    "text_boilerplate_ngram",
+    "vocab_fertility",
     "mixture_token_budget",
 ]
 

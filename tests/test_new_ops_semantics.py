@@ -944,3 +944,90 @@ def test_token_budget_greedy_boundary(spark):
         assert got["n_docs_kept"] == kept
         assert got["tokens_kept"] == kept_toks <= _TOKEN_BUDGET
         assert abs(got["cutoff_quality"] - cutoff) < 1e-9
+
+
+def test_ccnet_buckets_value_cut_invariants(spark):
+    """Value-based tertile cuts: buckets are ordered by score, head
+    holds at least a third of each language's scored docs (ties
+    included), equal scores share a bucket, and the per-doc score is
+    exactly text_bigram_logprob's avg_nll."""
+    rows = run("quality_ccnet_buckets", spark).collect()
+    nll = {r["doc_id"]: r["avg_nll"]
+           for r in run("text_bigram_logprob", spark).collect()}
+    assert len(rows) == len(nll)  # same scored set (docs with >=2 tokens)
+    by_lang = {}
+    for r in rows:
+        assert abs(r["avg_nll"] - nll[r["doc_id"]]) < 1e-12
+        by_lang.setdefault(r["lang"], []).append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        counts = {"head": 0, "middle": 1, "tail": 2}
+        counts = {b: sum(1 for r in rs if r["bucket"] == b)
+                  for b in order}
+        assert counts["head"] * 3 >= n
+        assert (counts["head"] + counts["middle"]) * 3 >= 2 * n
+        # score ordering across buckets + tie consistency
+        by_score = {}
+        for r in rs:
+            by_score.setdefault(r["avg_nll"], set()).add(r["bucket"])
+        for s, buckets in by_score.items():
+            assert len(buckets) == 1, f"tie split at {lang} score {s}"
+        for b_lo, b_hi in (("head", "middle"), ("middle", "tail")):
+            lo = [r["avg_nll"] for r in rs if r["bucket"] == b_lo]
+            hi = [r["avg_nll"] for r in rs if r["bucket"] == b_hi]
+            if lo and hi:
+                assert max(lo) < min(hi)
+
+
+def test_boilerplate_ngram_matches_brute_force(spark):
+    """Exact brute-force recomputation of the trigram doc-frequency
+    threshold on the full sf0.001 corpus — catches any drift between
+    the fingerprinted instance stream and the defined semantics."""
+    from wrds2pg_spark.corpus import _BOILER_MIN_DOCS
+
+    rows = {r["doc_id"]: r
+            for r in run("text_boilerplate_ngram", spark).collect()}
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text").collect()
+    grams = {}
+    per_doc = {}
+    for d in docs:
+        t = d["text"].lower().split(" ")
+        gs = [tuple(t[i:i + 3]) for i in range(len(t) - 2)]
+        per_doc[d["doc_id"]] = gs
+        for g in set(gs):
+            grams[g] = grams.get(g, 0) + 1
+    boiler = {g for g, c in grams.items() if c >= _BOILER_MIN_DOCS}
+    assert boiler, "threshold never bites — degenerate fixture"
+    for doc_id, gs in per_doc.items():
+        if not gs:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        nb = sum(1 for g in gs if g in boiler)
+        assert r["n_grams"] == len(gs)
+        assert r["n_boiler"] == nb
+        assert abs(r["boiler_ratio"] - nb / len(gs)) <= 1e-6
+
+
+def test_vocab_fertility_consistent_with_token_counts(spark):
+    """Per-lang sums must equal the doc-grain counts text_token_bpe
+    reports, and the ratios must be the rounded quotients."""
+    per_doc = {r["doc_id"]: r for r in run("text_token_bpe", spark).collect()}
+    lang_of = {r["doc_id"]: r["lang"]
+               for r in load_table(spark, SF, "documents")
+               .select("doc_id", "lang").collect()}
+    agg = {}
+    for doc_id, r in per_doc.items():
+        a = agg.setdefault(lang_of[doc_id], [0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_ws_tokens"]
+        a[2] += r["n_bpe_tokens"]
+    for row in run("vocab_fertility", spark).collect():
+        n_docs, ws, bpe = agg[row["lang"]]
+        assert row["n_docs"] == n_docs
+        assert row["n_words"] == ws
+        assert row["n_bpe_tokens"] == bpe
+        assert abs(row["fertility"] - bpe / ws) <= 1e-6
+        assert abs(row["chars_per_token"] - row["n_chars"] / bpe) <= 1e-6

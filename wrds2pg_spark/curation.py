@@ -1921,7 +1921,11 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "documents").groupBy("source").agg(
         F.count(F.lit(1)).alias("n_raw"))
     return (
-        raw.join(F.broadcast(surv), "source", "left")
+        # both sides sit at source grain (bounded vocabulary) after
+        # their aggregates — no forced broadcast needed; AQE picks the
+        # broadcast side at runtime, same doctrine as every other
+        # post-agg dimension join in this module
+        raw.join(surv, "source", "left")
         .select(
             "source", "n_raw",
             F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
