@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_simhash_portable",
     "dedup_embedding_cosine",
     "similarity_topk",
+    "similarity_range_search",
     "similarity_ann_lsh",
     "text_stats",
     "text_langid",

@@ -1031,3 +1031,30 @@ def test_vocab_fertility_consistent_with_token_counts(spark):
         assert row["n_bpe_tokens"] == bpe
         assert abs(row["fertility"] - bpe / ws) <= 1e-6
         assert abs(row["chars_per_token"] - row["n_chars"] / bpe) <= 1e-6
+
+
+def test_range_search_matches_brute_force(spark):
+    """Range search must return exactly the vectors brute-force
+    cosine puts at >= tau, for every query in the batch."""
+    import math
+
+    from wrds2pg_spark.queries import _RANGE_NQ, _RANGE_TAU, _range_qvec
+
+    got = {}
+    for r in run("similarity_range_search", spark).collect():
+        got.setdefault(r["query_id"], {})[r["vec_id"]] = r["cos_sim"]
+    emb = load_table(spark, SF, "embeddings").collect()
+    for qid in range(_RANGE_NQ):
+        qv = _range_qvec(qid)
+        qn = math.sqrt(sum(x * x for x in qv))
+        expect = {}
+        for r in emb:
+            v = [float(x) for x in r["embedding"]]
+            d = sum(a * b for a, b in zip(v, qv))
+            n = math.sqrt(sum(a * a for a in v))
+            cos = d / (n * qn)
+            if cos >= _RANGE_TAU:
+                expect[r["vec_id"]] = cos
+        assert set(got.get(qid, {})) == set(expect)
+        for vid, cos in expect.items():
+            assert abs(got[qid][vid] - cos) <= 1.5e-6

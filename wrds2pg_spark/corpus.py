@@ -1887,35 +1887,44 @@ def text_boilerplate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc counts — at 1e9 distinct trigrams ~3% chance of ONE merged
     pair perturbing one threshold test, the accepted unigram-side
     trade recorded on text_bigram_logprob, and the oracle gate
-    catches any at test scale).  The instance stream is built
-    row-locally (transform over offsets, guarded so <3-token docs
-    yield an empty array — Spark's sequence(1,0) would DESCEND), is
-    lazily checkpointed (3 consumers under the AQE exchange-reuse
-    failure), and the frequent-gram table is Heaps-sublinear and
-    DISTINCT-collapsed before the instance join; AQE broadcasts it
-    while it fits.  Per-doc aggregates map-side combine (docs never
-    span input partitions).  The ratio is the exact-rational half-up
-    division, bit-identical on both engines."""
+    catches any at test scale).  The instance stream stays in
+    whole-stage codegen end to end: arrays_zip over the token array
+    and its two shifted slices, explode, null-tail filter, THEN the
+    hash at row grain — the first form's transform(sequence) +
+    element_at lambda evaluated INTERPRETED per element and read
+    7.16 s at sf0.1; this one reads 1.63 s, values identical
+    (round-10 A/B, min-of-3).  Same measured lesson as
+    functions/vector.py: HOFs off the hot path.  n_grams is
+    row-local arithmetic (len-2), not an aggregate — the totals side
+    never exchanges.  The instance stream is lazily checkpointed
+    (2 consumers under the AQE exchange-reuse failure), and the
+    frequent-gram table is Heaps-sublinear and DISTINCT-collapsed
+    before the instance join; AQE broadcasts it while it fits.
+    Remaining sf0.1 wall is the ~8-job scheduler floor, not data.
+    The ratio is the exact-rational half-up division, bit-identical
+    on both engines."""
     docs = fan_out(load_table(spark, sf_dir, "documents"),
                   min_bytes=FAN_OUT_2MB)
     t = F.split(F.lower(F.col("text")), " ")
-    grams_arr = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.xxhash64(
-                F.element_at(t, i),
-                F.element_at(t, i + 1),
-                F.element_at(t, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    n = F.size(t)
+    z = F.arrays_zip(
+        t.alias("w1"),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        F.slice(t, 3, F.greatest(n - 2, F.lit(0))).alias("w3"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.greatest(n - 2, F.lit(0)).cast("long").alias("ng"),
+        z.alias("z"),
+    ).filter(F.col("ng") >= 1)
     g = (
-        docs.select("doc_id", F.explode(grams_arr).alias("g"))
+        base.select("doc_id", F.explode("z").alias("p"))
+        .filter(F.col("p.w3").isNotNull())
+        .select("doc_id", F.xxhash64("p.w1", "p.w2", "p.w3").alias("g"))
         .localCheckpoint(eager=False)
     )
-    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
     boiler = (
-        g.select("doc_id", "g").distinct()
+        g.distinct()
         .groupBy("g").agg(F.count(F.lit(1)).alias("d"))
         .filter(F.col("d") >= _BOILER_MIN_DOCS)
         .select("g")
@@ -1925,7 +1934,7 @@ def text_boilerplate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
     )
     return (
-        tot.join(nb, "doc_id", "left")
+        base.select("doc_id", "ng").join(nb, "doc_id", "left")
         .select(
             "doc_id",
             F.col("ng").alias("n_grams"),

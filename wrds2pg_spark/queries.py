@@ -1739,6 +1739,68 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _QVEC, k=20)
 
 
+# Deterministic 4-query batch for range search; query 0 is _QVEC.
+_RANGE_NQ = 4
+_RANGE_TAU = 0.30
+
+
+def _range_qvec(q: int, dim: int = 64) -> list[float]:
+    return [(((i * 37 + 11 + 13 * q) % 19) - 9) / 9.0 for i in range(dim)]
+
+
+def _range_search_oracle() -> str:
+    rows = ", ".join(
+        f"({q}, [" + ", ".join(repr(x) for x in _range_qvec(q)) + "])"
+        for q in range(_RANGE_NQ))
+    cos = _emb_cos_sql("e.embedding", "q.qv", rounded=False)
+    return f"""
+    WITH q(query_id, qv) AS (VALUES {rows})
+    SELECT CAST(q.query_id AS INT) AS query_id, e.vec_id,
+           ROUND({cos}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE {cos} >= {_RANGE_TAU}
+    """
+
+
+@register("similarity_range_search", oracle=_range_search_oracle())
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold retrieval (range search): every corpus vector with
+    cosine >= tau against each query in a batch — the complement of
+    top-k used for recall-oriented matching (dedup candidates, policy
+    screens) where the hit COUNT is unknown a priori.
+
+    Plan shape: ONE corpus scan, a narrow map computing the row's
+    norm once plus one dot per query (the query norms are Python-side
+    constants — same left-to-right IEEE sum as the SQL twin), explode
+    of the 4-struct array, then a codegen filter on the UNROUNDED
+    cosine (bitwise-equal arithmetic on both engines, the
+    dedup_embedding_cosine precedent).  No shuffle, no UDF: at 100 TB
+    this is the same embarrassingly-parallel scan shape as
+    brute-force top-k minus even its TakeOrdered reduction; a LARGE
+    query batch would swap the literal array for a broadcast join of
+    a query table, same per-row cost."""
+    from wrds2pg_spark.functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    nrm = l2_norm(e)
+    structs = []
+    for qid in range(_RANGE_NQ):
+        qv = _range_qvec(qid)
+        qn = sum(x * x for x in qv) ** 0.5
+        cos = dot(e, F.lit([float(x) for x in qv])) / (nrm * F.lit(qn))
+        structs.append(F.struct(
+            F.lit(qid).alias("query_id"), cos.alias("cos")))
+    return (
+        emb.select("vec_id", F.explode(F.array(*structs)).alias("p"))
+        .filter(F.col("p.cos") >= F.lit(_RANGE_TAU))
+        .select(
+            "p.query_id", "vec_id",
+            F.round(F.col("p.cos"), 6).alias("cos_sim"),
+        )
+    )
+
+
 def _maxsim_oracle(n_chunks: int = 8, dim: int = 64, k: int = 20) -> str:
     step = dim // n_chunks
     terms = []
