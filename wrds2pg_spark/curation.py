@@ -1557,10 +1557,22 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     anchors = ivf_anchors(16, 64)
+    # lazily checkpointed: the cell column is a 16x64 literal
+    # argmax-dot tree consumed by BOTH the pair kernel and the final
+    # keep-verdict join — without the cut the whole tree is analyzed,
+    # codegen'd and EVALUATED twice (126 KB formatted plan, ~1 MB
+    # task binaries, the round-10 before snapshot) and the corpus is
+    # scanned twice.  One materialization of (vec_id, embedding,
+    # cell) collapses the plan to 6 KB (guide §3.3: materialise
+    # intermediates that truncate very large plans).  sf0.1 wall is
+    # UNCHANGED within noise (3.17 vs 3.06 same-session A/B — the
+    # wall is the 16-task Arrow kernel + scheduler floor, decomposed:
+    # scan 0.60, +assign 0.62, +pairs 1.82); the win is the halved
+    # analysis/codegen and the single corpus scan at scale.
     cells = emb.select(
         "vec_id", "embedding",
         anchored_cell_expr("embedding", anchors).alias("cell"),
-    )
+    ).localCheckpoint(eager=False)
     pairs = blocked_pairs(
         cells, "cell", threshold=0.40, max_block_size=4096)
     dropped = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(

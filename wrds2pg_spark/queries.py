@@ -6556,6 +6556,14 @@ def _jaccard_minhash_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"h{k}") for k in range(_GJMH_HASHES)
         ])).alias("k", "v"),
     ).localCheckpoint(eager=False)
+    # (round 10 negative, recorded: checkpointing the CAPPED posting
+    # too — so the candidate self-join's two sides share one
+    # materialization instead of duplicating the hub-cap aggregate —
+    # measured a wash in an interleaved same-session A/B at sf0.1
+    # (min 2.22 no-ckpt vs 2.30 ckpt over 5 rounds): the duplicated
+    # subtree is the narrow (s,k,v) list and its cheap hub agg, and
+    # the saved duplicate exactly pays for the extra materialization
+    # job.  Left un-checkpointed.)
     return cap_block_rows(
         posting,
         F.concat_ws("|", F.col("k").cast("string"), F.col("v")),
