@@ -5609,11 +5609,17 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("d1"),
     )
     w = W.partitionBy("user_id").orderBy("day")
+    # d2 feeds BOTH union branches (head + main): without the cut the
+    # lead/row_number window subtree runs once per branch (4 Window
+    # nodes in the round-10 before plan, 2 per branch).  Day-grain
+    # rows, so the materialization is output-domain-sized; 0.83 ->
+    # 0.77 s min-of-5 interleaved at sf0.1.
     d2 = (
         daily
         .withColumn("next_day", F.lead("day").over(w))
         .withColumn("rn", F.row_number().over(w))
         .crossJoin(F.broadcast(bounds))
+        .localCheckpoint(eager=False)
     )
     head = d2.filter(
         (F.col("rn") == 1) & (F.col("day") > F.col("d0"))
@@ -5709,12 +5715,15 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("d1"),
     )
     w = W.partitionBy("user_id").orderBy("day")
+    # same two-consumer cut as ts_resample_ffill: head + main both
+    # read d2, so the window subtree otherwise runs per branch
     d2 = (
         daily
         .withColumn("next_day", F.lead("day").over(w))
         .withColumn("next_value", F.lead("day_value").over(w))
         .withColumn("rn", F.row_number().over(w))
         .crossJoin(F.broadcast(bounds))
+        .localCheckpoint(eager=False)
     )
     head = d2.filter(
         (F.col("rn") == 1) & (F.col("day") > F.col("d0"))
