@@ -453,6 +453,20 @@ def test_pagerank_broadcast_state_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pagerank_outdeg_rides_edges_no_per_iteration_degree_join(spark):
+    """Round-10 gate: out-degree is stamped on the checkpointed edge
+    list (a window sharing the edge build's src exchange), so no
+    iteration re-attaches a degree aggregate — the final plan carries
+    at most 4 shuffle exchanges (the per-iteration re-attach form had
+    13 Exchange nodes; see plans/r10/graph_pagerank_{before,after})."""
+    plan = formatted_plan(spark, "graph_pagerank")
+    n_shuffle = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_shuffle <= 4, f"{n_shuffle} shuffle exchanges"
+    # the edge list (with stamped degree) must come from the one
+    # checkpointed build, not be re-derived per consumer
+    assert "Location" not in plan or "lineitem.parquet" not in plan
+
+
 def _forced_broadcast_violations(module, banned_tables, allow):
     """AST lint: find F.broadcast(x) where x derives from an
     SF-scaling table without collapsing through a GLOBAL aggregate.
@@ -842,6 +856,10 @@ def test_q11_shape_single_fact_scan(spark):
     ("tfidf_top_terms", "documents", 2),   # tokenize + pruned count
     ("text_unigram_logprob", "documents", 2),  # dg twice, total windowed
     ("text_bigram_logprob", "documents", 2),   # dg checkpointed; uni pass
+    # round-10: cell assignment checkpointed — the 16x64 argmax tree
+    # evaluates once and the corpus scans once (was 3 scans + a
+    # 126 KB double-codegen plan)
+    ("dedup_semantic_cells", "embeddings", 1),
 ])
 def test_scan_budget(spark, name, table, max_scans):
     """Same-table scan budget for the keys the round-6 sweep fixed:
