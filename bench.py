@@ -379,13 +379,25 @@ def main() -> None:
             if name not in times or dt < times[name]:
                 times[name] = dt
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_wall_clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    })
+    # Armor against driver-side tail truncation (round-10 verdict: the
+    # 244-key one-line JSON outgrew the driver's stdout tail buffer in
+    # r9 and round-over-round comparison was lost): persist the same
+    # line to disk next to the repo.  Best-effort — the printed line
+    # stays the contract.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

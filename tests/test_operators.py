@@ -1,6 +1,8 @@
 """Operator-level tests for the north-star ops (dedup, similarity,
 as-of, multimodal) — semantic properties the oracle can't check."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -500,6 +502,66 @@ def test_connected_components_chain_and_clique(spark):
     assert all(comp[i] == 1 for i in (1, 2, 3, 4, 5))
     assert all(comp[i] == 10 for i in (10, 11, 12))
     assert comp[20] == comp[21] == 20
+
+
+def test_connected_components_seed_round_fold(spark):
+    """Round 11 rewrote round 1 of connected_components as a single
+    groupBy over the symmetric edge list (no initial identity-labels
+    frame, no join).  Pin the seed round's exact semantics: with
+    max_iter=1 each node's label must be min(own id, min neighbor id)
+    — precisely what the pre-r11 one-join round from identity labels
+    produced — and a star (every node adjacent to the min id) must
+    fully converge in that one round."""
+    from wrds2pg_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"])
+    one = {r["id"]: r["comp"]
+           for r in connected_components(chain, max_iter=1).collect()}
+    assert one == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    star = spark.createDataFrame(
+        [(7, 8), (7, 9), (7, 10)], ["id_a", "id_b"])
+    full = {r["id"]: r["comp"]
+            for r in connected_components(star, max_iter=1).collect()}
+    assert full == {7: 7, 8: 7, 9: 7, 10: 7}
+
+
+def test_lineage_cut_reliable_checkpoint_switch(spark, tmp_path):
+    """Round-11 session switch (r10 verdict item 8): lineage_cut is
+    localCheckpoint by default, but when the context has a RELIABLE
+    checkpoint directory configured every cut must route through
+    checkpoint() — same rows, blocks written under the configured dir
+    so an executor loss on a real cluster recomputes from storage."""
+    from pathlib import Path
+
+    from wrds2pg_spark.session import lineage_cut
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # suite default: local cuts
+    df = spark.range(100).withColumn("y", (F.col("id") * 3) % 7)
+    want = sorted(r["y"] for r in df.collect())
+    local = df.transform(lineage_cut())
+    assert sorted(r["y"] for r in local.collect()) == want
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        cut = df.transform(lineage_cut())  # eager: job runs now
+        assert sorted(r["y"] for r in cut.collect()) == want
+        resolved = sc.getCheckpointDir()
+        assert resolved is not None
+        # getCheckpointDir() resolves to a Hadoop URI (file:/tmp/...):
+        # strip the scheme before globbing the local filesystem
+        local_dir = re.sub(r"^file:/+", "/", resolved)
+        files = [p for p in Path(local_dir).rglob("*") if p.is_file()]
+        assert files, "reliable checkpoint wrote no blocks"
+        lazy = df.transform(lineage_cut(eager=False))
+        assert sorted(r["y"] for r in lazy.collect()) == want
+    finally:
+        # clear so the rest of the session-scoped suite keeps the
+        # default local-checkpoint behavior (Option(null) => None)
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
 
 
 def test_hll_sketch_estimate_accuracy(spark):

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from wrds2pg_spark.functions.numeric import (
     DAVG_SQL, DSUM_SQL, davg, dsum, with_broadcast_scalars)
 from wrds2pg_spark.queries import register
-from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
+from wrds2pg_spark.session import FAN_OUT_2MB, fan_out, lineage_cut
 from wrds2pg_spark.sources.testdata import load_table
 
 
@@ -343,7 +343,7 @@ def _bigram_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         docs.select("doc_id", F.explode(arr).alias("p"))
         .select("doc_id", "p.h1", "p.bg", "p.bgb")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     # vocab stamps onto uni via the broadcast-scalar doctrine
     # (functions/numeric.py): no empty-frame window (the r7 form
@@ -433,7 +433,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   min_bytes=FAN_OUT_2MB)
     tok = _tokens(docs)
     tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
+        F.count(F.lit(1)).alias("tf")).transform(lineage_cut(eager=False))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
@@ -1224,7 +1224,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut(eager=False))
     mad = dev.groupBy("event_type").agg(
         F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"))
     return (
@@ -1322,7 +1322,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccb = (
         freq.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
         .withColumn("band", F.floor(F.log2("c")).cast("int"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     wrun = (W.partitionBy("band").orderBy(F.col("c").desc())
             .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -1482,12 +1482,13 @@ def _bpe_chain(docs, rounds=_BPE_ROUNDS, extra_cols=()):
                      F.col("w2"), F.lit(sep)),
             F.concat(F.lit(sep), F.col("w1"), F.col("w2"), F.lit(sep)),
         )
-        return j.select("doc_id", *keep, merged.alias("s")).localCheckpoint(
-            eager=False)
+        return j.select("doc_id", *keep,
+                        merged.alias("s")).transform(
+            lineage_cut(eager=False))
 
     bests = []
     for r in range(1, rounds + 1):
-        b = best_pair(cur).localCheckpoint(eager=False)
+        b = best_pair(cur).transform(lineage_cut(eager=False))
         bests.append(b)
         cur = merge(cur, b)
     return bests, toks(cur)
@@ -1813,7 +1814,7 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((2 * s + c) DIV (2 * c) AS BIGINT)")
             .alias("scaled"),
         )
-        .localCheckpoint(eager=False)  # 2 consumers (cuts + labels)
+        .transform(lineage_cut(eager=False))  # 2 consumers (cuts + labels)
     )
     cnt = sc.groupBy("lang", "scaled").agg(F.count(F.lit(1)).alias("n"))
     w_cum = W.partitionBy("lang").orderBy("scaled")
@@ -1921,7 +1922,7 @@ def text_boilerplate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", F.explode("z").alias("p"))
         .filter(F.col("p.w3").isNotNull())
         .select("doc_id", F.xxhash64("p.w1", "p.w2", "p.w3").alias("g"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     boiler = (
         g.distinct()

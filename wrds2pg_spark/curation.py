@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.queries import REGISTRY, register
-from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
+from wrds2pg_spark.session import FAN_OUT_2MB, fan_out, lineage_cut
 from wrds2pg_spark.sources.testdata import load_table
 
 
@@ -1572,7 +1572,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = emb.select(
         "vec_id", "embedding",
         anchored_cell_expr("embedding", anchors).alias("cell"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut(eager=False))
     pairs = blocked_pairs(
         cells, "cell", threshold=0.40, max_block_size=4096)
     dropped = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
@@ -2352,7 +2352,7 @@ def embedding_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.64 -> 1.25 s same-session at sf0.1)
     part = emb.select("embedding").mapInPandas(
         partials, schema="n long, s array<long>, ss array<long>"
-    ).localCheckpoint()
+    ).transform(lineage_cut())
     n_tot = part.agg(F.sum("n").cast("double").alias("n"))
     s_tot = (
         part.select(F.posexplode("s").alias("i", "sv"))
@@ -3316,7 +3316,7 @@ def agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("exact_n"))
     # reused by counters AND the top-20 probe — checkpoint lazily so
     # the keyed aggregate computes once, not per consumer
-    exact = exact.localCheckpoint(eager=False)
+    exact = exact.transform(lineage_cut(eager=False))
     skey = F.col("suppkey").cast("string")
     posting = exact.select(
         F.col("exact_n"),

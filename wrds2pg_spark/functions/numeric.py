@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from wrds2pg_spark.session import lineage_cut
+
 __all__ = ["dsum", "davg", "DSUM_SQL", "DAVG_SQL"]
 
 
@@ -85,7 +87,7 @@ def with_broadcast_scalars(df, *aggs):
     Cost note: the checkpoint persists ``df`` (memory-and-disk) — call
     this on the SMALLEST stream that carries the total (vocabulary
     grain, not instance grain)."""
-    ckpt = df.localCheckpoint(eager=False)
+    ckpt = df.transform(lineage_cut(eager=False))
     return ckpt.crossJoin(F.broadcast(ckpt.agg(*aggs)))
 
 

@@ -26,6 +26,8 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from wrds2pg_spark.session import lineage_cut
+
 from wrds2pg_spark.functions.expr import let_
 from wrds2pg_spark.functions.text import shingles, tokens
 
@@ -240,7 +242,7 @@ def minhash_lsh_pairs(
         # signature pipeline ran once per branch.  The candidate set
         # is tiny relative to N^2 by LSH design, so the checkpoint is
         # bytes, not a corpus copy.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     return _verify_pairs_exact(df, cand, threshold, text_col, id_col)
 
@@ -298,7 +300,7 @@ def _candidate_shingle_sets(
         df.join(F.broadcast(ids), F.col(id_col) == F.col("__cid"))
         .select(F.col(id_col).alias("__hid"),
                 hash_of(F.col(text_col)).alias("__sh"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     return (
         cand.join(hashed, F.col("id_a") == F.col("__hid"))
@@ -483,7 +485,7 @@ def candidates_from_posting(
         .dropDuplicates(["id_a", "id_b"])
         # same rationale as the fast variant: three consumers, no
         # exchange reuse under AQE, tiny-by-design candidate set
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
 
 
@@ -593,7 +595,7 @@ def dedup_incremental_portable(
         # (exchange-reuse failure, BASELINE.md r6) — un-checkpointed,
         # the index probe + arrival signature pipeline ran once per
         # side.  Candidates are arrival-bounded, so this is bytes.
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     hash_of = lambda c: F.transform(shingles(c), lambda s: F.xxhash64(s))
     side_new = new_docs.select(
@@ -757,26 +759,48 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).localCheckpoint(eager=False)
-    labels = (
-        sym.select(F.col("u").alias("id")).distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=False)
+    ).transform(lineage_cut(eager=False))
+
+    def probe(new_labels):
+        # Lazy checkpoint + the convergence probe as the materializing
+        # action (round 11): the eager-checkpoint job and the probe
+        # were two driver jobs per round; the limit(1) count both
+        # answers "did anything change" and persists the partitions it
+        # touches — untouched ones compute on demand inside the next
+        # round's join stage, so total work is conserved but one
+        # scheduler job per round disappears (the per-round wall here
+        # is the job quantum, not data).
+        ckpt = new_labels.transform(lineage_cut(eager=False))
+        changed = ckpt.filter("__changed").limit(1).count()
+        return ckpt.select("id", "comp"), changed
+
+    # Round 1 constant-folds the label join away: labels == ids at
+    # the start, so min(neighbor labels) == min(neighbor ids) and the
+    # seed round is ONE groupBy over the symmetric edge list — no
+    # initial distinct-labels frame, no join (the same first-iteration
+    # fold graph_pagerank applies).  Convergence detection stays FUSED
+    # into the aggregate: comp = least(id, min neighbor), changed iff
+    # a neighbor id beats the own id.
+    labels, changed = probe(
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(
+            F.least(F.min("u"), F.min("v")).alias("comp"),
+            (F.min("v") < F.min("u")).alias("__changed"),
+        )
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
+        if changed == 0:
+            break
         # Convergence detection is FUSED into the label-update
         # aggregate: the old label rides along as a tagged union
         # branch (is_old=1) so min(old) is recoverable from the same
         # groupBy that computes min(all) — no second join per round.
-        # The per-round driver work is then one checkpoint job plus a
-        # limit(1) scan of the (already materialized) checkpoint,
-        # instead of a join+shuffle convergence probe.
         nbr = (
             sym.join(labels, sym.v == labels.id)
             .select(F.col("u").alias("id"), "comp",
                     F.lit(0).alias("is_old"))
         )
-        new_labels = (
+        labels, changed = probe(
             labels.select("id", "comp", F.lit(1).alias("is_old"))
             .unionByName(nbr)
             .groupBy("id")
@@ -786,12 +810,7 @@ def connected_components(
                  < F.min(F.when(F.col("is_old") == 1, F.col("comp")))
                  ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter("__changed").limit(1).count()
-        labels = new_labels.select("id", "comp")
-        if changed == 0:
-            break
     return labels
 
 

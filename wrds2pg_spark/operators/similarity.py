@@ -28,6 +28,8 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wrds2pg_spark.session import lineage_cut
+
 from wrds2pg_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 __all__ = [
@@ -1020,7 +1022,7 @@ def lsh_blocked_pairs(
         # materialized index, applied inline.
         from wrds2pg_spark.operators.skew import cap_block_rows
 
-        prepped = prepped.localCheckpoint()
+        prepped = prepped.transform(lineage_cut())
         prepped = cap_block_rows(prepped, "bucket", id_col,
                                  max_block_size)
 

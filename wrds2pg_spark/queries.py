@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from wrds2pg_spark.functions.numeric import DAVG_SQL, DSUM_SQL, davg, dsum
 from wrds2pg_spark.plans.ingest import IngestOptions, apply_options
-from wrds2pg_spark.session import FAN_OUT_2MB, fan_out
+from wrds2pg_spark.session import FAN_OUT_2MB, fan_out, lineage_cut
 from wrds2pg_spark.sources.testdata import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4909,7 +4909,7 @@ def tpch_q11_shape(
         dsum(F.col("ps_supplycost"), 2).alias("value"))
     scaled_sum = F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
     if _parquet_footer_rows(sf_dir, "part") > max_window_parts:
-        val = val.localCheckpoint(eager=True)
+        val = val.transform(lineage_cut(eager=True))
         thr_row = val.agg(
             (
                 scaled_sum.cast("double") / 100.0
@@ -5012,7 +5012,7 @@ def tpch_q11_bucketed(
     # the oracle's DAVG_SQL(value)*1.1 in both branches.
     scaled_sum = F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
     if _parquet_footer_rows(sf_dir, "part") > max_window_parts:
-        val = val.localCheckpoint(eager=True)
+        val = val.transform(lineage_cut(eager=True))
         thr_row = val.agg(
             (
                 scaled_sum.cast("double") / 100.0
@@ -5602,8 +5602,8 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1 = F.expr("INTERVAL 1 DAY")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(dsum(F.col("value"), 2).alias("day_value")).localCheckpoint(
-        eager=False)
+    ).agg(dsum(F.col("value"), 2).alias("day_value")).transform(
+        lineage_cut(eager=False))
     bounds = daily.agg(
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),
@@ -5619,7 +5619,7 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_day", F.lead("day").over(w))
         .withColumn("rn", F.row_number().over(w))
         .crossJoin(F.broadcast(bounds))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     head = d2.filter(
         (F.col("rn") == 1) & (F.col("day") > F.col("d0"))
@@ -5708,8 +5708,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1 = F.expr("INTERVAL 1 DAY")
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(dsum(F.col("value"), 2).alias("day_value")).localCheckpoint(
-        eager=False)
+    ).agg(dsum(F.col("value"), 2).alias("day_value")).transform(
+        lineage_cut(eager=False))
     bounds = daily.agg(
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),
@@ -5723,7 +5723,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_value", F.lead("day_value").over(w))
         .withColumn("rn", F.row_number().over(w))
         .crossJoin(F.broadcast(bounds))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     head = d2.filter(
         (F.col("rn") == 1) & (F.col("day") > F.col("d0"))
@@ -5991,7 +5991,7 @@ def basket_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     items = o.select(
         F.col("o_custkey"), F.col("o_orderpriority").alias("item")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(lineage_cut(eager=False))
     # basket count as a broadcast 1-row aggregate — never a driver
     # action (no-collect doctrine, tests/test_plans.py)
     nb = items.agg(F.countDistinct("o_custkey").alias("n_baskets"))
@@ -6315,8 +6315,10 @@ def graph_pagerank(
     # a broadcast build just to recover a static column.  With outdeg
     # riding the edges, an iteration is ONE state join + ONE agg, and
     # iteration 1 needs no join at all since the initial rank is a
-    # constant.  13 Exchange -> 5, 15 jobs/23 stages -> 10/16 at
-    # sf0.1; per-key bench 3.24 -> 2.19 s min-of-3, values
+    # constant.  13 Exchange -> 5 counting BOTH flavors (after = 3
+    # shuffle Exchange + 2 BroadcastExchange; the test_plans gate
+    # budgets the shuffle flavor only, <= 4), 15 jobs/23 stages ->
+    # 10/16 at sf0.1; per-key bench 3.24 -> 2.19 s min-of-3, values
     # bit-identical — oracle hash-checked at sf0.01 AND sf0.1.)
     edges = (
         e0.select(F.col("c").alias("src"), (F.col("s") + OFF).alias("dst"))
@@ -6324,7 +6326,7 @@ def graph_pagerank(
             e0.select((F.col("s") + OFF).alias("src"),
                       F.col("c").alias("dst")))
         .withColumn("outdeg", F.count(F.lit(1)).over(W.partitionBy("src")))
-        .localCheckpoint()
+        .transform(lineage_cut())
     )
     if mode == "broadcast":
         attach = F.broadcast
@@ -6437,25 +6439,37 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-stamped distinct (p, s, d) edge list of the
+    part<->supplier graph, checkpointed ONCE — it feeds the cap
+    guard's narrow projection and both self-join sides, so neither
+    the distinct nor the degree count recomputes per consumer (same
+    lineage-cut doctrine as graph_pagerank's edges, measured -0.3 s
+    at sf0.1).  graph_jaccard_minhash_recall passes this one frame to
+    BOTH its exact and minhash subtrees (round 11): before that, each
+    re-scanned lineitem and re-ran the distinct independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct().withColumn(
+        "d", F.count(F.lit(1)).over(W.partitionBy("s"))
+    ).transform(lineage_cut())
+
+
+def _jaccard_exact_pairs(
+    spark: SparkSession, sf_dir: str, ps_d: DataFrame | None = None
+) -> DataFrame:
     """The exact co-occurrence pair table behind graph_jaccard_neighbors
     — (s_a, s_b, n_common, d_a, d_b) for every supplier pair sharing at
     least one part.  Shared with graph_jaccard_minhash_recall so the
     audit measures THE registered exact key's pair table, not a
-    re-derivation that could drift."""
+    re-derivation that could drift.  ``ps_d`` lets the recall audit
+    supply the already-checkpointed edge frame shared with the minhash
+    subtree."""
     from wrds2pg_spark.operators.skew import cap_block_rows
 
-    li = load_table(spark, sf_dir, "lineitem")
-    # the degree-stamped edge list feeds the cap guard's narrow
-    # projection and both self-join sides: checkpoint it once, AFTER
-    # the window, so neither the distinct nor the degree count
-    # recomputes per consumer — same lineage-cut doctrine as
-    # graph_pagerank's edges (measured -0.3 s at sf0.1)
-    ps_d = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct().withColumn(
-        "d", F.count(F.lit(1)).over(W.partitionBy("s"))
-    ).localCheckpoint()
+    if ps_d is None:
+        ps_d = _jaccard_edges(spark, sf_dir)
     capped = cap_block_rows(ps_d, "p", "s", _JACCARD_BLOCK_CAP)
     a = capped.alias("a")
     # shuffle-hash, not sort-merge: the join output feeds a hash
@@ -6503,7 +6517,9 @@ def _jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GJMH_HASHES = 12
 
 
-def _jaccard_minhash_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_minhash_posting(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """(slot, min-hash value, supplier) posting list over the
     part<->supplier graph — the signature stage of the approximate
     Jaccard twin.
@@ -6538,10 +6554,16 @@ def _jaccard_minhash_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number cap) guards the degenerate hub-part case."""
     from wrds2pg_spark.operators.skew import cap_block_rows
 
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    if edges is not None:
+        # recall audit: read the shared checkpointed (p, s, d) edge
+        # frame instead of re-scanning lineitem + re-running the
+        # distinct (round 11 — one corpus scan for both subtrees)
+        ps = edges.select("p", "s")
+    else:
+        li = load_table(spark, sf_dir, "lineitem")
+        ps = li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        ).distinct()
     pstr = F.col("p").cast("string")
     digest = F.concat(
         F.md5(pstr),
@@ -6564,7 +6586,7 @@ def _jaccard_minhash_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[
             F.col(f"h{k}") for k in range(_GJMH_HASHES)
         ])).alias("k", "v"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut(eager=False))
     # (round 10 negative, recorded: checkpointing the CAPPED posting
     # too — so the candidate self-join's two sides share one
     # materialization instead of duplicating the hub-cap aggregate —
@@ -6581,12 +6603,14 @@ def _jaccard_minhash_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_minhash_candidates(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """(s_a, s_b, n_match) for every supplier pair agreeing on at
     least one signature slot.  A pair lands once per agreeing slot
     in the (slot, value) bucket join, so COUNT(*) IS the signature
     agreement count — no second pass over the signatures."""
-    post = _jaccard_minhash_posting(spark, sf_dir)
+    post = _jaccard_minhash_posting(spark, sf_dir, edges=edges)
     a = post.alias("a")
     # shuffle-hash like the exact key: output feeds a hash aggregate,
     # SMJ's sorts are pure overhead; buckets are part-degree-bounded
@@ -6746,8 +6770,16 @@ def graph_jaccard_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature width; the 96-hex family caps at 12 8-hex slots, and a
     4th md5 (16 slots) buys ~8 points of recall at +33% hash cost —
     recorded, not taken."""
+    # ONE distinct edge build for the whole audit (round 11): the
+    # exact pair table and the minhash posting both start from the
+    # same (p, s) distinct — before this they each re-scanned
+    # lineitem and re-ran the distinct (the posting a second time
+    # for its part-digest table).  The shared checkpoint costs the
+    # degree window the posting side doesn't need, but that window
+    # rides the exact side's build either way.
+    ps_d = _jaccard_edges(spark, sf_dir)
     exact = (
-        _jaccard_exact_pairs(spark, sf_dir)
+        _jaccard_exact_pairs(spark, sf_dir, ps_d=ps_d)
         .select(
             "s_a", "s_b", "n_common",
             (F.col("d_a") + F.col("d_b") - F.col("n_common")).alias("u"),
@@ -6760,9 +6792,9 @@ def graph_jaccard_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__j")
         # consumed twice (scalar count + overlap join): pin the 100
         # rows so the deg^2 pair aggregate runs once
-        .localCheckpoint()
+        .transform(lineage_cut())
     )
-    cand = _jaccard_minhash_candidates(spark, sf_dir)
+    cand = _jaccard_minhash_candidates(spark, sf_dir, edges=ps_d)
     ov = exact.join(cand, ["s_a", "s_b"])
     stats = ov.agg(
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
@@ -6862,9 +6894,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrds2pg_spark.operators.skew import cap_block_rows
 
     li = load_table(spark, sf_dir, "lineitem")
+    # checkpoint the distinct edge list BEFORE the cap valve (round
+    # 11, mirroring _jaccard_edges): un-checkpointed it evaluated
+    # three times — the valve's narrow hub probe plus BOTH sides of
+    # the pair self-join — so the lineitem scan + distinct exchange
+    # ran 3x per query (scan_audit flagged lineitem x3)
     ps_d = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    ).distinct().transform(lineage_cut())
     capped = cap_block_rows(ps_d, "p", "s", _JACCARD_BLOCK_CAP)
     a = capped.alias("a")
     b = capped.alias("b").hint("shuffle_hash")
@@ -6885,7 +6922,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least("src", "dst").alias("u"),
                 F.greatest("src", "dst").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut(eager=False))
     )
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
     e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -7128,7 +7165,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(
                 e0.select((F.col("s") + 1000000).alias("src"),
                           F.col("c").cast("long").alias("dst")))
-            .localCheckpoint()
+            .transform(lineage_cut())
         )
         child.conf.set("spark.sql.shuffle.partitions", str(parts))
         # temp views are per-session: this registers in the CHILD

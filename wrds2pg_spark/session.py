@@ -104,6 +104,38 @@ def get_spark(
     return spark
 
 
+def lineage_cut(eager: bool = True):
+    """``df.transform``-able materialization barrier for
+    multi-consumer and iterative frames — the engine's single spelling
+    of the localCheckpoint doctrine (truncate lineage so a shared
+    subtree evaluates once under the AQE exchange-reuse failure,
+    BASELINE.md r6).
+
+    By default this is ``localCheckpoint(eager=...)``: executor-local
+    blocks, no lineage fault-tolerance — the right trade for a
+    deterministic local/batch run.  When the context has a RELIABLE
+    checkpoint directory configured (``sc.setCheckpointDir`` or the
+    ``spark.checkpoint.dir`` conf at session build), every cut routes
+    through ``checkpoint()`` instead, so on a real cluster an executor
+    loss recomputes from the checkpoint store rather than killing the
+    query (round-10 verdict item 2).  Session-level switch: no call
+    site carries the decision.
+
+    Usage: ``df.transform(lineage_cut(eager=False))``."""
+    def _cut(df):
+        try:
+            reliable = (
+                df.sparkSession.sparkContext.getCheckpointDir()
+                is not None
+            )
+        except Exception:
+            reliable = False
+        if reliable:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+    return _cut
+
+
 _BYTE_SUFFIXES = {
     "": 1, "b": 1,
     "k": 1 << 10, "kb": 1 << 10,
