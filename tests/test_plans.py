@@ -859,7 +859,15 @@ def test_q11_shape_single_fact_scan(spark):
     ("mixture_temperature_sample", "documents", 2),  # rates + apply
     ("tfidf_top_terms", "documents", 2),   # tokenize + pruned count
     ("text_unigram_logprob", "documents", 2),  # dg twice, total windowed
-    ("text_bigram_logprob", "documents", 2),   # dg checkpointed; uni pass
+    # round-11 bigram/BPE audit (VERDICT item 4): every consumer of
+    # the tokenize/gram kernel reads its checkpointed instance frame,
+    # so the FINAL plan carries zero documents scans — the one scan
+    # lives in the checkpoint job.  A re-derivation regressing past
+    # the checkpoint would surface here as a parquet scan.
+    ("text_bigram_logprob", "documents", 0),
+    ("quality_ccnet_buckets", "documents", 0),
+    ("vocab_bpe_merges", "documents", 0),
+    ("vocab_bpe_compression", "documents", 0),
     # round-10: cell assignment checkpointed — the 16x64 argmax tree
     # evaluates once and the corpus scans once (was 3 scans + a
     # 126 KB double-codegen plan)
